@@ -1,13 +1,430 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.UiReferenceMapping
+import graft.parse.MessageParser
+import graft.query.{Dimensions, Downtime, MachineDetail, Rollups}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: every operator family from SURVEY.md §2 exposed as a
+ * named query over the testdata tables, with a DuckDB oracle for each
+ * SQL-expressible one.
+ *
+ * Conventions shared by query + oracle (engine-portability rules):
+ *  - event timestamps are compared at µs/s granularity (DuckDB
+ *    truncates parquet ns → µs; Spark reads ns as Long);
+ *  - double SUMs round-trip through DECIMAL(18,4) so accumulation
+ *    order can't perturb the last ulp, then cast back to DOUBLE;
+ *  - "last value" aggregations always carry a deterministic tie-break.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared helpers -----------------------------------------------------
+
+  /** Exact double aggregation: Σ as DECIMAL(18,4), emitted as DOUBLE. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** CTE header providing telemetry + rt views for the DuckDB oracle. */
+  private val T = s"WITH telemetry AS (\n${Tables.telemetrySql}\n), rt AS (\n${Tables.realTimeSql}\n)\n"
+
+  // Fixed condensation window: 2024-01-01 00:00:00 → 2024-01-08 00:00:00 UTC.
+  private val CondenseStart = 1704067200L
+  private val CondenseEnd = 1704672000L
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
+   * reference's `getRealTimeMachineData` over a full month for one
+   * machine (SURVEY §3.2). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    MachineDetail.realTimeMachineData(
+      Tables.realTime(spark, "/root/testdata/sf0.001"),
+      machineId = "site1/area1/line1/m1",
+      startS = 1704067200L, endS = 1706659200L)
+
+  // ---- queries ------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A-family: TPC-H-style pricing summary (hash agg, partial+final)
+    "q1_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc"),
+          count(lit(1)).as("n"))
+    }),
+
+    // P7: filter + projection pushdown (range predicate on scan)
+    "p7_range_scan" -> ((s, d) => {
+      Tables.realTime(s, d)
+        .filter(col("id") === "STATUS_site1/area1/line1/m1" &&
+          col("messageTimestamp").between(CondenseStart, CondenseEnd))
+        .select(col("messageTimestamp"), col("value"), col("event_id"))
+    }),
+
+    // Filter pushdown on a date column + aggregation
+    "q2_shipdate_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // J1: broadcast dimension join
+    "j1_broadcast_enrich" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // J2: anti-join (new-machine detection shape)
+    "j2_anti_new_machines" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // J3: change-point compression (lag window)
+    "j3_change_points" -> ((s, d) => {
+      val t = Tables.telemetry(s, d).select(
+        col("machineId").as("id"), lit("status").as("tag"),
+        col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
+      Downtime.changePoints(t)
+        .select(col("id"), unix_timestamp(col("timestamp")).as("es"), col("value"), col("event_id"))
+    }),
+
+    // J4 + A10: segment durations (lead window + duration arithmetic)
+    "j4_segment_durations" -> ((s, d) => {
+      val t = Tables.telemetry(s, d).select(
+        col("machineId").as("id"), lit("status").as("tag"),
+        col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
+      Downtime.durations(t)
+        .select(col("id"), unix_timestamp(col("timestamp")).as("es"), col("value"),
+          col("duration_seconds"), col("duration_minutes"), col("duration_hours"))
+    }),
+
+    // J5+J6: downtime segments joined to decode + machine-info dims
+    "j6_downtime_enriched" -> ((s, d) => {
+      val t = Tables.telemetry(s, d).select(
+        col("machineId").as("id"), lit("status").as("tag"),
+        col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
+      val machines = t.select(col("id")).distinct()
+      val configs = machines.select(
+        col("id").as("machineId"), lit("status").as("statusTag"),
+        lit("DOWN").as("statusDownValues"))
+      val downDecode = Dimensions.machineConfigInformation(configs)
+      val machineInfo = Dimensions.machineInformation(
+        machines.select(col("id"), lit(null).cast("string").as("name")))
+      Downtime.enrich(Downtime.downtimeSegments(Downtime.durations(t), downDecode), machineInfo)
+        .select(col("id"), unix_timestamp(col("timestamp")).as("es"),
+          col("duration_seconds"), col("machine_name"), col("location"), col("line"))
+    }),
+
+    // A1: last status per machine (max_by)
+    "a1_last_status" -> ((s, d) => {
+      Tables.telemetry(s, d)
+        .groupBy(col("machineId"))
+        .agg(max_by(col("status"), struct(col("ts_us"), col("status"))).as("last_status"))
+    }),
+
+    // A3+A4: interval condensation (the flagship query, all machines)
+    "a3_condense" -> ((s, d) => {
+      MachineDetail.condenseAll(Tables.realTime(s, d), CondenseStart, CondenseEnd)
+    }),
+
+    // A5: machines grouped by line (collect_list)
+    "a5_machines_by_line" -> ((s, d) => {
+      val machines = Tables.telemetry(s, d).select(col("machineId").as("id")).distinct()
+      val info = Dimensions.machineInformation(
+        machines.select(col("id"), lit(null).cast("string").as("name")))
+        .select(col("id"), col("location").as("locationId"), col("line").as("lineId"))
+      Rollups.machinesByLine(info.select(col("locationId"), col("lineId"), col("id")))
+    }),
+
+    // A6: line availability rollup over current statuses
+    "a6_line_availability" -> ((s, d) => {
+      val last = Tables.telemetry(s, d)
+        .groupBy(col("machineId"))
+        .agg(max_by(col("status"), struct(col("ts_us"), col("status"))).as("machineStatus"))
+      val withLine = last.withColumn("lineId",
+        Dimensions.tokensAt(col("machineId"), "/", UiReferenceMapping().lineKeys))
+      Rollups.lineAvailability(withLine)
+    }),
+
+    // A7: total production with counter rollover
+    "a7_total_production" -> ((s, d) => {
+      Rollups.totalProduction(Tables.telemetry(s, d)
+        .select(col("machineId"), col("ts_us").as("ts"), col("cnt").as("count")))
+    }),
+
+    // A8: production min/max
+    "a8_production_range" -> ((s, d) => {
+      Rollups.productionRange(Tables.telemetry(s, d)
+        .select(col("machineId"), col("cnt").as("count")))
+    }),
+
+    // W1: row numbering within a series
+    "w1_row_number" -> ((s, d) => {
+      Tables.telemetry(s, d).select(col("event_id"),
+        row_number().over(
+          Window.partitionBy(col("machineId")).orderBy(col("ts_us"), col("event_id"))).as("rn"))
+    }),
+
+    // W3: running max (rollover detection primitive)
+    "w3_running_max" -> ((s, d) => {
+      Tables.telemetry(s, d).select(col("event_id"),
+        max(col("cnt")).over(
+          Window.partitionBy(col("machineId")).orderBy(col("ts_us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)).as("running_max"))
+    }),
+
+    // O3: deterministic name sort surfaced as a rank
+    "o3_name_sort_rank" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey"),
+        row_number().over(Window.orderBy(col("c_name"), col("c_custkey"))).as("sort_rank"))
+    }),
+
+    // O5: distinct (set semantics)
+    "o5_distinct_types" -> ((s, d) => {
+      Tables.events(s, d).select(col("event_type")).distinct()
+    }),
+
+    // S2+P1+P2+F1-F4: full parse path — envelope JSON → base64 → strict
+    // config-driven parse → alias split → epoch
+    "p1_parse_roundtrip" -> ((s, d) => {
+      val t = Tables.telemetry(s, d)
+      val envelope = t.select(col("event_id"),
+        base64(to_json(struct(array(struct(
+          concat(col("machineId"), lit("/status")).as("name"),
+          col("quality").as("quality"),
+          concat(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("+00:00")).as("timestamp"),
+          col("status").as("value"))).as("messages"))).cast("binary")).as("payload"))
+      MessageParser.parseBase64(envelope, col("payload"),
+        Seq(graft.model.MessageFormatConfig(id = "DEFAULT")))
+        .select(col("event_id"), col("machineId"), col("tag"), col("epoch_s"), col("value"))
+    }),
+
+    // P4: CSV-membership status decode with multi-value lists
+    "p4_status_decode" -> ((s, d) => {
+      val raw = Tables.events(s, d).select(col("event_id"),
+        when(col("event_type") === "error", "d")
+          .when(col("event_type") === "purchase", "u")
+          .when(col("event_type") === "click", "true")
+          .when(col("event_type") === "view", "i")
+          .otherwise("False").as("value"))
+      raw.select(col("event_id"),
+        when(MessageParser.csvListContains(lit("u, true,True, 200"), col("value")), "UP")
+          .when(MessageParser.csvListContains(lit("d, false, False, 500"), col("value")), "DOWN")
+          .when(MessageParser.csvListContains(lit("i"), col("value")), "IDLE")
+          .otherwise("UNKNOWN").as("machineStatus"))
+    }),
+
+    // P8+F7: batch normalization (convert_parquet row shape)
+    "p8_batch_normalize" -> ((s, d) => {
+      Tables.telemetry(s, d).select(
+        col("event_id"),
+        col("machineId").as("id"), lit("status").as("tag"),
+        date_format(col("timestamp"), "yyyy/MM/dd HH:mm:ss.SSSSSS").as("timestamp"),
+        col("quality"), col("status").as("value"))
+    }),
+
+    // F2: JSON field extraction from the props column
+    "s2_json_props" -> ((s, d) => {
+      Tables.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+    }))
+
+  // ---- oracles ------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1,2""".stripMargin,
+
+    "p7_range_scan" -> (T +
+      s"""SELECT messageTimestamp, value, event_id FROM rt
+         |WHERE id = 'STATUS_site1/area1/line1/m1'
+         |  AND messageTimestamp BETWEEN $CondenseStart AND $CondenseEnd""".stripMargin),
+
+    "q2_shipdate_filter" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "j1_broadcast_enrich" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    "j2_anti_new_machines" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "j3_change_points" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, status AS value, event_id,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, event_id) AS prev
+        |  FROM telemetry)
+        |SELECT id, es, value, event_id FROM series
+        |WHERE prev IS NULL OR prev <> value""".stripMargin),
+
+    "j4_segment_durations" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, ts_us, status AS value, event_id,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, event_id) AS prev
+        |  FROM telemetry),
+        |cp AS (
+        |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
+        |seg AS (
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us) AS next_es
+        |  FROM cp)
+        |SELECT id, es, value,
+        |  CAST(next_es - es AS DOUBLE) AS duration_seconds,
+        |  CAST(next_es - es AS DOUBLE)/60 AS duration_minutes,
+        |  CAST(next_es - es AS DOUBLE)/60/60 AS duration_hours
+        |FROM seg WHERE next_es IS NOT NULL""".stripMargin),
+
+    "j6_downtime_enriched" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, ts_us, status AS value, event_id,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, event_id) AS prev
+        |  FROM telemetry),
+        |cp AS (
+        |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
+        |seg AS (
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us) AS next_es
+        |  FROM cp)
+        |SELECT id, es,
+        |  CAST(next_es - es AS DOUBLE) AS duration_seconds,
+        |  id AS machine_name,
+        |  split_part(id, '/', 1) || '/' || split_part(id, '/', 2) AS location,
+        |  split_part(id, '/', 3) AS line
+        |FROM seg WHERE next_es IS NOT NULL AND value = 'DOWN'""".stripMargin),
+
+    "a1_last_status" -> (T +
+      """SELECT machineId, status AS last_status FROM telemetry
+        |QUALIFY row_number() OVER (PARTITION BY machineId ORDER BY ts_us DESC, status DESC) = 1""".stripMargin),
+
+    "a3_condense" -> (T +
+      s""", inrange AS (
+         |  SELECT *,
+         |    CASE WHEN starts_with(id, 'STATUS_') THEN substr(id, 8) ELSE substr(id, 18) END AS mid,
+         |    GREATEST(((messageTimestamp + 59) // 60) * 60, $CondenseStart + 60) AS chunk
+         |  FROM rt
+         |  WHERE messageTimestamp BETWEEN $CondenseStart AND $CondenseEnd),
+         |status_last AS (
+         |  SELECT mid, chunk, value FROM inrange WHERE starts_with(id, 'STATUS_')
+         |  QUALIFY row_number() OVER (PARTITION BY mid, chunk ORDER BY messageTimestamp DESC, value DESC) = 1),
+         |status_down AS (
+         |  SELECT mid, chunk, max(CASE WHEN value = 'DOWN' THEN 1 ELSE 0 END) AS anyd
+         |  FROM inrange WHERE starts_with(id, 'STATUS_') GROUP BY mid, chunk),
+         |prod_last AS (
+         |  SELECT mid, chunk, value FROM inrange WHERE starts_with(id, 'PRODUCTION_COUNT_')
+         |  QUALIFY row_number() OVER (PARTITION BY mid, chunk ORDER BY messageTimestamp DESC, value DESC) = 1),
+         |spine AS (
+         |  SELECT m.mid, g.generate_series AS chunk_ts
+         |  FROM (SELECT DISTINCT mid FROM inrange) m,
+         |       generate_series(${CondenseStart + 60}, $CondenseEnd, 60) g)
+         |SELECT s.mid AS machineId, s.chunk_ts AS dataAsOfUTCUnixTimestamp,
+         |  COALESCE(CASE WHEN sd.anyd = 1 THEN 'DOWN' ELSE sl.value END, 'UNKNOWN') AS statusValue,
+         |  COALESCE(pl.value, '') AS productionCountValue
+         |FROM spine s
+         |LEFT JOIN status_last sl ON sl.mid = s.mid AND sl.chunk = s.chunk_ts
+         |LEFT JOIN status_down sd ON sd.mid = s.mid AND sd.chunk = s.chunk_ts
+         |LEFT JOIN prod_last pl ON pl.mid = s.mid AND pl.chunk = s.chunk_ts""".stripMargin),
+
+    "a5_machines_by_line" -> (T +
+      """, m AS (SELECT DISTINCT machineId AS id FROM telemetry)
+        |SELECT split_part(id, '/', 1) || '/' || split_part(id, '/', 2) AS locationId,
+        |       split_part(id, '/', 3) AS lineId,
+        |       count(*) AS machine_count,
+        |       string_agg(id, ',' ORDER BY id) AS machine_ids
+        |FROM m GROUP BY 1, 2""".stripMargin),
+
+    "a6_line_availability" -> (T +
+      """, last AS (
+        |  SELECT machineId, status AS machineStatus FROM telemetry
+        |  QUALIFY row_number() OVER (PARTITION BY machineId ORDER BY ts_us DESC, status DESC) = 1)
+        |SELECT split_part(machineId, '/', 3) AS lineId,
+        |  CAST(sum(CASE WHEN machineStatus IN ('UP','IDLE') THEN 1 ELSE 0 END) AS BIGINT) AS available_machines,
+        |  count(*) AS total_machines
+        |FROM last GROUP BY 1""".stripMargin),
+
+    "a7_total_production" -> (T +
+      """, seq AS (
+        |  SELECT machineId, ts_us, cnt,
+        |         lag(cnt) OVER (PARTITION BY machineId ORDER BY ts_us, cnt) AS prev
+        |  FROM telemetry),
+        |banked AS (
+        |  SELECT machineId, COALESCE(SUM(CASE WHEN cnt < prev THEN prev END), 0) AS b
+        |  FROM seq GROUP BY machineId),
+        |lastv AS (
+        |  SELECT machineId, cnt FROM telemetry
+        |  QUALIFY row_number() OVER (PARTITION BY machineId ORDER BY ts_us DESC, cnt DESC) = 1)
+        |SELECT b.machineId, CAST(b.b + l.cnt AS BIGINT) AS total_production
+        |FROM banked b JOIN lastv l USING (machineId)""".stripMargin),
+
+    "a8_production_range" -> (T +
+      """SELECT machineId, min(cnt) AS min_count, max(cnt) AS max_count
+        |FROM telemetry GROUP BY 1""".stripMargin),
+
+    "w1_row_number" -> (T +
+      """SELECT event_id,
+        |  CAST(row_number() OVER (PARTITION BY machineId ORDER BY ts_us, event_id) AS INTEGER) AS rn
+        |FROM telemetry""".stripMargin),
+
+    "w3_running_max" -> (T +
+      """SELECT event_id,
+        |  max(cnt) OVER (PARTITION BY machineId ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max
+        |FROM telemetry""".stripMargin),
+
+    "o3_name_sort_rank" ->
+      """SELECT c_custkey,
+        |  CAST(row_number() OVER (ORDER BY c_name, c_custkey) AS INTEGER) AS sort_rank
+        |FROM customer""".stripMargin,
+
+    "o5_distinct_types" -> "SELECT DISTINCT event_type FROM events",
+
+    "p1_parse_roundtrip" -> (T +
+      """SELECT event_id, machineId, 'status' AS tag, es AS epoch_s, status AS value
+        |FROM telemetry""".stripMargin),
+
+    "p4_status_decode" ->
+      """SELECT event_id,
+        |  CASE
+        |    WHEN (CASE event_type WHEN 'error' THEN 'd' WHEN 'purchase' THEN 'u'
+        |          WHEN 'click' THEN 'true' WHEN 'view' THEN 'i' ELSE 'False' END)
+        |         IN ('u','true','True','200') THEN 'UP'
+        |    WHEN (CASE event_type WHEN 'error' THEN 'd' WHEN 'purchase' THEN 'u'
+        |          WHEN 'click' THEN 'true' WHEN 'view' THEN 'i' ELSE 'False' END)
+        |         IN ('d','false','False','500') THEN 'DOWN'
+        |    WHEN (CASE event_type WHEN 'error' THEN 'd' WHEN 'purchase' THEN 'u'
+        |          WHEN 'click' THEN 'true' WHEN 'view' THEN 'i' ELSE 'False' END)
+        |         IN ('i') THEN 'IDLE'
+        |    ELSE 'UNKNOWN' END AS machineStatus
+        |FROM events""".stripMargin,
+
+    "p8_batch_normalize" -> (T +
+      """SELECT event_id, machineId AS id, 'status' AS tag,
+        |  strftime(make_timestamp(ts_us), '%Y/%m/%d %H:%M:%S.%f') AS timestamp,
+        |  quality, status AS value
+        |FROM telemetry""".stripMargin),
+
+    "s2_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events""".stripMargin)
 }

@@ -1,0 +1,77 @@
+package graft.parse
+
+/**
+ * moment.js → java.time DateTimeFormatter pattern translation.
+ *
+ * The reference parses message timestamps STRICTLY against a moment
+ * format string from the MESSAGE_FORMAT config (default
+ * `YYYY-MM-DD HH:mm:ss.SSSSSSZZ`,
+ * reference machine-data-parser.ts:61,135 and
+ * solution-helper-construct.ts:146). Spark's `to_timestamp` uses
+ * java.time patterns, so config-supplied formats are translated here.
+ *
+ * Only the token set moment documents for parsing is handled; unknown
+ * alpha tokens pass through unchanged (and will fail loudly at parse
+ * time rather than silently mis-parse).
+ */
+object MomentFormat {
+
+  private val tokenMap: Seq[(String, String)] = Seq(
+    // order matters: longest first
+    "YYYY" -> "yyyy",
+    "YY" -> "yy",
+    "DDDD" -> "DDD", // day of year
+    "DD" -> "dd",
+    "D" -> "d",
+    "MMMM" -> "MMMM",
+    "MMM" -> "MMM",
+    "MM" -> "MM",
+    "M" -> "M",
+    "HH" -> "HH",
+    "H" -> "H",
+    "hh" -> "hh",
+    "h" -> "h",
+    "mm" -> "mm",
+    "m" -> "m",
+    "ss" -> "ss",
+    "s" -> "s",
+    "SSSSSSSSS" -> "SSSSSSSSS",
+    "SSSSSS" -> "SSSSSS",
+    "SSS" -> "SSS",
+    "SS" -> "SS",
+    "S" -> "S",
+    // moment: Z parses "+00:00" style, ZZ parses both "+0000" and
+    // "+00:00". The reference's seeded data uses the colon form
+    // (FIXTURES.md §1), so both map to XXX (colon offset).
+    "ZZ" -> "XXX",
+    "Z" -> "XXX",
+    "A" -> "a",
+    "a" -> "a",
+    "X" -> "X",
+    "ddd" -> "EEE",
+    "dddd" -> "EEEE")
+
+  /** Translate a moment.js format string to a java.time pattern. */
+  def toJavaTime(momentFmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = momentFmt.length
+    while (i < n) {
+      val c = momentFmt.charAt(i)
+      if (c == '[') { // moment literal escape [..] → java 'literal'
+        val close = momentFmt.indexOf(']', i)
+        val end = if (close < 0) n else close
+        sb.append('\'').append(momentFmt.substring(i + 1, end)).append('\'')
+        i = if (close < 0) n else close + 1
+      } else if (c.isLetter || c == 'Z') {
+        tokenMap.find { case (tok, _) => momentFmt.startsWith(tok, i) } match {
+          case Some((tok, rep)) => sb.append(rep); i += tok.length
+          case None => sb.append('\'').append(c).append('\''); i += 1
+        }
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: run graft.Verify at a
+given SF, then execute each oracle SQL in DuckDB over the same parquet
+tables and compare (columns sorted by name, rows sorted, exact values).
+
+Usage: python3 tools/check_oracle.py [sfDir] [outDir] [--skip-verify]
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
+    if r.returncode != 0:
+        print(tail)
+        sys.exit(1)
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[verify]" in line:
+            print(line)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        out.append(tuple(row[i] for i in order))
+    return sorted(out, key=lambda r: tuple(str(x) for x in r)), [cols[i] for i in order]
+
+
+def vals_eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+fails = 0
+for name in sorted(oracle):
+    pdir = Path(OUT) / name
+    if not pdir.exists():
+        print(f"FAIL {name}: no spark output")
+        fails += 1
+        continue
+    tbl = pq.read_table(str(pdir))
+    scols = tbl.column_names
+    srows = [tuple(row[c] for c in scols) for row in tbl.to_pylist()]
+    try:
+        res = con.execute(oracle[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error: {e}")
+        fails += 1
+        continue
+    sr, sc = canon(srows, scols)
+    dr, dc = canon(drows, dcols)
+    if sc != dc:
+        print(f"FAIL {name}: columns spark={sc} duck={dc}")
+        fails += 1
+        continue
+    if len(sr) != len(dr):
+        print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
+        print("  spark sample:", sr[:2])
+        print("  duck  sample:", dr[:2])
+        fails += 1
+        continue
+    bad = None
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        if not all(vals_eq(x, y) for x, y in zip(a, b)):
+            bad = (i, a, b)
+            break
+    if bad:
+        print(f"FAIL {name}: first diff at row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(sr)} rows)")
+
+queries_missing = [n for n in sorted(set(p.name for p in Path(OUT).iterdir() if p.is_dir())) if n not in oracle]
+if queries_missing:
+    print("rows-only (no oracle):", queries_missing)
+print(f"\n{len(oracle) - fails}/{len(oracle)} oracle queries match")
+sys.exit(1 if fails else 0)
