@@ -58,73 +58,94 @@ object MessageParser {
    */
   def parse(df: DataFrame, jsonCol: Column, formats: Seq[MessageFormatConfig]): DataFrame = {
     require(formats.nonEmpty, "at least one MessageFormatConfig required")
+    val inputCols = df.columns.map(col).toSeq
 
-    // Per-format: parsed messages (normalized field names) + validity.
-    def attempt(f: MessageFormatConfig): (Column, Column) = {
-      val parsed = from_json(jsonCol, envelopeSchema(f))
-      val msgs = parsed.getField(f.messagesKey)
-      val norm = transform(msgs, m =>
+    // InferFiltersFromGenerate would synthesize `size(msgs)>0 AND
+    // isnotnull(msgs)` from the explode below, and predicate pushdown
+    // then inlines the ENTIRE parse chain (from_json + normalization)
+    // into a pre-projection Filter — evaluating it several times per
+    // row. The inferred filter is redundant here (explode of the null/
+    // empty dispatch array already drops those rows), so exclude the
+    // rule for this session.
+    val spark = df.sparkSession
+    val exclKey = "spark.sql.optimizer.excludedRules"
+    val rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val cur = spark.conf.getOption(exclKey).getOrElse("")
+    if (!cur.contains(rule)) spark.conf.set(exclKey, if (cur.isEmpty) rule else s"$cur,$rule")
+
+    // Performance shape: the pipeline is staged through explicit
+    // projections so each expensive step (JSON parse, per-message
+    // normalization) is MATERIALIZED once per row. The stages don't
+    // collapse back together because each materialized column is
+    // referenced more than once downstream and is non-cheap —
+    // CollapseProject keeps them separate — and invalid envelopes are
+    // dropped by exploding a null array rather than by a Filter that
+    // would re-evaluate the parse.
+
+    // Stage 1: one from_json per candidate format.
+    val stage1 = df.select(inputCols ++ formats.zipWithIndex.map { case (f, i) =>
+      from_json(jsonCol, envelopeSchema(f)).getField(f.messagesKey).as(s"_msgs_$i")
+    }: _*)
+
+    // Stage 2: normalize each format's messages to a common shape
+    // (alias, quality, value, ts) with the strict timestamp parse.
+    val stage2 = stage1.select(inputCols ++ formats.zipWithIndex.map { case (f, i) =>
+      transform(col(s"_msgs_$i"), m =>
         struct(
           m.getField(f.aliasKey).as("alias"),
           m.getField(f.qualityKey).as("quality"),
           m.getField(f.valueKey).as("value"),
-          strictTimestamp(m.getField(f.timestampKey), f.timestampFormat).as("ts")))
-      val valid = msgs.isNotNull && size(msgs) > 0 && forall(norm, m =>
+          strictTimestamp(m.getField(f.timestampKey), f.timestampFormat).as("ts"))).as(s"_norm_$i")
+    }: _*)
+
+    // Stage 3: first-match dispatch (machine-data-parser.ts:105-121) —
+    // a chained CASE WHEN over the candidate formats, the Spark
+    // analogue of the reference's per-record loop.
+    def validity(f: MessageFormatConfig, i: Int): Column = {
+      val norm = col(s"_norm_$i")
+      norm.isNotNull && size(norm) > 0 && forall(norm, m =>
         nonBlank(m.getField("alias")) &&
           nonBlank(m.getField("quality")) &&
           nonBlank(m.getField("value")) &&
           m.getField("ts").isNotNull &&
           size(split(m.getField("alias"), quoted(f.aliasDelimiter))) >= 2)
-      (valid, norm)
     }
-
-    // First-match dispatch (machine-data-parser.ts:105-121): a chained
-    // CASE WHEN over the candidate formats, evaluated row-at-a-time in
-    // codegen — the Spark analogue of the reference's per-record loop.
-    val attempts = formats.map(f => (f, attempt(f)))
-    val dispatched = attempts.foldRight(lit(null).cast(
-      StructType(Seq(StructField("format_id", StringType),
-        StructField("delim", StringType),
-        StructField("msgs", ArrayType(StructType(Seq(
-          StructField("alias", StringType), StructField("quality", StringType),
-          StructField("value", StringType), StructField("ts", TimestampType)))))))).as("d")) {
-      case ((f, (valid, norm)), rest) =>
-        when(valid, struct(lit(f.id).as("format_id"), lit(f.aliasDelimiter).as("delim"), norm.as("msgs"))).otherwise(rest)
+    val nullStr = lit(null).cast(StringType)
+    val dispatchedFmt = formats.zipWithIndex.foldRight(nullStr) { case ((f, i), rest) =>
+      when(validity(f, i), lit(f.id)).otherwise(rest)
     }
+    val dispatchedDelim = formats.zipWithIndex.foldRight(nullStr) { case ((f, i), rest) =>
+      when(validity(f, i), lit(f.aliasDelimiter)).otherwise(rest)
+    }
+    val dispatchedMsgs = formats.zipWithIndex.foldRight(
+      lit(null).cast(ArrayType(StructType(Seq(
+        StructField("alias", StringType), StructField("quality", StringType),
+        StructField("value", StringType), StructField("ts", TimestampType)))))) {
+      case ((f, i), rest) => when(validity(f, i), col(s"_norm_$i")).otherwise(rest)
+    }
+    val stage3 = stage2.select(inputCols ++ Seq(
+      dispatchedFmt.as("format_id"),
+      dispatchedDelim.as("_delim"),
+      dispatchedMsgs.as("_dmsgs")): _*)
 
-    val delims = formats.map(_.aliasDelimiter).distinct
-    val withMsg = df
-      .withColumn("_env", dispatched)
-      .filter(col("_env").isNotNull)
-      .withColumn("_m", explode(col("_env.msgs")))
-      .withColumn("format_id", col("_env.format_id"))
+    // Stage 4: null msgs (no matching format) ⇒ row dropped by explode.
+    val exploded = stage3.select(inputCols ++ Seq(
+      col("format_id"), col("_delim"), explode(col("_dmsgs")).as("_m")): _*)
+
+    // alias → (machineId, tag): last token is the tag, the rest rejoined
+    // is the machine id (machine-data-parser.ts:62-68 / P2). The rejoin
+    // is suffix arithmetic so it works with a per-row (per-format)
+    // delimiter without re-splitting.
+    exploded
       .withColumn("alias", col("_m.alias"))
       .withColumn("quality", col("_m.quality"))
       .withColumn("value", col("_m.value"))
       .withColumn("ts", col("_m.ts"))
       .withColumn("epoch_s", unix_timestamp(col("_m.ts")))
-
-    // alias → (machineId, tag): last token is the tag, the rest rejoined
-    // is the machine id (machine-data-parser.ts:62-68 / P2).
-    val tokens = delims match {
-      case Seq(single) => split(col("alias"), quoted(single))
-      case _ => split(col("alias"), quoted(delims.head)) // heterogenous delims: resolved per-row below
-    }
-    val withSplitCols =
-      if (delims.sizeIs == 1) {
-        withMsg
-          .withColumn("_tok", tokens)
-          .withColumn("machineId", array_join(slice(col("_tok"), lit(1), size(col("_tok")) - 1), delims.head))
-          .withColumn("tag", element_at(col("_tok"), -1))
-      } else {
-        // multiple configured delimiters: split with the matched format's own
-        val tok = split(col("alias"), col("_env.delim"))
-        withMsg
-          .withColumn("_tok", tok)
-          .withColumn("machineId", array_join(slice(col("_tok"), lit(1), size(col("_tok")) - 1), delims.head))
-          .withColumn("tag", element_at(col("_tok"), -1))
-      }
-    withSplitCols.drop("_env", "_m", "_tok")
+      .withColumn("tag", expr("substring_index(alias, _delim, -1)"))
+      .withColumn("machineId",
+        col("alias").substr(lit(1), length(col("alias")) - length(col("tag")) - length(col("_delim"))))
+      .drop("_env", "_m", "_delim")
   }
 
   /** Convenience: base64 payloads → parsed messages. */
