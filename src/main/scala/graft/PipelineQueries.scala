@@ -1,0 +1,293 @@
+package graft
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The training-data-pipeline operator suite (dedup, similarity search,
+ * text analysis, multimodal plumbing) exposed as driver-contract
+ * queries with DuckDB oracles. Oracles for the hash/LSH operators are
+ * generated programmatically so the md5-derived constants stay in
+ * lockstep with the Scala definitions.
+ */
+object PipelineQueries {
+
+  // ---- shared oracle SQL fragments ---------------------------------------
+
+  /** Tokens CTE fragment: whitespace-split, blanks dropped (mirrors
+   * TextAnalysis.tokens). */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, text, n_chars,
+      |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  /** 5-gram shingle CTE (mirrors Dedup.shingles(n=5) + shingleIndex). */
+  private val shingleCte =
+    s"""$toksCte,
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+       |         ELSE [ t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+       |                for i in range(1, len(t)-3) ] END)) AS shingle
+       |  FROM toks)""".stripMargin
+
+  /** Exact-Jaccard pair SQL over the shingle index (τ, rounded 6). */
+  private def jaccardSql(threshold: Double): String =
+    s"""common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |         round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
+       |  FROM common
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= $threshold)""".stripMargin
+
+  /** DuckDB cosine between two list columns, double math, rounded 6. */
+  private def cosSql(a: String, b: String): String = {
+    def normSql(v: String) = s"sqrt(list_sum(list_transform($v, x -> x::DOUBLE * x::DOUBLE)))"
+    val dot = s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    s"round(CASE WHEN ${normSql(a)} * ${normSql(b)} = 0 THEN 0.0 ELSE $dot / (${normSql(a)} * ${normSql(b)}) END, 6)"
+  }
+
+  /** DuckDB hyperplane signature matching Dedup.hyperplaneSignature:
+   * Σ_p 2^p * (Σ_d v[d+1]*w(p,d) >= 0). Weights are inlined literals
+   * from Similarity.planeWeight (md5-derived, shared definition). */
+  private def sigSql(vecCol: String, dim: Int, planes: Int): String =
+    (0 until planes).map { p =>
+      val dot = (0 until dim).map { d =>
+        s"$vecCol[${d + 1}]::DOUBLE * (${Similarity.planeWeight(p, d)})"
+      }.mkString(" + ")
+      s"(CASE WHEN $dot >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ---- queries -----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Text analysis: token/char counts, quality signals
+    "t1_text_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.charCount(col("text")).as("n_chars_calc"),
+        TextAnalysis.meanTokenLength(col("text")).as("mean_token_len"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    // Language ID (stopword-profile argmax)
+    "t2_lang_id" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+    }),
+
+    // Document fingerprints (whole-doc md5 + min-shingle rolling hash)
+    "t3_fingerprint" -> ((s, d) => {
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text", n = 5)
+    }),
+
+    // Exact dedup by digest
+    "d1_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+    }),
+
+    // n-gram Jaccard near-dup pairs (inverted-index join)
+    "d2_jaccard_pairs" -> ((s, d) => {
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 5, threshold = 0.5)
+    }),
+
+    // MinHash + LSH banding, verified with exact Jaccard
+    "d3_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashDedupPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 5, k = 16, bands = 4, threshold = 0.5)
+    }),
+
+    // 16-bit SimHash fingerprints
+    "d4_simhash" -> ((s, d) => {
+      Dedup.simhash16(Tables.documents(s, d), "doc_id", "text")
+    }),
+
+    // Embedding-cosine near-dup via hyperplane-LSH buckets
+    "d5_embedding_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, threshold = 0.35, planes = 6)
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline)
+    "n1_ann_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+    }),
+
+    // LSH-bucketed ANN (the scale path)
+    "n2_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10, dim = 64, planes = 6)
+    }),
+
+    // Multimodal binary-column plumbing (metadata path; decode stub is
+    // exercised in MultimodalSpec — mapPartitions output isn't
+    // SQL-expressible)
+    "m1_media_meta" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"))
+    }),
+
+    // J7: chunk merge — keep-latest per (user, minute) upsert semantics
+    "j7_chunk_merge" -> ((s, d) => {
+      val t = Tables.telemetry(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("machineId"), col("chunk"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      t.withColumn("chunk", (col("es") / 60).cast("long") * 60)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("machineId"), col("chunk"), col("status").as("latest_status"),
+          col("event_id").as("latest_event"))
+    }))
+
+  // ---- oracles -----------------------------------------------------------
+
+  private val T = s"WITH telemetry AS (\n${Tables.telemetrySql}\n)\n"
+
+  def oracleSql: Map[String, String] = Map(
+    "t1_text_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  CAST(len(t) AS INTEGER) AS n_tokens,
+         |  CAST(length(text) AS INTEGER) AS n_chars_calc,
+         |  CASE WHEN len(t) = 0 THEN 0.0
+         |       ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/len(t) END AS mean_token_len,
+         |  CASE WHEN len(t) = 0 THEN 0.0
+         |       ELSE CAST(len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.stopwordsEn)}, x))) AS DOUBLE)/len(t) END AS stopword_ratio,
+         |  round((least(CAST(length(text) AS DOUBLE)/200.0, 1.0)
+         |       + least((CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.stopwordsEn)}, x))) AS DOUBLE)/len(t) END) * 5.0, 1.0)
+         |       + (CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/len(t) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+         |       ) / 3.0, 6) AS quality
+         |FROM toks""".stripMargin,
+
+    "t2_lang_id" -> {
+      val scores = TextAnalysis.langProfiles.map { case (lang, words) =>
+        lang -> s"len(list_filter(t, x -> list_contains(${sqlList(words)}, x)))"
+      }
+      val g = scores.map(_._2).mkString("greatest(", ", ", ")")
+      val caseChain = scores.map { case (lang, s) => s"WHEN $s = $g THEN '$lang'" }.mkString(" ")
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  CASE WHEN $g <= 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred
+         |FROM toks""".stripMargin
+    },
+
+    "t3_fingerprint" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  md5(list_aggregate(t, 'string_agg', ' ')) AS fp,
+         |  CASE WHEN len(t) < 5 THEN md5('')
+         |       ELSE list_min([ md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])
+         |                       for i in range(1, len(t)-3) ]) END AS min_shingle_fp
+         |FROM toks""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "d2_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         |${jaccardSql(0.5)}
+         |SELECT doc_a, doc_b, jaccard FROM jac""".stripMargin,
+
+    "d3_minhash_lsh" -> {
+      // 32-bit base hash from the first 8 md5 hex chars (mirrors Dedup.md5Hash32)
+      val hash32 = (1 to 8).map { kk =>
+        s"(strpos('0123456789abcdef', substr(md5(shingle), $kk, 1)) - 1) * ${math.pow(16, 8 - kk).toLong}"
+      }.mkString("(", " + ", ")")
+      val sigCols = (0 until 16).map { i =>
+        s"min((h * ${graft.functions.Dedup.minhashA(i)} + ${graft.functions.Dedup.minhashB(i)}) % ${graft.functions.Dedup.MinhashMod}) AS sig_$i"
+      }.mkString(",\n    ")
+      val bandRows = (0 until 4).map { b =>
+        val slice = (0 until 4).map(r => s"sig_${b * 4 + r}::VARCHAR").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($slice) AS key FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM (SELECT doc_id, $hash32 AS h FROM sh) GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |${jaccardSql(0.5)}
+         |SELECT j.doc_a, j.doc_b, j.jaccard
+         |FROM jac j SEMI JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b""".stripMargin
+    },
+
+    "d4_simhash" -> {
+      val bitSums = (0 until 16).map { b =>
+        val nib = s"(strpos('0123456789abcdef', substr(d, ${b / 4 + 1}, 1)) - 1)"
+        s"sum(CASE WHEN ($nib & ${1 << (3 - b % 4)}) > 0 THEN 1 ELSE 0 END) AS c_$b"
+      }.mkString(",\n    ")
+      val fp = (0 until 16).map(b => s"(CASE WHEN c_$b * 2 >= n_tok THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, md5(unnest(t)) AS d FROM toks),
+         |counts AS (
+         |  SELECT doc_id, count(*) AS n_tok,
+         |    $bitSums
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM counts""".stripMargin
+    },
+
+    "d5_embedding_neardup" ->
+      s"""WITH sigged AS (
+         |  SELECT vec_id, embedding, ${sigSql("embedding", 64, 6)} AS sig FROM embeddings)
+         |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |       ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM sigged a JOIN sigged b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
+
+    "n1_ann_bruteforce" ->
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |       ${cosSql("c.embedding", "q.embedding")} AS cosine,
+         |       CAST(row_number() OVER (PARTITION BY q.vec_id
+         |         ORDER BY ${cosSql("c.embedding", "q.embedding")} DESC, c.vec_id) AS INTEGER) AS rank
+         |FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q
+         |WHERE q.vec_id <> c.vec_id
+         |QUALIFY rank <= 10""".stripMargin,
+
+    "n2_ann_lsh" ->
+      s"""WITH sigged AS (
+         |  SELECT vec_id, embedding, ${sigSql("embedding", 64, 6)} AS sig FROM embeddings)
+         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |       ${cosSql("c.embedding", "q.embedding")} AS cosine,
+         |       CAST(row_number() OVER (PARTITION BY q.vec_id
+         |         ORDER BY ${cosSql("c.embedding", "q.embedding")} DESC, c.vec_id) AS INTEGER) AS rank
+         |FROM sigged c JOIN (SELECT * FROM sigged WHERE vec_id < 20) q ON c.sig = q.sig
+         |WHERE q.vec_id <> c.vec_id
+         |QUALIFY rank <= 10""".stripMargin,
+
+    "m1_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin,
+
+    "j7_chunk_merge" -> (T +
+      """SELECT machineId, (es // 60) * 60 AS chunk,
+        |  status AS latest_status, event_id AS latest_event
+        |FROM telemetry
+        |QUALIFY row_number() OVER (PARTITION BY machineId, (es // 60) * 60
+        |  ORDER BY ts_us DESC, event_id DESC) = 1""".stripMargin))
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+}

@@ -45,7 +45,13 @@ object SparkEntry {
 
   // ---- queries ------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ PipelineQueries.queries
+
+  def oracleSql: Map[String, String] =
+    coreOracles ++ PipelineQueries.oracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-family: TPC-H-style pricing summary (hash agg, partial+final)
     "q1_pricing_summary" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -242,7 +248,7 @@ object SparkEntry {
 
   // ---- oracles ------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

