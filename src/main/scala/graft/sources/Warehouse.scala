@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.model.MessageFormatConfig
+import graft.parse.MessageParser
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The batch/BI data path — the Spark re-expression of the reference's
+ * Firehose raw archive + nightly Glue ETL (SURVEY §2.1 S3-S6, §3.3):
+ *
+ *  - raw archive: stream records as JSON under year/month/day
+ *    partitions (Firehose `YYYY/MM/DD/` prefixes,
+ *    real-time-processing-construct.ts:39-46);
+ *  - nightly normalize: read ONE day partition, explode envelopes to
+ *    normalized rows, append to the columnar warehouse
+ *    (convert_parquet.py:99-200);
+ *  - warehouse: parquet partitioned by (year, month, day) with the
+ *    reference's all-string row shape (etl-construct.ts:90-108);
+ *  - catalog: table registration + partition discovery
+ *    (update_crawler.py → `recoverPartitions`).
+ *
+ * Scale notes: the day-partition read prunes at the source (one
+ * directory of N); the normalize is a narrow explode+project (no
+ * shuffle); the warehouse append writes through the same partition
+ * columns so downstream queries prune on (year, month, day).
+ */
+object Warehouse {
+
+  /** Append raw payloads to the archive under year/month/day derived
+   * from the ingest timestamp (epoch seconds). */
+  def archiveRaw(df: DataFrame, payloadCol: String, epochCol: String, path: String): Unit =
+    df.select(
+      col(payloadCol).as("payload"),
+      date_format(timestamp_seconds(col(epochCol)), "yyyy").as("year"),
+      date_format(timestamp_seconds(col(epochCol)), "MM").as("month"),
+      date_format(timestamp_seconds(col(epochCol)), "dd").as("day"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("year", "month", "day")
+      .json(path)
+
+  /** Read exactly one day partition of the raw archive (partition
+   * pruning via the partition-column predicate — the Spark analogue of
+   * reading only yesterday's `YYYY/MM/DD/` prefix,
+   * convert_parquet.py:33,161). */
+  def readRawDay(spark: SparkSession, path: String, year: Int, month: Int, day: Int): DataFrame =
+    spark.read
+      .schema("payload STRING, year INT, month INT, day INT")
+      .json(path)
+      .filter(col("year") === year && col("month") === month && col("day") === day)
+
+  /** Yesterday's (year, month, day) — the reference's default ETL input
+   * scope (`date.today() - timedelta(1)`, convert_parquet.py:33 / F15). */
+  def yesterdayPartition(todayEpochS: Long): (Int, Int, Int) = {
+    val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(todayEpochS, 86400L) - 1)
+    (d.getYear, d.getMonthValue, d.getDayOfMonth)
+  }
+
+  /**
+   * Normalize one day of raw envelopes to the warehouse row shape
+   * `(quality, value, timestamp, tag, id)` — all strings, timestamp
+   * reformatted `%Y/%m/%d %H:%M:%S.%f` (convert_parquet.py:99-135 /
+   * P8+F7).
+   */
+  def normalize(rawDay: DataFrame, formats: Seq[MessageFormatConfig]): DataFrame =
+    MessageParser.parseBase64(rawDay, col("payload"), formats)
+      .select(
+        col("quality"),
+        col("value"),
+        date_format(col("ts"), "yyyy/MM/dd HH:mm:ss.SSSSSS").as("timestamp"),
+        col("tag"),
+        col("machineId").as("id"),
+        col("year"), col("month"), col("day"))
+
+  /** Append normalized rows to the partitioned parquet warehouse. The
+   * empty-input early exit mirrors NoNewDataException
+   * (convert_parquet.py:201-203). Returns false when nothing was
+   * written. */
+  def appendToWarehouse(normalized: DataFrame, path: String): Boolean = {
+    if (normalized.isEmpty) false
+    else {
+      normalized.write.mode(SaveMode.Append)
+        .partitionBy("year", "month", "day")
+        .parquet(path)
+      true
+    }
+  }
+
+  /** Register the warehouse in the session catalog and discover
+   * partitions (S6: Glue table + crawler → saveAsTable/
+   * recoverPartitions). */
+  def registerWarehouse(spark: SparkSession, path: String, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table (quality STRING, value STRING, timestamp STRING,
+         |tag STRING, id STRING, year INT, month INT, day INT)
+         |USING parquet PARTITIONED BY (year, month, day)
+         |LOCATION '$path'""".stripMargin)
+    spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+
+  /** One nightly ETL run: read day partition → normalize → append.
+   * Returns rows written (0 = no new data). */
+  def runDailyEtl(spark: SparkSession, rawPath: String, warehousePath: String,
+      formats: Seq[MessageFormatConfig], year: Int, month: Int, day: Int): Long = {
+    val rawDay = readRawDay(spark, rawPath, year, month, day)
+    if (rawDay.isEmpty) 0L // existence check, convert_parquet.py:54-66
+    else {
+      val normalized = normalize(rawDay, formats)
+      val n = normalized.count()
+      appendToWarehouse(normalized, warehousePath)
+      n
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/**
+ * Physical-plan assertions: the plans we designed for, not just the
+ * first ones that passed (scale properties verified at plan level —
+ * broadcast joins for dimensions, filter/projection pushdown into the
+ * parquet scan, shuffle counts bounded).
+ */
+class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def countShuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString.linesIterator.count(_.contains("Exchange"))
+
+  test("dimension joins broadcast (J1/J5/J6)") {
+    assert(plan("j1_broadcast_enrich").contains("BroadcastHashJoin"))
+    val p = plan("j6_downtime_enriched")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dimension join must not sort-merge")
+  }
+
+  test("range-scan predicate pushes to the parquet scan (P7)") {
+    val p = plan("p7_range_scan")
+    assert(p.contains("PushedFilters") && p.contains("user_id"), p.take(800))
+  }
+
+  test("filter + projection pushdown on lineitem (q2)") {
+    val p = plan("q2_shipdate_filter")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"))
+    // projection pruned to the needed columns only
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"))
+  }
+
+  test("downtime windows reuse one shuffle for lag+lead (J3/J4)") {
+    val df = SparkEntry.queries("j4_segment_durations")(spark, sf)
+    // one exchange for the (id, tag) window partitioning, one for nothing else
+    assert(countShuffles(df) <= 2, df.queryExecution.executedPlan.toString.take(1200))
+  }
+
+  test("aggregations are partial+final hash aggregates (q1)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("condensation spine join broadcasts (A3)") {
+    assert(plan("a3_condense").contains("BroadcastHashJoin"))
+  }
+
+  test("parse path stays in one pass: no filter re-evaluating the parse (P1)") {
+    val p = plan("p1_parse_roundtrip")
+    // the envelope parse must appear in projections, not in a pre-Generate Filter
+    val filterLines = p.linesIterator.filter(_.trim.startsWith("+- Filter")).toSeq
+    assert(!filterLines.exists(_.contains("from_json")), filterLines.mkString("\n").take(800))
+  }
+
+  test("ANN brute force never shuffles the corpus (N1)") {
+    val df = SparkEntry.queries("n1_ann_bruteforce")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("codegen'd FloatVecDot is in the plan, not interpreted lambdas (N1)") {
+    val p = plan("n1_ann_bruteforce")
+    assert(p.contains("floatvecdot") || p.contains("FloatVecDot"), p.take(800))
+    assert(!p.contains("aggregate(zip_with"))
+  }
+}

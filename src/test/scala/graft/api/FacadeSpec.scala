@@ -1,0 +1,70 @@
+package graft.api
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class FacadeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def configTable = Seq(
+    ("DEFAULT", "MESSAGE_FORMAT", null, null, null, null, null, null, null),
+    ("m1", "MACHINE_CONFIG", "status", "pc", "u", "d", "i", null, null))
+    .toDF("id", "type", "machineStatusTagName", "machineProductionCountTagName",
+      "machineStatusUpValue", "machineStatusDownValue", "machineStatusIdleValue",
+      "uiReferenceMappingLocationKeys", "uiReferenceMappingLineKeys")
+
+  test("point get and full scan") {
+    assert(Facade.getConfigItem(configTable, "m1", "MACHINE_CONFIG").count() == 1)
+    assert(Facade.getConfigItem(configTable, "mX", "MACHINE_CONFIG").count() == 0)
+    assert(Facade.getConfigItems(configTable).count() == 2)
+  }
+
+  test("updateMachineConfig SETs attributes on the existing row") {
+    val updated = Facade.updateMachineConfig(configTable, "m1",
+      "st2", "pc2", "up2", "down2", "idle2")
+    val row = updated.filter(col("id") === "m1").head()
+    assert(row.getAs[String]("machineStatusTagName") == "st2")
+    assert(row.getAs[String]("machineStatusDownValue") == "down2")
+    // other rows untouched
+    assert(updated.filter(col("id") === "DEFAULT").head()
+      .getAs[String]("machineStatusTagName") == null)
+  }
+
+  test("updateMachineConfig enforces attribute_exists") {
+    intercept[IllegalArgumentException] {
+      Facade.updateMachineConfig(configTable, "missing", "a", "b", "c", "d", "e")
+    }
+  }
+
+  test("updateMachineGrouping upserts the DEFAULT mapping row") {
+    implicit val s = spark
+    val after = Facade.updateMachineGrouping(configTable, "0/1", "2")
+    val row = after.filter(col("type") === "UI_REFERENCE_MAPPING").head()
+    assert(row.getAs[String]("uiReferenceMappingLocationKeys") == "0/1")
+    // update path: existing row modified, no duplicate
+    val again = Facade.updateMachineGrouping(after, "0", "1/2")
+    assert(again.filter(col("type") === "UI_REFERENCE_MAPPING").count() == 1)
+    assert(again.filter(col("type") === "UI_REFERENCE_MAPPING").head()
+      .getAs[String]("uiReferenceMappingLineKeys") == "1/2")
+  }
+
+  test("autocreate: empty MACHINE_CONFIG rows for unseen machines only") {
+    implicit val s = spark
+    val incoming = Seq("m1", "m2", "m2", "m3").toDF("machineId")
+    val after = Facade.autocreateMachineConfigs(configTable, incoming)
+    val configs = after.filter(col("type") === "MACHINE_CONFIG")
+    assert(configs.count() == 3) // m1 existed; m2, m3 created
+    assert(configs.filter(col("id") === "m2").head()
+      .getAs[String]("machineStatusTagName") == null)
+  }
+
+  test("updateMachineName renames existing UI reference rows") {
+    val uiRef = Seq(("m1", "MACHINE", null: String), ("l1", "LINE", "Line 1"))
+      .toDF("id", "type", "name")
+    val renamed = Facade.updateMachineName(uiRef, "m1", "MACHINE", "Press A")
+    assert(renamed.filter(col("id") === "m1").head().getAs[String]("name") == "Press A")
+    intercept[IllegalArgumentException] {
+      Facade.updateMachineName(uiRef, "nope", "MACHINE", "x")
+    }
+  }
+}

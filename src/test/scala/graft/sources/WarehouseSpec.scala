@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.model.MessageFormatConfig
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class WarehouseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val goodTs = "2021-03-05 18:16:10.517000+00:00" // epoch 1614968170 → 2021/03/05
+  private def payload(tag: String, value: String): String = {
+    val json = s"""{"messages":[{"name":"site/area/line/m1/$tag","quality":"GOOD","timestamp":"$goodTs","value":"$value"}]}"""
+    java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
+  }
+
+  test("archive → day-partition read → normalize → warehouse roundtrip") {
+    val tmp = Files.createTempDirectory("graft-wh").toString
+    val raw = Seq((payload("status", "u"), 1614968170L), (payload("pc", "42"), 1614968170L))
+      .toDF("payload", "epoch_s")
+    Warehouse.archiveRaw(raw, "payload", "epoch_s", s"$tmp/raw")
+
+    val day = Warehouse.readRawDay(spark, s"$tmp/raw", 2021, 3, 5)
+    assert(day.count() == 2)
+    assert(Warehouse.readRawDay(spark, s"$tmp/raw", 2021, 3, 6).isEmpty)
+
+    val n = Warehouse.runDailyEtl(spark, s"$tmp/raw", s"$tmp/wh",
+      Seq(MessageFormatConfig(id = "DEFAULT")), 2021, 3, 5)
+    assert(n == 2)
+
+    val wh = spark.read.parquet(s"$tmp/wh")
+    val row = wh.filter(col("tag") === "status")
+      .select("quality", "value", "timestamp", "tag", "id").head()
+    assert(row.toSeq == Seq("GOOD", "u", "2021/03/05 18:16:10.517000", "status", "site/area/line/m1"))
+
+    // day-partition predicate prunes at the scan (the DynamoDB-prefix analogue)
+    val plan = wh.filter(col("year") === 2021 && col("month") === 3 && col("day") === 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("year"), plan.take(500))
+
+    // empty day = no-new-data early exit
+    assert(Warehouse.runDailyEtl(spark, s"$tmp/raw", s"$tmp/wh",
+      Seq(MessageFormatConfig(id = "DEFAULT")), 2021, 3, 6) == 0)
+  }
+
+  test("catalog registration discovers partitions (S6)") {
+    val tmp = Files.createTempDirectory("graft-cat").toString
+    Seq(("GOOD", "u", "2021/03/05 00:00:00.000000", "status", "m1", 2021, 3, 5))
+      .toDF("quality", "value", "timestamp", "tag", "id", "year", "month", "day")
+      .write.partitionBy("year", "month", "day").parquet(s"$tmp/wh")
+    Warehouse.registerWarehouse(spark, s"$tmp/wh", "graft_wh_test")
+    assert(spark.table("graft_wh_test").count() == 1)
+    assert(spark.sql("SHOW PARTITIONS graft_wh_test").count() == 1)
+    spark.sql("DROP TABLE graft_wh_test")
+  }
+
+  test("dimension CSV sink writes single-quoted single file + manifest") {
+    val tmp = Files.createTempDirectory("graft-csv").toString
+    val dim = Seq(("m1", "Machine One", "site/area", "line1"))
+      .toDF("id", "machine_name", "location", "line")
+    DimensionSink.writeCsv(dim, s"$tmp/machine_information")
+    val files = new java.io.File(s"$tmp/machine_information").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1) // coalesced to one object
+    val content = new String(Files.readAllBytes(files.head.toPath), "UTF-8")
+    assert(content.startsWith("'id','machine_name','location','line'"))
+    assert(content.contains("'m1','Machine One','site/area','line1'"))
+    assert(DimensionSink.manifestJson("file:///x.csv").contains("\"textqualifier\":\"'\""))
+  }
+
+  test("yesterday partition math (F15)") {
+    // 2021-03-06 12:00:00 UTC → yesterday = 2021-03-05
+    assert(Warehouse.yesterdayPartition(1615032000L) == ((2021, 3, 5)))
+  }
+}
