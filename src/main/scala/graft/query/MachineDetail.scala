@@ -73,23 +73,22 @@ object MachineDetail {
       .withColumn("_chunk", chunkEndCol(col("messageTimestamp"), chunkStart))
 
     // Deterministic "last in chunk": order by (ts, value) so equal-second
-    // rows break ties identically in any engine.
+    // rows break ties identically in any engine. Status and production
+    // series are condensed in ONE grouped pass (conditional aggregates
+    // with null keys ignored by max_by/max) — a single shuffle on
+    // (machineId, chunk) and a single spine join.
+    val isStatus = col("id").startsWith(s"${MsgType.Status}_")
     val lastKey = struct(col("messageTimestamp"), col("value"))
 
-    val status = inRange
-      .filter(col("id").startsWith(s"${MsgType.Status}_"))
+    val agg = inRange
       .groupBy(col("_mid"), col("_chunk"))
       .agg(
-        max(col("value") === MachineStatus.Down).as("_anyDown"),
-        max_by(col("value"), lastKey).as("_lastStatus"))
-      .select(col("_mid").as("_s_mid"), col("_chunk").as("_s_chunk"),
-        when(col("_anyDown"), MachineStatus.Down).otherwise(col("_lastStatus")).as("_statusValue"))
-
-    val prod = inRange
-      .filter(col("id").startsWith(s"${MsgType.ProductionCount}_"))
-      .groupBy(col("_mid"), col("_chunk"))
-      .agg(max_by(col("value"), lastKey).as("_prodValue"))
-      .select(col("_mid").as("_p_mid"), col("_chunk").as("_p_chunk"), col("_prodValue"))
+        max(when(isStatus, col("value") === MachineStatus.Down)).as("_anyDown"),
+        max_by(when(isStatus, col("value")), when(isStatus, lastKey)).as("_lastStatus"),
+        max_by(when(!isStatus, col("value")), when(!isStatus, lastKey)).as("_prodValue"))
+      .select(col("_mid").as("_a_mid"), col("_chunk").as("_a_chunk"),
+        when(col("_anyDown"), MachineStatus.Down).otherwise(col("_lastStatus")).as("_statusValue"),
+        col("_prodValue"))
 
     // The interactive query pre-populates its spine regardless of data
     // (machine-detail.ts:21-26); the all-machines batch form derives the
@@ -103,8 +102,7 @@ object MachineDetail {
     val spine = machines.crossJoin(broadcast(chunkSpine(realTime, startS, endS)))
 
     spine
-      .join(status, col("_mid") === col("_s_mid") && col("chunk_ts") === col("_s_chunk"), "left_outer")
-      .join(prod, col("_mid") === col("_p_mid") && col("chunk_ts") === col("_p_chunk"), "left_outer")
+      .join(agg, col("_mid") === col("_a_mid") && col("chunk_ts") === col("_a_chunk"), "left_outer")
       .select(
         col("_mid").as("machineId"),
         col("chunk_ts").as("dataAsOfUTCUnixTimestamp"),

@@ -1,0 +1,109 @@
+package graft
+
+import graft.query.{Aggregators, MachineDetail, Rollups}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * Property tests for the semantic rules the reference's golden tests
+ * pin only pointwise (SURVEY §5): condensation invariants and rollover
+ * totals under arbitrary inputs, plus typed-aggregator/window parity.
+ */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic forAll: draw `n` samples from `g` with a fixed seed. */
+  private def forAll[A](g: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val start = 1609502280L
+  private val statusGen = Gen.oneOf("UP", "DOWN", "IDLE")
+  private val rowsGen = Gen.listOfN(30, for {
+    offset <- Gen.choose(0L, 600L)
+    v <- statusGen
+  } yield (start + offset, v))
+
+  test("condensation invariants: bucket count, DOWN dominance, value domain") {
+    forAll(rowsGen) { rows =>
+      val end = start + 600
+      val rt = rows.map { case (ts, v) => ("STATUS_m/x", ts, v) }
+        .toDF("id", "messageTimestamp", "value")
+      val out = MachineDetail.realTimeMachineData(rt, "m/x", start, end)
+        .as[(Long, String, String)].collect().toSeq
+
+      // (a) spine: exactly the minutes in (floor(start), end]
+      assert(out.map(_._1) == (1 to 10).map(i => MachineDetail.floorMinute(start) + i * 60L))
+      // (b) DOWN in a bucket's rows ⇒ bucket DOWN; (c) values from input ∪ UNKNOWN
+      val byBucket = rows.groupBy { case (ts, _) =>
+        math.max(MachineDetail.floorMinute(start) + 60, ((ts + 59) / 60) * 60)
+      }
+      out.foreach { case (bucket, statusValue, _) =>
+        val inBucket = byBucket.getOrElse(bucket, Nil).map(_._2)
+        if (inBucket.contains("DOWN")) assert(statusValue == "DOWN")
+        else if (inBucket.isEmpty) assert(statusValue == "UNKNOWN")
+        else assert(inBucket.contains(statusValue))
+      }
+    }
+  }
+
+  private val countsGen = Gen.listOfN(20, Gen.choose(0L, 100L))
+
+  test("rollover total: window form == reference fold == typed aggregator") {
+    forAll(countsGen) { counts =>
+      if (counts.nonEmpty) {
+        // reference fold (MachineDetail.tsx:99-119)
+        var total = 0L; var max = 0L
+        counts.foreach { v =>
+          if (v > max) max = v else if (max > v) { total += max; max = v }
+        }
+        val expected = total + max
+
+        val df = counts.zipWithIndex.map { case (c, i) => ("m", i.toLong, c) }
+          .toDF("machineId", "ts", "count")
+        val window = Rollups.totalProduction(df).as[(String, Long)].head()._2
+        assert(window == expected, s"window form vs fold on $counts")
+
+        val typed = df.as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => Aggregators.CountObs(r._2, r._3))
+          .agg(Aggregators.RolloverTotal.toColumn)
+          .collect().head._2
+        assert(typed == expected, s"typed aggregator vs fold on $counts")
+      }
+    }
+  }
+
+  test("DownDominantLast aggregator == condensation status rule") {
+    forAll(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val ds = rows.map { case (ts, v) => ("m", ts, v) }.toDF("k", "ts", "v")
+          .as[(String, Long, String)]
+        val typed = ds.groupByKey(_._1)
+          .mapValues(r => Aggregators.Obs(r._2, r._3))
+          .agg(Aggregators.DownDominantLast.toColumn)
+          .collect().head._2
+        val expected =
+          if (rows.exists(_._2 == "DOWN")) "DOWN"
+          else rows.maxBy(r => (r._1, r._2))._2
+        assert(typed == expected)
+      }
+    }
+  }
+
+  test("parse roundtrip: any >=2-token alias splits and rejoins losslessly") {
+    val tokGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    forAll(Gen.choose(2, 5).flatMap(n => Gen.listOfN(n, tokGen))) { toks =>
+      val alias = toks.mkString("/")
+      val json =
+        s"""{"messages":[{"name":"$alias","quality":"GOOD","timestamp":"2021-03-05 18:16:10.517000+00:00","value":"1"}]}"""
+      val parsed = graft.parse.MessageParser.parse(
+        Seq(json).toDF("p"), col("p"), Seq(graft.model.MessageFormatConfig(id = "D")))
+        .select("machineId", "tag").as[(String, String)].head()
+      assert(parsed._1 + "/" + parsed._2 == alias)
+      assert(parsed._2 == toks.last)
+    }
+  }
+}
