@@ -132,6 +132,14 @@ object PipelineQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10, dim = 64, planes = 6)
     }),
 
+    // IVF ANN (KMeans coarse quantizer) — rows-only check: the
+    // clustering isn't SQL-expressible; recall asserted in tests
+    "n3_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+        nClusters = 16, nProbe = 4)
+    }),
+
     // Multimodal binary-column plumbing (metadata path; decode stub is
     // exercised in MultimodalSpec — mapPartitions output isn't
     // SQL-expressible)

@@ -67,24 +67,52 @@ object Dedup {
    * (doc_a, doc_b, jaccard) with doc_a < doc_b.
    */
   def jaccardPairs(df: DataFrame, keyCol: String, textCol: String,
-      n: Int = 5, threshold: Double = 0.5): DataFrame = {
+      n: Int = 5, threshold: Double = 0.5,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
     val sets = shingleSets(df, keyCol, textCol, n)
-    val idx = sets.select(col("doc_id"), explode(col("sh_set")).as("shingle"))
-    val sizes = sets.select(col("doc_id"), size(col("sh_set")).as("n_shingles"))
-      .filter(col("n_shingles") > 0)
-    val a = idx.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = idx.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val fullIdx = sets.select(col("doc_id"), explode(col("sh_set")).as("shingle"))
+    maxShingleFreq match {
+      case None =>
+        // Exact path: inverted-index join + common counts.
+        val sizes = sets.select(col("doc_id"), size(col("sh_set")).as("n_shingles"))
+          .filter(col("n_shingles") > 0)
+        val a = fullIdx.select(col("doc_id").as("doc_a"), col("shingle"))
+        val b = fullIdx.select(col("doc_id").as("doc_b"), col("shingle"))
+        val common = a.join(b, Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
+          .withColumn("jaccard",
+            round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6))
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      case Some(cap) =>
+        // Skew-guarded path (the "stop-shingle" cap): a shingle appearing
+        // in f docs contributes f² candidate pairs, so one boilerplate
+        // shingle can dominate the join at corpus scale. The CAPPED index
+        // generates candidates only; each surviving pair's Jaccard is
+        // recomputed EXACTLY from the two full shingle sets (set
+        // intersection per candidate) — the cap affects candidate recall,
+        // never a reported score.
+        val freq = fullIdx.groupBy(col("shingle")).agg(count(lit(1)).as("_f"))
+        val rare = fullIdx.join(freq.filter(col("_f") > cap).select(col("shingle")),
+          Seq("shingle"), "left_anti")
+        val cands = rare.select(col("doc_id").as("doc_a"), col("shingle"))
+          .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        cands
+          .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("_sa")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("_sb")), "doc_b")
+          .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
+          .withColumn("jaccard", round(col("_inter").cast("double") /
+            (size(col("_sa")) + size(col("_sb")) - col("_inter")), 6))
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }
   }
 
   /** Affine-permutation constants for MinHash (deterministic, shared

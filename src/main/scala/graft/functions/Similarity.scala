@@ -72,6 +72,53 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+   * corpus vector to a cell; each query probes only the `nProbe`
+   * nearest cells. The classic trade: one clustering pass over the
+   * corpus (done once, reusable), then per-query work scales with
+   * nProbe/nClusters of the corpus. Results are exact cosine within
+   * probed cells. Not SQL-expressible (KMeans) ⇒ rows-only driver
+   * check; recall vs brute force is asserted in tests.
+   * Output: (query_id, neighbor_id, cosine, rank).
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("features")
+      .fit(feats)
+    val assigned = model.transform(feats)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"),
+        col("prediction").as("_cell"))
+
+    // query → nProbe nearest centroids (centroid set is tiny: broadcast)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
+      .toDF("_cell", "_center")
+    val qcells = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_d", dot(col("_qv"), col("_center")) /
+        (norm(col("_qv")) * norm(col("_center"))))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("_d").desc, col("_cell"))))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("_cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(qcells), Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /**
    * LSH-bucketed ANN: corpus bucketed by hyperplane signature; each
    * query probes its own bucket only (single equi-join on the bucket
    * key — at scale this is the difference between a full scan per query

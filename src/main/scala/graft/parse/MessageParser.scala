@@ -152,6 +152,32 @@ object MessageParser {
   def parseBase64(df: DataFrame, b64Col: Column, formats: Seq[MessageFormatConfig]): DataFrame =
     parse(df.withColumn("_json", decodeBase64(b64Col)), col("_json"), formats).drop("_json")
 
+  /**
+   * Reject side-channel (SURVEY §2.8 error isolation): the envelopes
+   * matching NO candidate format, with the raw payload preserved —
+   * the reference logs-and-skips these per record (index.ts:86-90);
+   * at pipeline scale they belong in a quarantine sink instead.
+   */
+  def rejects(df: DataFrame, jsonCol: Column, formats: Seq[MessageFormatConfig]): DataFrame = {
+    val anyValid = formats.map { f =>
+      val parsed = from_json(jsonCol, envelopeSchema(f))
+      val msgs = parsed.getField(f.messagesKey)
+      val norm = transform(msgs, m =>
+        struct(
+          m.getField(f.aliasKey).as("alias"),
+          m.getField(f.qualityKey).as("quality"),
+          m.getField(f.valueKey).as("value"),
+          strictTimestamp(m.getField(f.timestampKey), f.timestampFormat).as("ts")))
+      msgs.isNotNull && size(msgs) > 0 && forall(norm, m =>
+        nonBlank(m.getField("alias")) &&
+          nonBlank(m.getField("quality")) &&
+          nonBlank(m.getField("value")) &&
+          m.getField("ts").isNotNull &&
+          size(split(m.getField("alias"), quoted(f.aliasDelimiter))) >= 2)
+    }.reduce(_ || _)
+    df.filter(!coalesce(anyValid, lit(false)))
+  }
+
   /** `v ∈ trim-split(list, ',')` — the CSV-membership predicate used by
    * the status decode (machine-data-parser.ts:90-96 / P4). Null list ⇒ false. */
   def csvListContains(list: Column, v: Column): Column =

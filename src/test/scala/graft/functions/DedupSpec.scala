@@ -53,6 +53,21 @@ class DedupSpec extends SparkTestBase {
     assert(hamming <= 6, s"near-dup hamming $hamming")
   }
 
+  test("skew guard drops hot shingles from candidates but keeps exact scores") {
+    // one shingle shared by ALL docs (hot), plus a genuine near-dup pair
+    val hotDocs = (0L until 6L).map(i => (i, s"common one two three four tail$i x$i y$i z$i w$i")) :+
+      ((6L, "common one two three four tail0 x0 y0 z0 w0")) // dup of doc 0
+    val df = hotDocs.toDF("doc_id", "text")
+    val unguarded = Dedup.jaccardPairs(df, "doc_id", "text", n = 5, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val guarded = Dedup.jaccardPairs(df, "doc_id", "text", n = 5, threshold = 0.9,
+      maxShingleFreq = Some(3))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(unguarded.contains((0L, 6L)))
+    assert(guarded.contains((0L, 6L))) // pair survives: joined via rare shingles
+    assert(guarded.subsetOf(unguarded))
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
     val v2 = v1.map(x => x * 1.001f) // near-identical direction

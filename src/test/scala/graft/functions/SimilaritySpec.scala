@@ -46,4 +46,16 @@ class SimilaritySpec extends SparkTestBase {
     val bfTop = bf // brute force is ground truth
     assert(lsh.intersect(bfTop).size >= lsh.size / 2)
   }
+
+  test("IVF top-k: high recall vs brute force at nProbe=4/16 on real embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nClusters = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.size == bf.size) // k filled for every query
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF recall $recall") // random vectors: probing half the cells
+  }
 }

@@ -129,6 +129,13 @@ class MessageParserSpec extends SparkTestBase {
     assert(row == Row(false, false))
   }
 
+  test("rejects side-channel captures non-matching envelopes with payload") {
+    val mixed = Seq(envelope(), """{"nope": true}""", envelope(ts = "bad")).toDF("payload")
+    val rej = MessageParser.rejects(mixed, col("payload"), Seq(default))
+      .as[String].collect().toSet
+    assert(rej == Set("""{"nope": true}""", envelope(ts = "bad")))
+  }
+
   test("toRealTime: series key + TTL synthesis") {
     val cfg = Seq(("site/area/process/machine", "status", "pc", "u", "d", "i"))
       .toDF("machineId", "statusTag", "productionCountTag",
