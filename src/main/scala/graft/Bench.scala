@@ -19,12 +19,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: touch every input table once (schema + scan path + JIT).
+    // Warmup: touch every input table once (schema + scan path + JIT),
+    // plus the shared telemetry view's codegen.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    try graft.sources.Tables.telemetry(spark, sfDir).filter(
+      org.apache.spark.sql.functions.col("status") =!= "").count()
+    catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
