@@ -174,9 +174,18 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, keyCol: String, textCol: String,
       n: Int = 5, k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val cands = lshCandidates(minhashSignatures(df, keyCol, textCol, n, k), k, bands)
-    val verified = jaccardPairs(df, keyCol, textCol, n, threshold)
-    // verify candidates only: semi-join the exact pairs against candidates
-    verified.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+    // Verify CANDIDATES ONLY, from the (persisted) shingle sets — the
+    // whole point of LSH: the full inverted-index join never runs; per
+    // candidate pair the exact Jaccard is one set intersection.
+    val sets = shingleSets(df, keyCol, textCol, n)
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("_sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("_sb")), "doc_b")
+      .withColumn("_inter", size(array_intersect(col("_sa"), col("_sb"))))
+      .withColumn("jaccard", round(col("_inter").cast("double") /
+        (size(col("_sa")) + size(col("_sb")) - col("_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Hex nibble value of char at (1-based) `pos` of md5 hex digest. */

@@ -129,6 +129,21 @@ class MessageParserSpec extends SparkTestBase {
     assert(row == Row(false, false))
   }
 
+  test("multi-delimiter formats: each row splits with its own format's delimiter") {
+    val dotted = MessageFormatConfig(id = "DOTTED", aliasDelimiter = ".")
+    val dashed = MessageFormatConfig(id = "DASHED", messagesKey = "msgs2",
+      aliasDelimiter = "--")
+    val jsonDot = s"""{"messages":[{"name":"site.area.machine.status","quality":"GOOD","timestamp":"$goodTs","value":"u"}]}"""
+    val jsonDash = s"""{"msgs2":[{"name":"site--machine--pc","quality":"GOOD","timestamp":"$goodTs","value":"9"}]}"""
+    val out = MessageParser.parse(Seq(jsonDot, jsonDash).toDF("payload"),
+      col("payload"), Seq(dotted, dashed))
+      .select("format_id", "machineId", "tag").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("DOTTED", "site.area.machine", "status"),
+      ("DASHED", "site--machine", "pc")))
+  }
+
   test("rejects side-channel captures non-matching envelopes with payload") {
     val mixed = Seq(envelope(), """{"nope": true}""", envelope(ts = "bad")).toDF("payload")
     val rej = MessageParser.rejects(mixed, col("payload"), Seq(default))
