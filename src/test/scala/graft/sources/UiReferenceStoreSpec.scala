@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.model.MessageFormatConfig
+import graft.streaming.IngestPipeline
+import graft.streaming.IngestPipeline.StatusUpdate
+import java.nio.file.Files
+
+class UiReferenceStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("merge is idempotent and keep-latest (exactly-once under replay)") {
+    val path = Files.createTempDirectory("graft-uiref").toString + "/state"
+    val batch1 = Seq(StatusUpdate("m1", "UP", 100), StatusUpdate("m2", "DOWN", 110)).toDS()
+    UiReferenceStore.merge(spark, path, batch1)
+    UiReferenceStore.merge(spark, path, batch1) // replayed batch: no-op
+    val older = Seq(StatusUpdate("m1", "IDLE", 50)).toDS() // late arrival: loses
+    UiReferenceStore.merge(spark, path, older)
+    val newer = Seq(StatusUpdate("m1", "DOWN", 200)).toDS()
+    UiReferenceStore.merge(spark, path, newer)
+
+    val state = UiReferenceStore.read(spark, path)
+      .as[(String, String, Long)].collect().toSet
+    assert(state == Set(("m1", "DOWN", 200L), ("m2", "DOWN", 110L)))
+  }
+
+  test("file-source streaming ingest end-to-end: files → parse → facts + merged state") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$dir/in"; new java.io.File(inDir).mkdirs()
+    val statePath = s"$dir/state"
+    val factDir = s"$dir/facts"
+
+    val goodTs = "2021-03-05 18:16:10.517000+00:00"
+    def payload(tag: String, value: String): String = {
+      val json = s"""{"messages":[{"name":"site/area/line/m9/$tag","quality":"GOOD","timestamp":"$goodTs","value":"$value"}]}"""
+      java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
+    }
+    // one payload per line — the file-stream analogue of Kinesis records
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/batch1.txt"),
+      payload("status", "d") + "\n" + payload("pc", "7"))
+
+    val machineConfigs = Seq(("site/area/line/m9", "status", "pc", "u", "d", "i"))
+      .toDF("machineId", "statusTag", "productionCountTag",
+        "statusUpValues", "statusDownValues", "statusIdleValues")
+
+    implicit val s = spark
+    val stream = spark.readStream.schema("payload STRING").format("text")
+      .option("path", inDir).load().withColumnRenamed("value", "payload")
+    val query = IngestPipeline.runIngest(
+      stream, "payload",
+      loadConfigs = () => (Seq(MessageFormatConfig(id = "DEFAULT")), machineConfigs),
+      appendFacts = df => df.write.mode("append").parquet(factDir),
+      mergeStatuses = ds => UiReferenceStore.merge(spark, statePath, ds))
+    query.processAllAvailable()
+    query.stop()
+
+    val facts = spark.read.parquet(factDir)
+    assert(facts.count() == 2) // status + pc rows
+    val state = UiReferenceStore.asInitialState(spark, statePath).collect().toSet
+    assert(state == Set(("site/area/line/m9", "DOWN")))
+  }
+}
