@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.model.MessageFormatConfig
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Processed-partition ledger — the engine-side bookkeeping the
+ * reference gets from Glue job bookmarks + CRAWL_NEW_FOLDERS_ONLY
+ * (SURVEY §4, convert_parquet.py:167,206 / update_crawler.py:31-38):
+ * each (year, month, day) raw partition is normalized into the
+ * warehouse exactly once; re-running the ETL is a no-op for days
+ * already in the ledger.
+ *
+ * The ledger is committed AFTER the warehouse append — a crash between
+ * append and commit replays the day, so the warehouse append must be
+ * idempotent at the orchestration level (overwrite the day's output
+ * partition, or dedupe downstream); this mirrors the reference's
+ * bookmark-after-write ordering (job.commit() as the last step).
+ */
+object EtlLedger {
+
+  def processedDays(spark: SparkSession, ledgerPath: String): Set[(Int, Int, Int)] =
+    if (!new java.io.File(ledgerPath).exists()) Set.empty
+    else spark.read.parquet(ledgerPath)
+      .select("year", "month", "day").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+
+  def commitDay(spark: SparkSession, ledgerPath: String, day: (Int, Int, Int)): Unit = {
+    import spark.implicits._
+    Seq(day).toDF("year", "month", "day")
+      .write.mode(SaveMode.Append).parquet(ledgerPath)
+  }
+
+  /** Discover raw-archive days present on storage. */
+  def availableDays(rawPath: String): Set[(Int, Int, Int)] = {
+    val root = new java.io.File(rawPath)
+    if (!root.exists()) Set.empty
+    else (for {
+      y <- Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      if y.getName.startsWith("year=")
+      m <- y.listFiles().toSeq if m.getName.startsWith("month=")
+      d <- m.listFiles().toSeq if d.getName.startsWith("day=")
+    } yield (
+      y.getName.stripPrefix("year=").toInt,
+      m.getName.stripPrefix("month=").toInt,
+      d.getName.stripPrefix("day=").toInt)).toSet
+  }
+
+  /** Run the daily ETL for every unprocessed day, committing the ledger
+   * per day. Returns the days processed this run (sorted). */
+  def runIncremental(spark: SparkSession, rawPath: String, warehousePath: String,
+      ledgerPath: String, formats: Seq[MessageFormatConfig]): Seq[(Int, Int, Int)] = {
+    val todo = (availableDays(rawPath) -- processedDays(spark, ledgerPath)).toSeq.sorted
+    todo.foreach { case (y, m, d) =>
+      Warehouse.runDailyEtl(spark, rawPath, warehousePath, formats, y, m, d)
+      commitDay(spark, ledgerPath, (y, m, d))
+    }
+    todo
+  }
+}
