@@ -204,6 +204,14 @@ object SparkEntry {
         .select(col("machineId"), col("cnt").as("count")))
     }),
 
+    // A9: config census (machine / series counts)
+    "a9_census" -> ((s, d) => {
+      Tables.telemetry(s, d).agg(
+        countDistinct(col("machineId")).as("n_machines"),
+        countDistinct(Dimensions.tokensAt(col("machineId"), "/", UiReferenceMapping().lineKeys)).as("n_lines"),
+        count(lit(1)).as("n_events"))
+    }),
+
     // W1: row numbering within a series
     "w1_row_number" -> ((s, d) => {
       Tables.telemetry(s, d).select(col("event_id"),
@@ -438,6 +446,12 @@ object SparkEntry {
     "a8_production_range" -> (T +
       """SELECT machineId, min(cnt) AS min_count, max(cnt) AS max_count
         |FROM telemetry GROUP BY 1""".stripMargin),
+
+    "a9_census" -> (T +
+      """SELECT count(DISTINCT machineId) AS n_machines,
+        |  count(DISTINCT split_part(machineId, '/', 3)) AS n_lines,
+        |  count(*) AS n_events
+        |FROM telemetry""".stripMargin),
 
     "w1_row_number" -> (T +
       """SELECT event_id,

@@ -87,7 +87,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val feats = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
-    val model = new KMeans().setK(nClusters).setSeed(42L).setFeaturesCol("features")
+    // coarse quantizer: cell boundaries don't need convergence, they
+    // need stability — few iterations, fixed seed
+    val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("features")
       .fit(feats)
     val assigned = model.transform(feats)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"),
