@@ -342,7 +342,7 @@ object SparkEntry {
     "j3_change_points" -> (T +
       """, series AS (
         |  SELECT machineId AS id, es, status AS value, event_id,
-        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, event_id) AS prev
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
         |  FROM telemetry)
         |SELECT id, es, value, event_id FROM series
         |WHERE prev IS NULL OR prev <> value""".stripMargin),
@@ -350,12 +350,12 @@ object SparkEntry {
     "j4_segment_durations" -> (T +
       """, series AS (
         |  SELECT machineId AS id, es, ts_us, status AS value, event_id,
-        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, event_id) AS prev
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
         |  FROM telemetry),
         |cp AS (
         |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
         |seg AS (
-        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us) AS next_es
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us, value) AS next_es
         |  FROM cp)
         |SELECT id, es, value,
         |  CAST(next_es - es AS DOUBLE) AS duration_seconds,
@@ -366,12 +366,12 @@ object SparkEntry {
     "j6_downtime_enriched" -> (T +
       """, series AS (
         |  SELECT machineId AS id, es, ts_us, status AS value, event_id,
-        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, event_id) AS prev
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
         |  FROM telemetry),
         |cp AS (
         |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
         |seg AS (
-        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us) AS next_es
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us, value) AS next_es
         |  FROM cp)
         |SELECT id, es,
         |  CAST(next_es - es AS DOUBLE) AS duration_seconds,

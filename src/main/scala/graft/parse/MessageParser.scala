@@ -41,9 +41,39 @@ object MessageParser {
 
   private def quoted(delim: String): String = java.util.regex.Pattern.quote(delim)
 
-  /** Strict timestamp parse: null on mismatch (moment(.., true) parity). */
+  /** The raw messages array of one candidate format. */
+  private def rawMsgs(jsonCol: Column, f: MessageFormatConfig): Column =
+    from_json(jsonCol, envelopeSchema(f)).getField(f.messagesKey)
+
+  /** Normalize a format's messages to the common (alias, quality,
+   * value, ts) shape with the strict timestamp parse. */
+  private def normalizeMsgs(msgs: Column, f: MessageFormatConfig): Column =
+    transform(msgs, m =>
+      struct(
+        m.getField(f.aliasKey).as("alias"),
+        m.getField(f.qualityKey).as("quality"),
+        m.getField(f.valueKey).as("value"),
+        strictTimestamp(m.getField(f.timestampKey), f.timestampFormat).as("ts")))
+
+  /** Per-envelope validity over a NORMALIZED messages column —
+   * the single definition shared by parse() and rejects(). */
+  private def validityOf(norm: Column, f: MessageFormatConfig): Column =
+    norm.isNotNull && size(norm) > 0 && forall(norm, m =>
+      nonBlank(m.getField("alias")) &&
+        nonBlank(m.getField("quality")) &&
+        nonBlank(m.getField("value")) &&
+        m.getField("ts").isNotNull &&
+        size(split(m.getField("alias"), quoted(f.aliasDelimiter))) >= 2)
+
+  /** Strict timestamp parse: null on mismatch (moment(.., true) parity).
+   * moment's X/x (epoch seconds/millis) aren't java.time patterns and
+   * get a numeric-literal special case. */
   def strictTimestamp(c: Column, momentFmt: String): Column =
-    try_to_timestamp(c, lit(MomentFormat.toJavaTime(momentFmt)))
+    if (MomentFormat.isEpochSeconds(momentFmt))
+      when(c.rlike("^-?\\d{1,18}$"), timestamp_seconds(c.cast("long")))
+    else if (MomentFormat.isEpochMillis(momentFmt))
+      when(c.rlike("^-?\\d{1,18}$"), timestamp_millis(c.cast("long")))
+    else try_to_timestamp(c, lit(MomentFormat.toJavaTime(momentFmt)))
 
   /** base64 → utf8 JSON string (S2 / F1). */
   def decodeBase64(c: Column): Column = unbase64(c).cast(StringType)
@@ -64,9 +94,15 @@ object MessageParser {
     // isnotnull(msgs)` from the explode below, and predicate pushdown
     // then inlines the ENTIRE parse chain (from_json + normalization)
     // into a pre-projection Filter — evaluating it several times per
-    // row. The inferred filter is redundant here (explode of the null/
-    // empty dispatch array already drops those rows), so exclude the
-    // rule for this session.
+    // row (measured 4x). The inferred filter is redundant here (explode
+    // of the null/empty dispatch array already drops those rows).
+    //
+    // DELIBERATE SESSION-WIDE SETTING: rule exclusion can't be scoped
+    // to one plan, so this is an engine-level config (appended,
+    // preserving caller exclusions, applied once). Cost to other
+    // queries is bounded: the rule only ever adds an inferred
+    // not-null/size filter under a Generate, an optimization none of
+    // this engine's other plans depend on.
     val spark = df.sparkSession
     val exclKey = "spark.sql.optimizer.excludedRules"
     val rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
@@ -84,32 +120,19 @@ object MessageParser {
 
     // Stage 1: one from_json per candidate format.
     val stage1 = df.select(inputCols ++ formats.zipWithIndex.map { case (f, i) =>
-      from_json(jsonCol, envelopeSchema(f)).getField(f.messagesKey).as(s"_msgs_$i")
+      rawMsgs(jsonCol, f).as(s"_msgs_$i")
     }: _*)
 
     // Stage 2: normalize each format's messages to a common shape
     // (alias, quality, value, ts) with the strict timestamp parse.
     val stage2 = stage1.select(inputCols ++ formats.zipWithIndex.map { case (f, i) =>
-      transform(col(s"_msgs_$i"), m =>
-        struct(
-          m.getField(f.aliasKey).as("alias"),
-          m.getField(f.qualityKey).as("quality"),
-          m.getField(f.valueKey).as("value"),
-          strictTimestamp(m.getField(f.timestampKey), f.timestampFormat).as("ts"))).as(s"_norm_$i")
+      normalizeMsgs(col(s"_msgs_$i"), f).as(s"_norm_$i")
     }: _*)
 
     // Stage 3: first-match dispatch (machine-data-parser.ts:105-121) —
     // a chained CASE WHEN over the candidate formats, the Spark
     // analogue of the reference's per-record loop.
-    def validity(f: MessageFormatConfig, i: Int): Column = {
-      val norm = col(s"_norm_$i")
-      norm.isNotNull && size(norm) > 0 && forall(norm, m =>
-        nonBlank(m.getField("alias")) &&
-          nonBlank(m.getField("quality")) &&
-          nonBlank(m.getField("value")) &&
-          m.getField("ts").isNotNull &&
-          size(split(m.getField("alias"), quoted(f.aliasDelimiter))) >= 2)
-    }
+    def validity(f: MessageFormatConfig, i: Int): Column = validityOf(col(s"_norm_$i"), f)
     val nullStr = lit(null).cast(StringType)
     val dispatchedFmt = formats.zipWithIndex.foldRight(nullStr) { case ((f, i), rest) =>
       when(validity(f, i), lit(f.id)).otherwise(rest)
@@ -159,22 +182,9 @@ object MessageParser {
    * at pipeline scale they belong in a quarantine sink instead.
    */
   def rejects(df: DataFrame, jsonCol: Column, formats: Seq[MessageFormatConfig]): DataFrame = {
-    val anyValid = formats.map { f =>
-      val parsed = from_json(jsonCol, envelopeSchema(f))
-      val msgs = parsed.getField(f.messagesKey)
-      val norm = transform(msgs, m =>
-        struct(
-          m.getField(f.aliasKey).as("alias"),
-          m.getField(f.qualityKey).as("quality"),
-          m.getField(f.valueKey).as("value"),
-          strictTimestamp(m.getField(f.timestampKey), f.timestampFormat).as("ts")))
-      msgs.isNotNull && size(msgs) > 0 && forall(norm, m =>
-        nonBlank(m.getField("alias")) &&
-          nonBlank(m.getField("quality")) &&
-          nonBlank(m.getField("value")) &&
-          m.getField("ts").isNotNull &&
-          size(split(m.getField("alias"), quoted(f.aliasDelimiter))) >= 2)
-    }.reduce(_ || _)
+    val anyValid = formats
+      .map(f => validityOf(normalizeMsgs(rawMsgs(jsonCol, f), f), f))
+      .reduce(_ || _)
     df.filter(!coalesce(anyValid, lit(false)))
   }
 

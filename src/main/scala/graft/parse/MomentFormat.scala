@@ -47,9 +47,13 @@ object MomentFormat {
     "Z" -> "XXX",
     "A" -> "a",
     "a" -> "a",
-    "X" -> "X",
-    "ddd" -> "EEE",
-    "dddd" -> "EEEE")
+    "dddd" -> "EEEE",
+    "ddd" -> "EEE")
+
+  /** moment X / x (epoch seconds / millis) have no java.time pattern —
+   * the parser special-cases them (MessageParser.strictTimestamp). */
+  def isEpochSeconds(momentFmt: String): Boolean = momentFmt.trim == "X"
+  def isEpochMillis(momentFmt: String): Boolean = momentFmt.trim == "x"
 
   /** Translate a moment.js format string to a java.time pattern. */
   def toJavaTime(momentFmt: String): String = {

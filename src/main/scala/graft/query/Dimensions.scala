@@ -18,12 +18,15 @@ object Dimensions {
 
   private def quoted(d: String) = java.util.regex.Pattern.quote(d)
 
-  /** Join the id tokens at the (0-based) positions listed in `keys`
-   * (itself a delimiter-separated position list, e.g. "0/1"). */
+  /** Join the id tokens at the (0-based) positions listed in `keys`.
+   * The POSITION LIST always splits on '/' — the reference's batch side
+   * does (configuration.py:251,255) regardless of the alias delimiter,
+   * which only splits the id itself (:261). Out-of-range positions are
+   * skipped (:217 — `try_element_at` null + concat_ws null-skip). */
   def tokensAt(id: Column, delim: String, keys: String): Column = {
-    val positions = keys.split(quoted(delim)).filter(_.nonEmpty).map(_.trim.toInt)
+    val positions = keys.split("/").filter(_.trim.nonEmpty).map(_.trim.toInt)
     val toks = split(id, quoted(delim))
-    concat_ws(delim, positions.map(p => element_at(toks, p + 1)): _*)
+    concat_ws(delim, positions.map(p => try_element_at(toks, lit(p + 1))): _*)
   }
 
   /**

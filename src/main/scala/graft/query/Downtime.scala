@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
  */
 object Downtime {
 
-  private val seriesWindow = Window.partitionBy("id", "tag").orderBy("timestamp")
+  // (timestamp, value) ordering: the value tie-break makes lag/lead
+  // deterministic when two readings share a timestamp (the engine-wide
+  // last-value convention).
+  private val seriesWindow = Window.partitionBy("id", "tag").orderBy("timestamp", "value")
 
   /**
    * Change-point compression (J3): keep only rows whose value differs

@@ -20,11 +20,18 @@ import org.apache.spark.sql.functions._
  */
 object EtlLedger {
 
-  def processedDays(spark: SparkSession, ledgerPath: String): Set[(Int, Int, Int)] =
-    if (!new java.io.File(ledgerPath).exists()) Set.empty
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  def processedDays(spark: SparkSession, ledgerPath: String): Set[(Int, Int, Int)] = {
+    val (f, p) = hadoopFs(spark, ledgerPath)
+    if (!f.exists(p)) Set.empty
     else spark.read.parquet(ledgerPath)
       .select("year", "month", "day").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+  }
 
   def commitDay(spark: SparkSession, ledgerPath: String, day: (Int, Int, Int)): Unit = {
     import spark.implicits._
@@ -32,26 +39,26 @@ object EtlLedger {
       .write.mode(SaveMode.Append).parquet(ledgerPath)
   }
 
-  /** Discover raw-archive days present on storage. */
-  def availableDays(rawPath: String): Set[(Int, Int, Int)] = {
-    val root = new java.io.File(rawPath)
-    if (!root.exists()) Set.empty
+  /** Discover raw-archive days present on storage (any Hadoop-supported
+   * filesystem — partition-directory listing, no data read). */
+  def availableDays(spark: SparkSession, rawPath: String): Set[(Int, Int, Int)] = {
+    val (f, root) = hadoopFs(spark, rawPath)
+    if (!f.exists(root)) Set.empty
     else (for {
-      y <- Option(root.listFiles()).getOrElse(Array.empty).toSeq
-      if y.getName.startsWith("year=")
-      m <- y.listFiles().toSeq if m.getName.startsWith("month=")
-      d <- m.listFiles().toSeq if d.getName.startsWith("day=")
+      y <- f.listStatus(root).toSeq if y.getPath.getName.startsWith("year=")
+      m <- f.listStatus(y.getPath).toSeq if m.getPath.getName.startsWith("month=")
+      d <- f.listStatus(m.getPath).toSeq if d.getPath.getName.startsWith("day=")
     } yield (
-      y.getName.stripPrefix("year=").toInt,
-      m.getName.stripPrefix("month=").toInt,
-      d.getName.stripPrefix("day=").toInt)).toSet
+      y.getPath.getName.stripPrefix("year=").toInt,
+      m.getPath.getName.stripPrefix("month=").toInt,
+      d.getPath.getName.stripPrefix("day=").toInt)).toSet
   }
 
   /** Run the daily ETL for every unprocessed day, committing the ledger
    * per day. Returns the days processed this run (sorted). */
   def runIncremental(spark: SparkSession, rawPath: String, warehousePath: String,
       ledgerPath: String, formats: Seq[MessageFormatConfig]): Seq[(Int, Int, Int)] = {
-    val todo = (availableDays(rawPath) -- processedDays(spark, ledgerPath)).toSeq.sorted
+    val todo = (availableDays(spark, rawPath) -- processedDays(spark, ledgerPath)).toSeq.sorted
     todo.foreach { case (y, m, d) =>
       Warehouse.runDailyEtl(spark, rawPath, warehousePath, formats, y, m, d)
       commitDay(spark, ledgerPath, (y, m, d))

@@ -25,9 +25,18 @@ object UiReferenceStore {
       .toDF("machineId", "machineStatus", "machineStatusUpdatedTimestamp")
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+  /** Filesystem handle through the Hadoop API so paths work on any
+   * supported scheme (file://, hdfs://, s3a://), not just local disk. */
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (f, p) = fs(spark, path)
+    if (f.exists(p)) spark.read.parquet(path)
     else emptyState(spark)
+  }
 
   /** Idempotent keep-latest merge of status updates into the store. */
   def merge(spark: SparkSession, path: String, updates: Dataset[StatusUpdate]): Unit = {
@@ -42,15 +51,23 @@ object UiReferenceStore {
         struct(col("machineStatusUpdatedTimestamp"), col("machineStatus"))).as("_s"))
       .select(col("machineId"), col("_s.machineStatus"),
         col("_s.machineStatusUpdatedTimestamp"))
-    // stage-then-swap so a failed write never truncates current state
+    // stage-then-swap so a failed write never truncates current state:
+    // write to .staging, swap current out of the way, rename staging in,
+    // and only then drop the old state. Every rename result is checked —
+    // a false return aborts with the previous state still recoverable.
     val staged = path + ".staging"
+    val backup = path + ".old"
     merged.write.mode(SaveMode.Overwrite).parquet(staged)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }
-      rm(target)
+    val (f, target) = fs(spark, path)
+    val stagedP = new org.apache.hadoop.fs.Path(staged)
+    val backupP = new org.apache.hadoop.fs.Path(backup)
+    if (f.exists(backupP)) f.delete(backupP, true)
+    if (f.exists(target)) {
+      require(f.rename(target, backupP), s"could not move current state aside: $path")
     }
-    new java.io.File(staged).renameTo(target)
+    require(f.rename(stagedP, target), s"could not promote staged state: $staged -> $path")
+    f.delete(backupP, true)
+    ()
   }
 
   /** Hydration view for cold-start initial state (machineId → status). */

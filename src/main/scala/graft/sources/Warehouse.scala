@@ -104,12 +104,20 @@ object Warehouse {
   def runDailyEtl(spark: SparkSession, rawPath: String, warehousePath: String,
       formats: Seq[MessageFormatConfig], year: Int, month: Int, day: Int): Long = {
     val rawDay = readRawDay(spark, rawPath, year, month, day)
-    if (rawDay.isEmpty) 0L // existence check, convert_parquet.py:54-66
+    if (rawDay.isEmpty) 0L // existence check, convert_parquet.py:54-66 (cheap: no parse)
     else {
+      // persist so the parse chain runs ONCE across count + write
       val normalized = normalize(rawDay, formats)
-      val n = normalized.count()
-      appendToWarehouse(normalized, warehousePath)
-      n
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = normalized.count()
+        if (n > 0) {
+          normalized.write.mode(SaveMode.Append)
+            .partitionBy("year", "month", "day")
+            .parquet(warehousePath)
+        }
+        n
+      } finally { normalized.unpersist(); () }
     }
   }
 }

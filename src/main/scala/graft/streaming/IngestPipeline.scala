@@ -87,8 +87,14 @@ object IngestPipeline {
   /**
    * End-to-end micro-batch runner via foreachBatch: per batch, re-read
    * configs (hot reload), append eligible facts to `factSink`, and
-   * MERGE changed statuses into `referenceState` (both caller-supplied
-   * callbacks so sinks stay pluggable: parquet, Delta, memory).
+   * MERGE changed statuses into the reference state (callbacks keep
+   * the sinks pluggable: parquet, Delta, memory).
+   *
+   * Change suppression (A2): each batch's per-machine last status is
+   * anti-joined against `loadState()` (machineId, machineStatus), so a
+   * mutation is emitted ONLY on transition — the merged
+   * machineStatusUpdatedTimestamp is the transition time, not the
+   * latest observation time (index.ts:177-191).
    */
   def runIngest(
       stream: DataFrame,
@@ -96,6 +102,7 @@ object IngestPipeline {
       loadConfigs: () => (Seq[MessageFormatConfig], DataFrame),
       appendFacts: DataFrame => Unit,
       mergeStatuses: Dataset[StatusUpdate] => Unit,
+      loadState: () => DataFrame = null,
       expirationHours: Int = 24)(implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     stream.writeStream
@@ -104,7 +111,6 @@ object IngestPipeline {
         val (formats, machineConfigs) = loadConfigs() // per-batch hot reload
         val classified = parseBatch(batch, payloadCol, formats, machineConfigs)
         appendFacts(MessageParser.toRealTime(classified, expirationHours))
-        // batch-local fold (state continuity handled by the merge sink)
         val statusMsgs = classified
           .filter(col("isStatusMsg") && col("machineStatus").isNotNull)
           .select(col("machineId"), col("machineStatus"), col("epoch_s").as("epochSeconds"))
@@ -114,7 +120,15 @@ object IngestPipeline {
             val last = it.toSeq.maxBy(_.epochSeconds)
             StatusUpdate(mid, last.machineStatus, last.epochSeconds)
           }
-        mergeStatuses(folded)
+        // change suppression against current reference state
+        val changed = Option(loadState).map(_.apply()) match {
+          case Some(state) =>
+            folded.join(
+              state.select(col("machineId"), col("machineStatus")),
+              Seq("machineId", "machineStatus"), "left_anti").as[StatusUpdate]
+          case None => folded
+        }
+        mergeStatuses(changed)
         ()
       }
       .start()

@@ -129,6 +129,13 @@ class MessageParserSpec extends SparkTestBase {
     assert(row == Row(false, false))
   }
 
+  test("moment X format: epoch-seconds timestamps parse strictly") {
+    val epochFmt = MessageFormatConfig(id = "EPOCH", timestampFormat = "X")
+    val ok = parseOne(envelope(ts = "1614968170"), Seq(epochFmt))
+    assert(ok.select("epoch_s").as[Long].head() == 1614968170L)
+    assert(parseOne(envelope(ts = "not-a-number"), Seq(epochFmt)).count() == 0)
+  }
+
   test("multi-delimiter formats: each row splits with its own format's delimiter") {
     val dotted = MessageFormatConfig(id = "DOTTED", aliasDelimiter = ".")
     val dashed = MessageFormatConfig(id = "DASHED", messagesKey = "msgs2",

@@ -59,4 +59,45 @@ class UiReferenceStoreSpec extends SparkTestBase {
     val state = UiReferenceStore.asInitialState(spark, statePath).collect().toSet
     assert(state == Set(("site/area/line/m9", "DOWN")))
   }
+
+  test("change suppression across batches: unchanged status emits no merge") {
+    val dir = Files.createTempDirectory("graft-suppress").toString
+    val inDir = s"$dir/in"; new java.io.File(inDir).mkdirs()
+    val statePath = s"$dir/state"
+
+    val goodTs = "2021-03-05 18:16:10.517000+00:00"
+    def payload(value: String): String = {
+      val json = s"""{"messages":[{"name":"a/b/m/status","quality":"GOOD","timestamp":"$goodTs","value":"$value"}]}"""
+      java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
+    }
+    val machineConfigs = Seq(("a/b/m", "status", "pc", "u", "d", "i"))
+      .toDF("machineId", "statusTag", "productionCountTag",
+        "statusUpValues", "statusDownValues", "statusIdleValues")
+
+    implicit val s = spark
+    val merged = scala.collection.mutable.ArrayBuffer[IngestPipeline.StatusUpdate]()
+    val stream = spark.readStream.schema("payload STRING").format("text")
+      .option("path", inDir).load().withColumnRenamed("value", "payload")
+    val query = IngestPipeline.runIngest(
+      stream, "payload",
+      loadConfigs = () => (Seq(MessageFormatConfig(id = "DEFAULT")), machineConfigs),
+      appendFacts = _ => (),
+      mergeStatuses = ds => {
+        val ups = ds.collect()
+        merged.synchronized { merged ++= ups }
+        UiReferenceStore.merge(spark, statePath, ups.toSeq.toDS())
+      },
+      loadState = () => UiReferenceStore.read(spark, statePath))
+
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b1.txt"), payload("d"))
+    query.processAllAvailable()
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b2.txt"), payload("d")) // unchanged
+    query.processAllAvailable()
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b3.txt"), payload("u")) // transition
+    query.processAllAvailable()
+    query.stop()
+
+    // one DOWN mutation, one UP mutation — the unchanged batch is suppressed
+    assert(merged.map(_.machineStatus).toSeq == Seq("DOWN", "UP"))
+  }
 }
