@@ -1,16 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.funsuite.AnyFunSuite
-
-class GraftExtensionsSpec extends AnyFunSuite {
-  test("float_vec_dot is SQL-callable via session extensions") {
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+class GraftExtensionsSpec extends SparkTestBase {
+  test("float_vec_dot is SQL-callable after registration") {
+    GraftExtensions.registerTemp(spark)
     val r = spark.sql(
       "SELECT float_vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
         "array(cast(3.0 as float), cast(4.0 as float))) AS d").head()
