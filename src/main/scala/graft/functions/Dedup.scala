@@ -188,6 +188,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /**
+   * The composed dedup pipeline for real corpora: exact-dedup FIRST
+   * (collapse md5-identical texts to one representative), then
+   * MinHash+LSH near-dup over representatives only, then expand pairs
+   * back through the exact groups. Identical documents are the common
+   * case at corpus scale and are quadratic poison for LSH banding
+   * (every clone pair shares every band); collapsing them first keeps
+   * the candidate join proportional to DISTINCT near-dup structure.
+   * Output: (doc_a, doc_b, jaccard) over ORIGINAL keys, exact dups
+   * reported with jaccard = 1.0.
+   */
+  def dedupPipeline(df: DataFrame, keyCol: String, textCol: String,
+      n: Int = 5, k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val groups = df.select(md5(col(textCol)).as("_digest"), col(keyCol).as("_k"))
+    val reps = df.groupBy(md5(col(textCol)).as("_digest"))
+      .agg(min(col(keyCol)).as(keyCol), first(col(textCol)).as(textCol))
+    // near-dup pairs among representatives (distinct texts only)
+    val repPairs = minhashDedupPairs(reps.drop("_digest"), keyCol, textCol, n, k, bands, threshold)
+    // expand: rep pair → all member pairs across the two groups
+    val members = groups.join(
+      reps.select(col("_digest"), col(keyCol).as("_rep")), "_digest")
+      .select(col("_rep"), col("_k"))
+    val expanded = repPairs
+      .join(members.select(col("_rep").as("doc_a"), col("_k").as("_ka")), "doc_a")
+      .join(members.select(col("_rep").as("doc_b"), col("_k").as("_kb")), "doc_b")
+      .select(least(col("_ka"), col("_kb")).as("doc_a"),
+        greatest(col("_ka"), col("_kb")).as("doc_b"), col("jaccard"))
+    // exact-dup pairs within each group (vs the group's keeper)
+    val exactPairs = members.join(
+      members.select(col("_rep"), col("_k").as("_k2")), "_rep")
+      .filter(col("_k") < col("_k2"))
+      .select(col("_k").as("doc_a"), col("_k2").as("doc_b"), lit(1.0).as("jaccard"))
+    expanded.unionByName(exactPairs).distinct()
+  }
+
   /** Hex nibble value of char at (1-based) `pos` of md5 hex digest. */
   private def nibble(digest: Column, pos: Int): Column =
     instr(lit("0123456789abcdef"), substring(digest, pos, 1)) - 1

@@ -68,6 +68,19 @@ class DedupSpec extends SparkTestBase {
     assert(guarded.subsetOf(unguarded))
   }
 
+  test("dedupPipeline: exact clones collapsed before LSH, pairs expanded back") {
+    val out = Dedup.dedupPipeline(docs, "doc_id", "text", n = 5, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // exact pair (0,1); near-dup 2 pairs with BOTH members of the clone group
+    assert(out.contains((0L, 1L)))
+    assert(out.contains((0L, 2L)) && out.contains((1L, 2L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+    val exact = Dedup.dedupPipeline(docs, "doc_id", "text", n = 5, threshold = 0.3)
+      .filter(col("doc_a") === 0L && col("doc_b") === 1L)
+      .select("jaccard").as[Double].head()
+    assert(exact == 1.0)
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
     val v2 = v1.map(x => x * 1.001f) // near-identical direction
