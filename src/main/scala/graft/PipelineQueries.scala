@@ -109,6 +109,13 @@ object PipelineQueries {
         n = 5, k = 16, bands = 4, threshold = 0.5)
     }),
 
+    // Composed pipeline: exact-dedup first, LSH near-dup on
+    // representatives, pairs expanded back through clone groups
+    "d6_dedup_pipeline" -> ((s, d) => {
+      Dedup.dedupPipeline(Tables.documents(s, d), "doc_id", "text",
+        n = 5, k = 16, bands = 4, threshold = 0.5)
+    }),
+
     // 16-bit SimHash fingerprints
     "d4_simhash" -> ((s, d) => {
       Dedup.simhash16(Tables.documents(s, d), "doc_id", "text")
@@ -238,6 +245,68 @@ object PipelineQueries {
          |${jaccardSql(0.5)}
          |SELECT j.doc_a, j.doc_b, j.jaccard
          |FROM jac j SEMI JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b""".stripMargin
+    },
+
+    "d6_dedup_pipeline" -> {
+      val hash32 = (1 to 8).map { kk =>
+        s"(strpos('0123456789abcdef', substr(md5(shingle), $kk, 1)) - 1) * ${math.pow(16, 8 - kk).toLong}"
+      }.mkString("(", " + ", ")")
+      val sigCols = (0 until 16).map { i =>
+        s"min((h * ${graft.functions.Dedup.minhashA(i)} + ${graft.functions.Dedup.minhashB(i)}) % ${graft.functions.Dedup.MinhashMod}) AS sig_$i"
+      }.mkString(",\n    ")
+      val bandRows = (0 until 4).map { b =>
+        val slice = (0 until 4).map(r => s"sig_${b * 4 + r}::VARCHAR").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($slice) AS key FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH reps AS (
+         |  SELECT min(doc_id) AS doc_id, min(text) AS text
+         |  FROM documents GROUP BY md5(text)),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+         |  FROM reps),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |         ELSE [ t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+         |                for i in range(1, len(t)-3) ] END)) AS shingle
+         |  FROM toks),
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM (SELECT doc_id, $hash32 AS h FROM sh) GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |         ELSE [ t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+         |                for i in range(1, len(t)-3) ] END) AS sh_set
+         |  FROM toks),
+         |jac AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(len(list_intersect(sa.sh_set, sb.sh_set))*1.0 /
+         |      (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))), 6) AS jaccard
+         |  FROM cands c
+         |  JOIN sets sa ON sa.doc_id = c.doc_a
+         |  JOIN sets sb ON sb.doc_id = c.doc_b
+         |  WHERE round(len(list_intersect(sa.sh_set, sb.sh_set))*1.0 /
+         |      (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))), 6) >= 0.5),
+         |members AS (
+         |  SELECT r.doc_id AS rep, d.doc_id AS k
+         |  FROM documents d JOIN reps r ON md5(d.text) = md5(r.text)),
+         |expanded AS (
+         |  SELECT least(ma.k, mb.k) AS doc_a, greatest(ma.k, mb.k) AS doc_b, j.jaccard
+         |  FROM jac j
+         |  JOIN members ma ON ma.rep = j.doc_a
+         |  JOIN members mb ON mb.rep = j.doc_b),
+         |exact AS (
+         |  SELECT m1.k AS doc_a, m2.k AS doc_b, 1.0 AS jaccard
+         |  FROM members m1 JOIN members m2 ON m1.rep = m2.rep AND m1.k < m2.k)
+         |SELECT DISTINCT doc_a, doc_b, CAST(jaccard AS DOUBLE) AS jaccard
+         |FROM (SELECT * FROM expanded UNION ALL SELECT * FROM exact)""".stripMargin
     },
 
     "d4_simhash" -> {
