@@ -204,6 +204,22 @@ object SparkEntry {
         .select(col("machineId"), col("cnt").as("count")))
     }),
 
+    // Beyond-reference: hierarchical rollup (location → line) via
+    // GROUPING SETS — the OLAP surface the reference's dashboards
+    // compute client-side, one shuffle for all grouping levels
+    "x1_hierarchy_rollup" -> ((s, d) => {
+      val t = Tables.telemetry(s, d)
+        .withColumn("locationId", Dimensions.tokensAt(col("machineId"), "/", UiReferenceMapping().locationKeys))
+        .withColumn("lineId", Dimensions.tokensAt(col("machineId"), "/", UiReferenceMapping().lineKeys))
+      t.rollup(col("locationId"), col("lineId"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("status") === "DOWN", 1L).otherwise(0L)).as("n_down"))
+        .select(
+          coalesce(col("locationId"), lit("ALL")).as("locationId"),
+          coalesce(col("lineId"), lit("ALL")).as("lineId"),
+          col("n_events"), col("n_down"))
+    }),
+
     // A9: config census (machine / series counts)
     "a9_census" -> ((s, d) => {
       Tables.telemetry(s, d).agg(
@@ -446,6 +462,17 @@ object SparkEntry {
     "a8_production_range" -> (T +
       """SELECT machineId, min(cnt) AS min_count, max(cnt) AS max_count
         |FROM telemetry GROUP BY 1""".stripMargin),
+
+    "x1_hierarchy_rollup" -> (T +
+      """, h AS (
+        |  SELECT split_part(machineId, '/', 1) || '/' || split_part(machineId, '/', 2) AS locationId,
+        |         split_part(machineId, '/', 3) AS lineId, status
+        |  FROM telemetry)
+        |SELECT coalesce(locationId, 'ALL') AS locationId,
+        |       coalesce(lineId, 'ALL') AS lineId,
+        |       count(*) AS n_events,
+        |       CAST(sum(CASE WHEN status = 'DOWN' THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+        |FROM h GROUP BY ROLLUP (locationId, lineId)""".stripMargin),
 
     "a9_census" -> (T +
       """SELECT count(DISTINCT machineId) AS n_machines,
