@@ -93,6 +93,42 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("streaming condensation == batch condensation on random series") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    forAll(rowsGen, n = 3) { rows =>
+      if (rows.nonEmpty) {
+        val end = start + 600
+        // batch reference: condense the same rows over the covered window
+        val rt = rows.map { case (ts, v) => ("STATUS_m/p", ts, v) }
+          .toDF("id", "messageTimestamp", "value")
+        val batch = MachineDetail.realTimeMachineData(rt, "m/p", start, end)
+          .as[(Long, String, String)].collect()
+          .filter(_._2 != "UNKNOWN") // streaming append emits only non-empty chunks
+          .map { case (chunk, status, _) => (chunk, status) }.toSet
+
+        val input = MemoryStream[(String, java.sql.Timestamp, String)]
+        val stream = input.toDF().toDF("machineId", "ts", "value")
+        val qname = s"parity_${math.abs(rows.hashCode)}"
+        val query = graft.streaming.StreamingCondense.condenseStatusStream(stream)
+          .writeStream.format("memory").queryName(qname).outputMode("append").start()
+        input.addData(rows.map { case (ts, v) =>
+          ("m/p", new java.sql.Timestamp(ts * 1000), v)
+        }: _*)
+        // sentinel far in the future finalizes every chunk
+        input.addData(("zz", new java.sql.Timestamp((end + 7200) * 1000), "UP"))
+        query.processAllAvailable()
+        query.stop()
+
+        val streamed = spark.table(qname)
+          .as[(String, Long, String)].collect()
+          .filter(r => r._1 == "m/p" && r._2 > MachineDetail.floorMinute(start) && r._2 <= end)
+          .map { case (_, chunk, status) => (chunk, status) }.toSet
+        assert(streamed == batch, s"stream/batch divergence on $rows")
+      }
+    }
+  }
+
   test("parse roundtrip: any >=2-token alias splits and rejoins losslessly") {
     val tokGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     forAll(Gen.choose(2, 5).flatMap(n => Gen.listOfN(n, tokGen))) { toks =>
