@@ -93,6 +93,19 @@ object PipelineQueries {
       TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text", n = 5)
     }),
 
+    // Corpus-level analytics over derived text metrics
+    "t4_corpus_stats" -> ((s, d) => {
+      val stats = Tables.documents(s, d).select(
+        col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      stats.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(col("quality").cast("decimal(18,6)")).cast("double").as("quality_sum"))
+    }),
+
     // Exact dedup by digest
     "d1_dedup_exact" -> ((s, d) => {
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
@@ -210,6 +223,24 @@ object PipelineQueries {
          |       ELSE list_min([ md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])
          |                       for i in range(1, len(t)-3) ]) END AS min_shingle_fp
          |FROM toks""".stripMargin,
+
+    "t4_corpus_stats" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id, source, lang, text,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |stats AS (
+         |  SELECT doc_id, source, lang,
+         |    len(t) AS n_tokens,
+         |    round((least(CAST(length(text) AS DOUBLE)/200.0, 1.0)
+         |         + least((CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.stopwordsEn)}, x))) AS DOUBLE)/len(t) END) * 5.0, 1.0)
+         |         + (CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/len(t) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+         |         ) / 3.0, 6) AS quality
+         |  FROM tt)
+         |SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS quality_sum
+         |FROM stats GROUP BY 1""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count

@@ -223,6 +223,24 @@ object MessageParser {
         "statusUpValues", "statusDownValues", "statusIdleValues")
   }
 
+  /** Typed view of classified messages — `Dataset[TagMessage]` for the
+   * places compile-time field checks help (streaming folds, tests).
+   * The parse stage itself stays DataFrame-typed because its columns
+   * are config-driven (SURVEY §1.2). */
+  def toTagMessages(classified: DataFrame): org.apache.spark.sql.Dataset[graft.model.TagMessage] = {
+    val spark = classified.sparkSession
+    import spark.implicits._
+    classified.select(
+      col("machineId"),
+      col("tag"),
+      col("value"),
+      col("quality"),
+      col("epoch_s").as("epochSeconds"),
+      col("isStatusMsg"),
+      col("isProductionCountMsg"),
+      col("machineStatus")).as[graft.model.TagMessage]
+  }
+
   /**
    * Real-time fact synthesis (P5/P6): keep status/production-count
    * messages only, synthesize the series key and TTL.

@@ -129,6 +129,17 @@ class MessageParserSpec extends SparkTestBase {
     assert(row == Row(false, false))
   }
 
+  test("typed view: classified messages as Dataset[TagMessage]") {
+    val cfg = Seq(("site/area/process/machine", "status", "pc", "u", "d", "i"))
+      .toDF("machineId", "statusTag", "productionCountTag",
+        "statusUpValues", "statusDownValues", "statusIdleValues")
+    val ds = MessageParser.toTagMessages(
+      MessageParser.classify(parseOne(envelope()), cfg))
+    val m = ds.head()
+    assert(m == graft.model.TagMessage("site/area/process/machine", "status", "u",
+      "GOOD", 1614968170L, isStatusMsg = true, isProductionCountMsg = false, Some("UP")))
+  }
+
   test("moment X format: epoch-seconds timestamps parse strictly") {
     val epochFmt = MessageFormatConfig(id = "EPOCH", timestampFormat = "X")
     val ok = parseOne(envelope(ts = "1614968170"), Seq(epochFmt))
