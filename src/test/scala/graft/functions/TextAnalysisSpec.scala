@@ -23,6 +23,12 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(empty <= 0.34)
   }
 
+  test("punctuation ratio counts punctuation chars only") {
+    assert(one(TextAnalysis.punctRatio(lit("ab, cd."))).getDouble(0) == 2.0 / 7.0)
+    assert(one(TextAnalysis.punctRatio(lit(""))).getDouble(0) == 0.0)
+    assert(one(TextAnalysis.punctRatio(lit("no punct here"))).getDouble(0) == 0.0)
+  }
+
   test("language id picks the dominant stopword profile") {
     assert(one(TextAnalysis.languageId(lit("the cat of the house and a dog is here"))).getString(0) == "en")
     assert(one(TextAnalysis.languageId(lit("le chat de la maison et les chiens"))).getString(0) == "fr")
