@@ -16,5 +16,8 @@ class EntrySmokeSpec extends SparkTestBase {
     }
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
+    // every query is oracle-backed except the documented rows-only set
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("n3_ann_ivf"), s"unexpected rows-only queries: $rowsOnly")
   }
 }
