@@ -130,12 +130,20 @@ object Similarity {
    * Output: (query_id, neighbor_id, cosine, rank).
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8, multiProbe: Boolean = false): DataFrame = {
     def sig(c: Column) = Dedup.hyperplaneSignature(c, dim, planes)
     val bucketed = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("_cv"), sig(col("embedding")).as("_sig"))
+    // multi-probe: each query also visits the `planes` buckets at
+    // Hamming distance 1 from its own (one sign bit flipped) — the
+    // standard recall lever that costs probes, not an extra corpus
+    // pass: the query side stays broadcast-sized (|Q| × (planes+1)).
+    val probeSigs =
+      if (!multiProbe) array(sig(col("embedding")))
+      else array(sig(col("embedding")) +:
+        (0 until planes).map(p => sig(col("embedding")).bitwiseXOR(lit(1L << p))): _*)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("_qv"), sig(col("embedding")).as("_sig")))
+      col("embedding").as("_qv"), explode(probeSigs).as("_sig")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     bucketed.join(q, Seq("_sig"))

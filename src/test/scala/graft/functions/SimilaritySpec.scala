@@ -47,6 +47,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(lsh.intersect(bfTop).size >= lsh.size / 2)
   }
 
+  test("multi-probe LSH raises recall vs single-bucket probing") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(multi: Boolean): Double = {
+      val hits = Similarity.lshTopK(emb, queries, 5, dim = 64, planes = 6, multiProbe = multi)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      hits.intersect(bf).size.toDouble / bf.size
+    }
+    val single = recall(multi = false)
+    val multi = recall(multi = true)
+    assert(multi >= single, s"multi-probe $multi < single $single")
+    assert(multi > 0.2, s"multi-probe recall $multi")
+  }
+
   test("IVF top-k: high recall vs brute force at nProbe=4/16 on real embeddings") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 5)

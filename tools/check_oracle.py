@@ -29,7 +29,10 @@ if "--skip-verify" not in sys.argv:
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    # driver data is a single file; Spark-generated scale data is a directory
+    src = f"{SF}/{t}.parquet"
+    pattern = f"{src}/*.parquet" if Path(src).is_dir() else src
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
 
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 
