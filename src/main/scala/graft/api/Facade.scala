@@ -36,10 +36,16 @@ object Facade {
 
   def getUiReferenceItems(uiRef: DataFrame): DataFrame = uiRef
 
-  /** getRealTimeMachineData — the condensation query (SURVEY §3.2). */
+  /** getRealTimeMachineData — the condensation query (SURVEY §3.2),
+   * with the reference's request validation
+   * (machine-detail.ts:121-145): positive timestamps, non-blank id. */
   def getRealTimeMachineData(realTime: DataFrame, machineId: String,
-      startTimestamp: Long, endTimestamp: Long): DataFrame =
+      startTimestamp: Long, endTimestamp: Long): DataFrame = {
+    require(startTimestamp > 0, s"startTimestamp ($startTimestamp) must be a valid unix timestamp")
+    require(endTimestamp > 0, s"endTimestamp ($endTimestamp) must be a valid unix timestamp")
+    require(machineId != null && machineId.trim.nonEmpty, "id was not passed")
     MachineDetail.realTimeMachineData(realTime, machineId, startTimestamp, endTimestamp)
+  }
 
   private def keyMatch(id: String, itemType: String) =
     col("id") === id && col("type") === itemType

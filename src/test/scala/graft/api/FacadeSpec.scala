@@ -58,6 +58,14 @@ class FacadeSpec extends SparkTestBase {
       .getAs[String]("machineStatusTagName") == null)
   }
 
+  test("getRealTimeMachineData validates its request (machine-detail.ts:121-145)") {
+    val rt = Seq(("STATUS_m1", 100L, "UP")).toDF("id", "messageTimestamp", "value")
+    assert(Facade.getRealTimeMachineData(rt, "m1", 60, 120).count() == 1)
+    intercept[IllegalArgumentException] { Facade.getRealTimeMachineData(rt, " ", 60, 120) }
+    intercept[IllegalArgumentException] { Facade.getRealTimeMachineData(rt, "m1", 0, 120) }
+    intercept[IllegalArgumentException] { Facade.getRealTimeMachineData(rt, "m1", 60, 0) }
+  }
+
   test("updateMachineName renames existing UI reference rows") {
     val uiRef = Seq(("m1", "MACHINE", null: String), ("l1", "LINE", "Line 1"))
       .toDF("id", "type", "name")
