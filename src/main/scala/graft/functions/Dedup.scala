@@ -37,6 +37,25 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(TextAnalysis.tokens(text), n)
 
+  /** Character n-gram shingles from a MATERIALIZED whitespace-normalized
+   * text column — the right unit for scripts without whitespace word
+   * boundaries (CJK) or for whitespace-insensitive matching. Same
+   * distinct-set semantics as word shingles, so the sets drop into the
+   * same jaccard/minhash machinery. */
+  def charShinglesFromNormalized(t: Column, n: Int): Column =
+    array_distinct(
+      when(length(t) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n)))))
+
+  /** (doc_id, char-shingle set), staged + persisted like [[shingleSets]]. */
+  def charShingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(keyCol).as("doc_id"),
+      regexp_replace(col(textCol), "\\s+", " ").as("_t"))
+      .select(col("doc_id"), charShinglesFromNormalized(col("_t"), n).as("sh_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /**
    * Exact dedup by content digest: one row per distinct text with the
    * (minimal) representative key and the duplicate count.

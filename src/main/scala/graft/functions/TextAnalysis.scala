@@ -45,6 +45,14 @@ object TextAnalysis {
   /** English stopwords used by the quality score and language ID. */
   val stopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Repetition ratio: 1 − distinct/total tokens — the boilerplate /
+   * repeated-line quality signal (0 = no repetition). */
+  def repetitionRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+  }
+
   /** Ratio of tokens that are stopwords — a standard quality signal. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column = {
     val t = tokens(text)

@@ -68,6 +68,18 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
   }
 
+  test("inverted-index join is an equi-join, never a cartesian product (D2)") {
+    val p = plan("d2_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("hierarchy rollup computes all grouping levels in one pass (X1)") {
+    val p = plan("x1_hierarchy_rollup")
+    assert(p.contains("Expand")) // ROLLUP via Expand, not per-level rescans
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p.take(600))
+  }
+
   test("codegen'd FloatVecDot is in the plan, not interpreted lambdas (N1)") {
     val p = plan("n1_ann_bruteforce")
     assert(p.contains("floatvecdot") || p.contains("FloatVecDot"), p.take(800))

@@ -68,6 +68,16 @@ class DedupSpec extends SparkTestBase {
     assert(guarded.subsetOf(unguarded))
   }
 
+  test("char shingles: whitespace-normalized n-grams; works for unsegmented text") {
+    val sets = Dedup.charShingleSets(
+      Seq((0L, "机器停机监控"), (1L, "机器停机监视"), (2L, "abc  def")).toDF("doc_id", "text"),
+      "doc_id", "text", 3)
+    val m = sets.as[(Long, Seq[String])].collect().toMap
+    assert(m(0L).contains("机器停") && m(0L).size == 4)
+    assert(m(0L).intersect(m(1L)).size == 3) // near-dup CJK strings share 3-grams
+    assert(m(2L).contains("c d")) // runs of whitespace collapse to one space
+  }
+
   test("dedupPipeline: exact clones collapsed before LSH, pairs expanded back") {
     val out = Dedup.dedupPipeline(docs, "doc_id", "text", n = 5, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -23,6 +23,12 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(empty <= 0.34)
   }
 
+  test("repetition ratio: 0 for all-distinct, rises with repeats") {
+    assert(one(TextAnalysis.repetitionRatio(lit("a b c d"))).getDouble(0) == 0.0)
+    assert(one(TextAnalysis.repetitionRatio(lit("a a a a"))).getDouble(0) == 0.75)
+    assert(one(TextAnalysis.repetitionRatio(lit(""))).getDouble(0) == 0.0)
+  }
+
   test("punctuation ratio counts punctuation chars only") {
     assert(one(TextAnalysis.punctRatio(lit("ab, cd."))).getDouble(0) == 2.0 / 7.0)
     assert(one(TextAnalysis.punctRatio(lit(""))).getDouble(0) == 0.0)
