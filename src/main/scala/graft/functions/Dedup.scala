@@ -87,8 +87,14 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, keyCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
+      maxShingleFreq: Option[Int] = None): DataFrame =
+    jaccardPairsFromSets(shingleSets(df, keyCol, textCol, n), threshold, maxShingleFreq)
+
+  /** Generic Jaccard near-dup over ANY (doc_id, sh_set) table — word
+   * shingles ([[shingleSets]]), char shingles ([[charShingleSets]]),
+   * or caller-provided feature sets share the same machinery. */
+  def jaccardPairsFromSets(sets: DataFrame, threshold: Double,
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sets = shingleSets(df, keyCol, textCol, n)
     val fullIdx = sets.select(col("doc_id"), explode(col("sh_set")).as("shingle"))
     maxShingleFreq match {
       case None =>

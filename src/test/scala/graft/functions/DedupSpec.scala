@@ -76,6 +76,10 @@ class DedupSpec extends SparkTestBase {
     assert(m(0L).contains("机器停") && m(0L).size == 4)
     assert(m(0L).intersect(m(1L)).size == 3) // near-dup CJK strings share 3-grams
     assert(m(2L).contains("c d")) // runs of whitespace collapse to one space
+    // the generic jaccard machinery accepts char-shingle sets directly
+    val pairs = Dedup.jaccardPairsFromSets(sets, threshold = 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // 3/5 shared 3-grams = 0.428...
   }
 
   test("dedupPipeline: exact clones collapsed before LSH, pairs expanded back") {
