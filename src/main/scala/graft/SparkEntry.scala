@@ -63,10 +63,16 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
-    // P7: filter + projection pushdown (range predicate on scan)
+    // P7: filter + projection pushdown (range predicate on scan).
+    // messageTimestamp is DERIVED (ts div 1e9) so its range can't reach
+    // the scan; the equivalent coarse range on the raw ts column is the
+    // pushable conjunct (the 100 TB partition-prune + residual-filter
+    // pattern). ts >= a*1e9 AND ts < (b+1)*1e9 ⟺ ts div 1e9 IN [a, b].
     "p7_range_scan" -> ((s, d) => {
       Tables.realTime(s, d)
-        .filter(col("id") === "STATUS_site1/area1/line1/m1" &&
+        .filter(col("ts_ns") >= CondenseStart * 1000000000L &&
+          col("ts_ns") < (CondenseEnd + 1) * 1000000000L &&
+          col("id") === "STATUS_site1/area1/line1/m1" &&
           col("messageTimestamp").between(CondenseStart, CondenseEnd))
         .select(col("messageTimestamp"), col("value"), col("event_id"))
     }),

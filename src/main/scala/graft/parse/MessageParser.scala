@@ -56,9 +56,13 @@ object MessageParser {
         strictTimestamp(m.getField(f.timestampKey), f.timestampFormat).as("ts")))
 
   /** Per-envelope validity over a NORMALIZED messages column —
-   * the single definition shared by parse() and rejects(). */
+   * the single definition shared by parse() and rejects().
+   * A present-but-EMPTY messages array IS a format match (the
+   * reference's per-message loop never runs and the matcher returns
+   * true, machine-data-parser.ts:105-148) — it simply yields zero
+   * messages; only a missing/non-array key fails the format. */
   private def validityOf(norm: Column, f: MessageFormatConfig): Column =
-    norm.isNotNull && size(norm) > 0 && forall(norm, m =>
+    norm.isNotNull && forall(norm, m =>
       nonBlank(m.getField("alias")) &&
         nonBlank(m.getField("quality")) &&
         nonBlank(m.getField("value")) &&
@@ -67,13 +71,17 @@ object MessageParser {
 
   /** Strict timestamp parse: null on mismatch (moment(.., true) parity).
    * moment's X/x (epoch seconds/millis) aren't java.time patterns and
-   * get a numeric-literal special case. */
+   * get a numeric-literal special case. Formats with Z/ZZ offsets try
+   * the colon (XXX) then compact (XX) offset shape — moment's offset
+   * regex strictly accepts both. */
   def strictTimestamp(c: Column, momentFmt: String): Column =
     if (MomentFormat.isEpochSeconds(momentFmt))
       when(c.rlike("^-?\\d{1,18}$"), timestamp_seconds(c.cast("long")))
     else if (MomentFormat.isEpochMillis(momentFmt))
       when(c.rlike("^-?\\d{1,18}$"), timestamp_millis(c.cast("long")))
-    else try_to_timestamp(c, lit(MomentFormat.toJavaTime(momentFmt)))
+    else MomentFormat.toJavaTimeVariants(momentFmt)
+      .map(f => try_to_timestamp(c, lit(f)))
+      .reduce(coalesce(_, _))
 
   /** base64 → utf8 JSON string (S2 / F1). */
   def decodeBase64(c: Column): Column = unbase64(c).cast(StringType)

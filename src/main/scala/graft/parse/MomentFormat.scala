@@ -40,9 +40,12 @@ object MomentFormat {
     "SSS" -> "SSS",
     "SS" -> "SS",
     "S" -> "S",
-    // moment: Z parses "+00:00" style, ZZ parses both "+0000" and
-    // "+00:00". The reference's seeded data uses the colon form
-    // (FIXTURES.md §1), so both map to XXX (colon offset).
+    // moment parses Z and ZZ with the same offset regex — "+00:00",
+    // "+0000" and literal "Z" all match strictly. java.time has no
+    // single pattern letter for both offset shapes, so the primary
+    // translation is XXX (colon form — what the reference's seeded
+    // data uses, FIXTURES.md §1) and toJavaTimeVariants adds an XX
+    // (compact form) fallback tried via coalesce at parse time.
     "ZZ" -> "XXX",
     "Z" -> "XXX",
     "A" -> "a",
@@ -77,5 +80,19 @@ object MomentFormat {
       }
     }
     sb.toString
+  }
+
+  /**
+   * All java.time patterns a moment format may strictly match:
+   * the primary translation, plus a compact-offset (XX) variant when
+   * the format carries a Z/ZZ token — moment accepts "+0000" where
+   * java's XXX requires "+00:00". Callers try the variants in order
+   * (MessageParser.strictTimestamp coalesces them per row).
+   */
+  def toJavaTimeVariants(momentFmt: String): Seq[String] = {
+    val primary = toJavaTime(momentFmt)
+    // XXX only ever comes from the Z/ZZ translation above
+    val compact = primary.replace("XXX", "XX")
+    if (compact == primary) Seq(primary) else Seq(primary, compact)
   }
 }

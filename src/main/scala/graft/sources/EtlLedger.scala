@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
  * warehouse exactly once; re-running the ETL is a no-op for days
  * already in the ledger.
  *
- * The ledger is committed AFTER the warehouse append — a crash between
- * append and commit replays the day, so the warehouse append must be
- * idempotent at the orchestration level (overwrite the day's output
- * partition, or dedupe downstream); this mirrors the reference's
- * bookmark-after-write ordering (job.commit() as the last step).
+ * The ledger is committed AFTER the warehouse write — a crash between
+ * write and commit replays the day, which is safe because
+ * Warehouse.runDailyEtl writes with DYNAMIC partition overwrite: the
+ * replay overwrites that day's partitions instead of appending
+ * duplicates. This mirrors the reference's bookmark-after-write
+ * ordering (job.commit() as the last step).
  */
 object EtlLedger {
 

@@ -42,16 +42,41 @@ object RealTimeStore {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
-  /** Compact away expired rows (run periodically; read-time filtering
-   * uses the same predicate via IngestPipeline.compactExpired). */
+  /**
+   * Compact away expired rows (run periodically; read-time filtering
+   * uses the same predicate via IngestPipeline.compactExpired).
+   *
+   * Stage-then-swap, no caching: live rows stream from the current
+   * table into a `_compacting` table (different location — no
+   * read/write overlap, nothing pinned in memory), then the swap
+   * renames current aside, promotes the staged table, and only then
+   * drops the old data. A crash at ANY step leaves a complete copy of
+   * the data under `table`, `table_precompact`, or `table_compacting`
+   * — never a window with no table (the failure mode of the previous
+   * DROP-then-RENAME).
+   */
   def compact(spark: SparkSession, table: String, nowEpochS: Long, buckets: Int = 32): Unit = {
-    val live = graft.streaming.IngestPipeline.compactExpired(spark.table(table), nowEpochS)
-      .cache()
-    live.count() // materialize before overwrite reads the same table
+    stageCompacted(spark, table, nowEpochS, buckets)
+    swapCompacted(spark, table)
+  }
+
+  /** Step 1: write live rows to `<table>_compacting` (original untouched;
+   * a stale staging table from a prior crash is replaced). */
+  private[sources] def stageCompacted(spark: SparkSession, table: String,
+      nowEpochS: Long, buckets: Int): Unit = {
     val tmp = table + "_compacting"
-    write(live, tmp, buckets)
-    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    write(graft.streaming.IngestPipeline.compactExpired(spark.table(table), nowEpochS),
+      tmp, buckets)
+  }
+
+  /** Step 2: old → `<table>_precompact`, staged → `table`, drop old. */
+  private[sources] def swapCompacted(spark: SparkSession, table: String): Unit = {
+    val tmp = table + "_compacting"
+    val old = table + "_precompact"
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    live.unpersist()
+    spark.sql(s"DROP TABLE $old")
   }
 }

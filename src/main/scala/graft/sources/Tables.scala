@@ -55,6 +55,10 @@ object Tables {
         lit("/m"), col("user_id").cast("string")).as("machineId"),
       expr("ts div 1000000000").as("es"),
       expr("ts div 1000").as("ts_us"),
+      // raw nanos passthrough: the ONLY physical time column, so range
+      // predicates phrased on it reach the parquet scan as
+      // PushedFilters (P7's coarse-range + residual pattern)
+      col("ts").as("ts_ns"),
       timestamp_micros(expr("ts div 1000")).as("timestamp"),
       when(col("event_type") === "error", "DOWN")
         .when(col("event_type").isin("purchase", "click"), "UP")
@@ -71,6 +75,7 @@ object Tables {
       |  '/line' || CAST(user_id % 4 AS VARCHAR) || '/m' || CAST(user_id AS VARCHAR) AS machineId,
       |  epoch_ns(ts) // 1000000000 AS es,
       |  epoch_ns(ts) // 1000 AS ts_us,
+      |  epoch_ns(ts) AS ts_ns,
       |  CASE event_type WHEN 'error' THEN 'DOWN'
       |       WHEN 'purchase' THEN 'UP' WHEN 'click' THEN 'UP'
       |       ELSE 'IDLE' END AS status,
@@ -90,18 +95,18 @@ object Tables {
       concat(lit("STATUS_"), col("machineId")).as("id"),
       col("es").as("messageTimestamp"),
       col("status").as("value"),
-      col("ts_us"), col("event_id"))
+      col("ts_us"), col("ts_ns"), col("event_id"))
     val prod = t.select(
       concat(lit("PRODUCTION_COUNT_"), col("machineId")).as("id"),
       col("es").as("messageTimestamp"),
       col("cnt").cast("string").as("value"),
-      col("ts_us"), col("event_id"))
+      col("ts_us"), col("ts_ns"), col("event_id"))
     status.unionByName(prod)
   }
 
   /** DuckDB mirror of [[realTime]] (expects a `telemetry` CTE in scope). */
   val realTimeSql: String =
-    """SELECT 'STATUS_' || machineId AS id, es AS messageTimestamp, status AS value, ts_us, event_id FROM telemetry
+    """SELECT 'STATUS_' || machineId AS id, es AS messageTimestamp, status AS value, ts_us, ts_ns, event_id FROM telemetry
       |UNION ALL
-      |SELECT 'PRODUCTION_COUNT_' || machineId AS id, es AS messageTimestamp, CAST(cnt AS VARCHAR) AS value, ts_us, event_id FROM telemetry""".stripMargin
+      |SELECT 'PRODUCTION_COUNT_' || machineId AS id, es AS messageTimestamp, CAST(cnt AS VARCHAR) AS value, ts_us, ts_ns, event_id FROM telemetry""".stripMargin
 }

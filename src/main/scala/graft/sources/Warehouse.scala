@@ -99,8 +99,14 @@ object Warehouse {
     spark.sql(s"MSCK REPAIR TABLE $table")
   }
 
-  /** One nightly ETL run: read day partition → normalize → append.
-   * Returns rows written (0 = no new data). */
+  /** One nightly ETL run: read day partition → normalize → write.
+   * Returns rows written (0 = no new data).
+   *
+   * The write is a DYNAMIC partition overwrite (replaces only the day
+   * partitions present in this run's output), so replaying a day —
+   * e.g. after a crash between this write and the ledger commit
+   * (EtlLedger.runIncremental) — overwrites rather than duplicates.
+   * This is the idempotence the reference gets from Glue bookmarks. */
   def runDailyEtl(spark: SparkSession, rawPath: String, warehousePath: String,
       formats: Seq[MessageFormatConfig], year: Int, month: Int, day: Int): Long = {
     val rawDay = readRawDay(spark, rawPath, year, month, day)
@@ -112,7 +118,8 @@ object Warehouse {
       try {
         val n = normalized.count()
         if (n > 0) {
-          normalized.write.mode(SaveMode.Append)
+          normalized.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("year", "month", "day")
             .parquet(warehousePath)
         }

@@ -42,8 +42,11 @@ object IngestPipeline {
    * update. Pure function — unit-testable without a stream. */
   def foldStatus(machineId: String, msgs: Iterator[StatusMsg],
       state: GroupState[String]): Iterator[StatusUpdate] = {
-    // ts-ascending, last wins (index.ts:165-175; comparator :347-351)
-    val sorted = msgs.toSeq.sortBy(_.epochSeconds)
+    // ts-ascending, last wins (index.ts:165-175; comparator :347-351).
+    // Iterator order after a shuffle is not arrival order, so equal
+    // timestamps tie-break on status for a deterministic winner
+    // (same rule as the batch fold and UiReferenceStore.merge).
+    val sorted = msgs.toSeq.sortBy(m => (m.epochSeconds, m.machineStatus))
     sorted.lastOption match {
       case Some(last) =>
         val prev = state.getOption
@@ -95,6 +98,15 @@ object IngestPipeline {
    * mutation is emitted ONLY on transition — the merged
    * machineStatusUpdatedTimestamp is the transition time, not the
    * latest observation time (index.ts:177-191).
+   *
+   * First-sight machines (index.ts:50-57, 154-163, 358-378): when
+   * `registerMachines` is given, every machineId seen in the batch that
+   * is absent from `loadState()` is handed to it BEFORE facts/statuses
+   * are written — the callback creates the empty MACHINE_CONFIG row
+   * (Facade.autocreateMachineConfigs) and the UI-reference MACHINE row
+   * (UiReferenceStore.ensureMachines), mirroring createMachineConfigs
+   * + the UI_REFERENCE_DATA insert. Newness is judged against the
+   * UI-reference state, exactly as the reference does.
    */
   def runIngest(
       stream: DataFrame,
@@ -103,13 +115,26 @@ object IngestPipeline {
       appendFacts: DataFrame => Unit,
       mergeStatuses: Dataset[StatusUpdate] => Unit,
       loadState: () => DataFrame = null,
-      expirationHours: Int = 24)(implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery = {
+      expirationHours: Int = 24,
+      registerMachines: DataFrame => Unit = null)(implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery = {
     import spark.implicits._
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (formats, machineConfigs) = loadConfigs() // per-batch hot reload
         val classified = parseBatch(batch, payloadCol, formats, machineConfigs)
+        if (registerMachines != null) {
+          // any parsed message from an unseen machine triggers creation
+          // (index.ts:53-57 filters on UI_REFERENCE_DATA membership)
+          val batchIds = classified.filter(col("machineId").isNotNull)
+            .select(col("machineId")).distinct()
+          val newIds = Option(loadState).map(_.apply()) match {
+            case Some(state) =>
+              batchIds.join(state.select(col("machineId")), Seq("machineId"), "left_anti")
+            case None => batchIds
+          }
+          registerMachines(newIds)
+        }
         appendFacts(MessageParser.toRealTime(classified, expirationHours))
         val statusMsgs = classified
           .filter(col("isStatusMsg") && col("machineStatus").isNotNull)
@@ -117,7 +142,8 @@ object IngestPipeline {
           .as[StatusMsg]
         val folded = statusMsgs.groupByKey(_.machineId)
           .mapGroups { (mid, it) =>
-            val last = it.toSeq.maxBy(_.epochSeconds)
+            // deterministic last-wins: same (ts, status) tie-break as foldStatus
+            val last = it.toSeq.maxBy(m => (m.epochSeconds, m.machineStatus))
             StatusUpdate(mid, last.machineStatus, last.epochSeconds)
           }
         // change suppression against current reference state

@@ -29,7 +29,11 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
 
   test("range-scan predicate pushes to the parquet scan (P7)") {
     val p = plan("p7_range_scan")
-    assert(p.contains("PushedFilters") && p.contains("user_id"), p.take(800))
+    // the coarse time-range bounds on the raw ts column must reach the
+    // scan as pushed filters (not merely survive as a post-scan Filter)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(ts,1704067200000000000"), pushed.take(800))
+    assert(pushed.contains("LessThan(ts,"), pushed.take(800))
   }
 
   test("filter + projection pushdown on lineitem (q2)") {

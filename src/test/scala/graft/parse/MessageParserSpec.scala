@@ -43,6 +43,11 @@ class MessageParserSpec extends SparkTestBase {
     assert(rows == Set("100", "true"))
   }
 
+  test("ZZ offset: compact +0000 parses to the same instant as +00:00") {
+    val compact = parseOne(envelope(ts = "2021-03-05 18:16:10.517000+0000"))
+    assert(compact.select("epoch_s").as[Long].head() == 1614968170L)
+  }
+
   test("strict timestamp: wrong format rejected (moment strict parity)") {
     assert(parseOne(envelope(ts = "2021-03-05 18:16:10")).count() == 0)
     assert(parseOne(envelope(ts = "2021/03/05 18:16:10.517000+00:00")).count() == 0)
@@ -56,9 +61,14 @@ class MessageParserSpec extends SparkTestBase {
     assert(parseOne(envelope(alias = "machine-no-delimiter")).count() == 0)
   }
 
-  test("rejection: not an array / empty messages / bad JSON") {
+  test("rejection: not an array / bad JSON; empty messages matches with zero rows") {
     assert(parseOne("""{"messages": 5}""").count() == 0)
+    // an empty array IS a format match (machine-data-parser.ts:105-148:
+    // the per-message loop never runs) — it parses to zero messages and
+    // must NOT land in the reject side-channel
     assert(parseOne("""{"messages": []}""").count() == 0)
+    assert(MessageParser.rejects(
+      Seq("""{"messages": []}""").toDF("payload"), col("payload"), Seq(default)).count() == 0)
     assert(parseOne("""not json at all""").count() == 0)
   }
 

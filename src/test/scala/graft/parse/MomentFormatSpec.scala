@@ -11,4 +11,9 @@ class MomentFormatSpec extends AnyFunSuite {
     assert(MomentFormat.toJavaTime("YYYY[T]HH") == "yyyy'T'HH")
     assert(MomentFormat.toJavaTime("DD/MM/YY") == "dd/MM/yy")
   }
+  test("Z/ZZ formats get a compact-offset fallback variant") {
+    assert(MomentFormat.toJavaTimeVariants("YYYY-MM-DD HH:mm:ss.SSSSSSZZ")
+      == Seq("yyyy-MM-dd HH:mm:ss.SSSSSSXXX", "yyyy-MM-dd HH:mm:ss.SSSSSSXX"))
+    assert(MomentFormat.toJavaTimeVariants("DD/MM/YY") == Seq("dd/MM/yy"))
+  }
 }

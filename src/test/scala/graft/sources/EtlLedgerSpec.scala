@@ -38,4 +38,26 @@ class EtlLedgerSpec extends SparkTestBase {
     assert(third == Seq((2021, 3, 7)))
     assert(spark.read.parquet(s"$dir/wh").count() == 3)
   }
+
+  test("crash replay of a day overwrites its partition, never duplicates") {
+    val dir = Files.createTempDirectory("graft-ledger-replay").toString
+    def payload(ts: String): String = {
+      val json = s"""{"messages":[{"name":"a/b/status","quality":"GOOD","timestamp":"$ts","value":"u"}]}"""
+      java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
+    }
+    Warehouse.archiveRaw(
+      Seq((payload("2021-03-05 10:00:00.000000+00:00"), 1614938400L),
+        (payload("2021-03-05 11:00:00.000000+00:00"), 1614942000L))
+        .toDF("payload", "epoch_s"),
+      "payload", "epoch_s", s"$dir/raw")
+    val formats = Seq(MessageFormatConfig(id = "DEFAULT"))
+    // simulate "wrote the warehouse, crashed before commitDay": run the
+    // day ETL directly (no ledger), then the incremental orchestrator
+    // replays it because the ledger never recorded it
+    assert(Warehouse.runDailyEtl(spark, s"$dir/raw", s"$dir/wh", formats, 2021, 3, 5) == 2L)
+    val replayed = EtlLedger.runIncremental(spark, s"$dir/raw", s"$dir/wh", s"$dir/ledger", formats)
+    assert(replayed == Seq((2021, 3, 5)))
+    // dynamic partition overwrite: still exactly 2 rows, not 4
+    assert(spark.read.parquet(s"$dir/wh").count() == 2)
+  }
 }

@@ -40,7 +40,7 @@ class RealTimeStoreSpec extends SparkTestBase {
   }
 
   test("compaction drops expired rows and preserves layout") {
-    cleanup("graft_rt_compact", "graft_rt_compact_compacting")
+    cleanup("graft_rt_compact", "graft_rt_compact_compacting", "graft_rt_compact_precompact")
     val rows = Seq(
       ("STATUS_m1", 100L, "UP", 1000L),
       ("STATUS_m1", 200L, "DOWN", 99999L),
@@ -54,6 +54,28 @@ class RealTimeStoreSpec extends SparkTestBase {
     // still a bucketed table after compaction
     val desc = spark.sql("DESCRIBE EXTENDED graft_rt_compact").collect().mkString
     assert(desc.contains("Num Buckets") || desc.contains("bucket"), desc.take(400))
+    // staging/backup tables are gone after a clean compact
+    assert(!spark.catalog.tableExists("graft_rt_compact_compacting"))
+    assert(!spark.catalog.tableExists("graft_rt_compact_precompact"))
     spark.sql("DROP TABLE graft_rt_compact")
+  }
+
+  test("crash window: staged table present, original still intact and queryable") {
+    cleanup("graft_rt_crash", "graft_rt_crash_compacting", "graft_rt_crash_precompact")
+    val rows = Seq(
+      ("STATUS_m1", 100L, "UP", 1000L),
+      ("STATUS_m1", 200L, "DOWN", 99999L))
+      .toDF("id", "messageTimestamp", "value", "expirationTimestamp")
+    RealTimeStore.write(rows, "graft_rt_crash", buckets = 4)
+    // simulate a crash after staging, before the swap
+    RealTimeStore.stageCompacted(spark, "graft_rt_crash", nowEpochS = 5000, buckets = 4)
+    assert(spark.catalog.tableExists("graft_rt_crash_compacting"))
+    // original is untouched — full data, still readable
+    assert(RealTimeStore.read(spark, "graft_rt_crash").count() == 2)
+    // re-running compact from scratch recovers (stale staging replaced)
+    RealTimeStore.compact(spark, "graft_rt_crash", nowEpochS = 5000, buckets = 4)
+    assert(RealTimeStore.read(spark, "graft_rt_crash").count() == 1)
+    assert(!spark.catalog.tableExists("graft_rt_crash_compacting"))
+    spark.sql("DROP TABLE graft_rt_crash")
   }
 }

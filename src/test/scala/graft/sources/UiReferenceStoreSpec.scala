@@ -4,6 +4,7 @@ import graft.SparkTestBase
 import graft.model.MessageFormatConfig
 import graft.streaming.IngestPipeline
 import graft.streaming.IngestPipeline.StatusUpdate
+import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 class UiReferenceStoreSpec extends SparkTestBase {
@@ -20,8 +21,38 @@ class UiReferenceStoreSpec extends SparkTestBase {
     UiReferenceStore.merge(spark, path, newer)
 
     val state = UiReferenceStore.read(spark, path)
+      .select("machineId", "machineStatus", "machineStatusUpdatedTimestamp")
       .as[(String, String, Long)].collect().toSet
     assert(state == Set(("m1", "DOWN", 200L), ("m2", "DOWN", 110L)))
+  }
+
+  test("ensureMachines registers first-sight MACHINE rows idempotently; names survive merges") {
+    val path = Files.createTempDirectory("graft-uiref-fs").toString + "/state"
+    val ids = Seq("mA", "mB").toDF("machineId")
+    assert(UiReferenceStore.ensureMachines(spark, path, ids, nowEpochS = 500) == Seq("mA", "mB"))
+    // placeholder rows: type MACHINE, null name/status, creation ts
+    val rows = UiReferenceStore.read(spark, path)
+      .as[(String, String, Option[String], Option[String], Long)].collect().toSet
+    assert(rows == Set(("mA", "MACHINE", None, None, 500L), ("mB", "MACHINE", None, None, 500L)))
+    // re-registering (plus one genuinely new) creates only the new one
+    assert(UiReferenceStore.ensureMachines(spark, path,
+      Seq("mA", "mC").toDF("machineId"), nowEpochS = 600) == Seq("mC"))
+    assert(UiReferenceStore.read(spark, path).count() == 3)
+    // placeholders are excluded from hydration state
+    assert(UiReferenceStore.asInitialState(spark, path).collect().isEmpty)
+    // a real status (even with an older ts) beats the placeholder
+    UiReferenceStore.merge(spark, path, Seq(StatusUpdate("mA", "UP", 100)).toDS())
+    assert(UiReferenceStore.asInitialState(spark, path).collect().toSet == Set(("mA", "UP")))
+    // name upsert sticks through later status merges
+    UiReferenceStore.upsertName(spark, path, "mA", "Press 1")
+    UiReferenceStore.merge(spark, path, Seq(StatusUpdate("mA", "DOWN", 300)).toDS())
+    val mA = UiReferenceStore.read(spark, path).filter(col("machineId") === "mA")
+      .as[(String, String, Option[String], Option[String], Long)].head()
+    assert(mA == ("mA", "MACHINE", Some("Press 1"), Some("DOWN"), 300L))
+    // attribute_exists condition: renaming an unknown machine throws
+    intercept[IllegalArgumentException] {
+      UiReferenceStore.upsertName(spark, path, "ghost", "x")
+    }
   }
 
   test("file-source streaming ingest end-to-end: files → parse → facts + merged state") {

@@ -83,6 +83,66 @@ class IngestPipelineSpec extends SparkTestBase {
     assert(merges.toSeq == Seq(StatusUpdate("site/area/line/m1", "DOWN", 1614968170L)))
   }
 
+  test("first-sight machines: config + uiRef rows created once, never duplicated") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-firstsight").toString
+    val statePath = s"$dir/state"
+    val goodTs = "2021-03-05 18:16:10.517000+00:00"
+    def payload(machine: String, tag: String, value: String): String = {
+      val json = s"""{"messages":[{"name":"$machine/$tag","quality":"GOOD","timestamp":"$goodTs","value":"$value"}]}"""
+      java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
+    }
+    // config table starts with NO machine configs — machines are discovered
+    var config = Seq(("DEFAULT", "UI_REFERENCE_MAPPING"))
+      .toDF("id", "type")
+      .withColumn("machineStatusTagName", lit(null).cast("string"))
+    val machineConfigs = Seq(("s/a/l/m1", "status", "pc", "u", "d", "i"))
+      .toDF("machineId", "statusTag", "productionCountTag",
+        "statusUpValues", "statusDownValues", "statusIdleValues")
+
+    val input = MemoryStream[String]
+    val query = IngestPipeline.runIngest(
+      input.toDF().withColumnRenamed("value", "payload"),
+      "payload",
+      loadConfigs = () => (Seq(MessageFormatConfig(id = "DEFAULT")), machineConfigs),
+      appendFacts = _ => (),
+      mergeStatuses = ds => graft.sources.UiReferenceStore.merge(spark, statePath, ds),
+      loadState = () => graft.sources.UiReferenceStore.read(spark, statePath),
+      registerMachines = ids => {
+        // localize the ids (a real caller persists the config table;
+        // the lazy lineage would otherwise pin state files the next
+        // batch's atomic swap deletes)
+        val idList = ids.collect().map(_.getString(0)).toSeq
+        val updated = graft.api.Facade.autocreateMachineConfigs(config, idList.toDF("machineId"))
+        config = spark.createDataFrame(
+          java.util.Arrays.asList(updated.collect(): _*), updated.schema)
+        graft.sources.UiReferenceStore.ensureMachines(spark, statePath,
+          idList.toDF("machineId"), nowEpochS = 999)
+        ()
+      })
+
+    // batch 1: m1 appears for the first time (status msg)
+    input.addData(payload("s/a/l/m1", "status", "d"))
+    query.processAllAvailable()
+    // batch 2: m1 again (no dup) and m2 appears via a NON-status message
+    input.addData(payload("s/a/l/m1", "status", "d"), payload("s/a/l/m2", "temp", "9"))
+    query.processAllAvailable()
+    query.stop()
+
+    // config table: exactly one MACHINE_CONFIG row per discovered machine
+    val cfgRows = config.filter(col("type") === "MACHINE_CONFIG")
+      .select("id").as[String].collect().toSeq.sorted
+    assert(cfgRows == Seq("s/a/l/m1", "s/a/l/m2"))
+    // uiRef store: one MACHINE row each; m1 carries the merged status,
+    // m2 (never classified) stays a placeholder
+    val state = graft.sources.UiReferenceStore.read(spark, statePath)
+      .as[(String, String, Option[String], Option[String], Long)].collect().toSet
+    assert(state == Set(
+      ("s/a/l/m1", "MACHINE", None, Some("DOWN"), 1614968170L),
+      ("s/a/l/m2", "MACHINE", None, None, 999L)))
+  }
+
   test("TTL compaction retains only unexpired rows") {
     val rt = Seq(("STATUS_m", 100L, "UP", 1000L), ("STATUS_m", 200L, "DOWN", 2000L))
       .toDF("id", "messageTimestamp", "value", "expirationTimestamp")
