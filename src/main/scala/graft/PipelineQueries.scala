@@ -152,8 +152,10 @@ object PipelineQueries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 10, dim = 64, planes = 6)
     }),
 
-    // IVF ANN (KMeans coarse quantizer) — rows-only check: the
-    // clustering isn't SQL-expressible; recall asserted in tests
+    // IVF ANN (KMeans coarse quantizer). The fit isn't SQL-expressible,
+    // but it IS deterministic (fixed seed), so the oracle is GENERATED:
+    // Verify refits the same centroids and embeds them as literals
+    // (dynamicOracleSql below) — full rows+schema+hash check.
     "n3_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
@@ -395,6 +397,54 @@ object PipelineQueries {
         |FROM telemetry
         |QUALIFY row_number() OVER (PARTITION BY machineId, (es // 60) * 60
         |  ORDER BY ts_us DESC, event_id DESC) = 1""".stripMargin))
+
+  // ---- generated oracles (data-dependent constants) ----------------------
+
+  /**
+   * Oracles that depend on FITTED constants — generated per sf dir at
+   * Verify time. n3's KMeans fit is deterministic (fixed seed/iters/
+   * data), so refitting here yields the SAME centroids the query used;
+   * they're embedded as exact double literals (shortest-roundtrip
+   * repr), and every score uses the identical sequential double
+   * arithmetic as the Spark expressions (see Similarity.ivfTopKWith).
+   */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val centroids = Similarity.fitIvfCentroids(Tables.embeddings(spark, sfDir), nClusters = 16)
+    Map("n3_ann_ivf" -> ivfOracleSql(centroids, k = 10, nProbe = 4))
+  }
+
+  private def ivfOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): String = {
+    def fmt(d: Double) = d.toString // shortest repr that round-trips to the same double
+    def vec(c: Seq[Float]) = c.map(x => fmt(x.toDouble)).mkString("[", ", ", "]")
+    val rows = centroids.map { case (i, c) =>
+      val ccv = Similarity.sqSum(c)
+      s"($i, ${vec(c)}::DOUBLE[], ${fmt(ccv)}, ${fmt(math.sqrt(ccv))})"
+    }.mkString(",\n      ")
+    def vc(v: String, cvec: String) =
+      s"list_sum(list_transform(list_zip($v, $cvec), p -> p[1]::DOUBLE * p[2]))"
+    s"""WITH centroids(cell, cv, cc, sqrtcc) AS (
+       |  SELECT * FROM (VALUES
+       |      $rows) t),
+       |assigned AS (
+       |  SELECT e.vec_id AS neighbor_id, e.embedding, c.cell
+       |  FROM embeddings e CROSS JOIN centroids c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY (c.cc - 2 * ${vc("e.embedding", "c.cv")}) ASC, c.cell ASC) = 1),
+       |probes AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q CROSS JOIN centroids c
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY (${vc("q.embedding", "c.cv")} /
+       |      (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) * c.sqrtcc)) DESC,
+       |      c.cell ASC) <= $nProbe)
+       |SELECT p.query_id, a.neighbor_id,
+       |  ${cosSql("a.embedding", "p.qv")} AS cosine,
+       |  CAST(row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY ${cosSql("a.embedding", "p.qv")} DESC, a.neighbor_id) AS INTEGER) AS rank
+       |FROM assigned a JOIN probes p ON a.cell = p.cell
+       |WHERE p.query_id <> a.neighbor_id
+       |QUALIFY rank <= $k""".stripMargin
+  }
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -33,6 +33,39 @@ object SparkEntry {
   // Fixed condensation window: 2024-01-01 00:00:00 → 2024-01-08 00:00:00 UTC.
   private val CondenseStart = 1704067200L
   private val CondenseEnd = 1704672000L
+  // Incremental-refresh fixture (a4): the client first loads
+  // [start, mid], then refreshes from 10 minutes before mid — the
+  // overlap exercises chunk replacement (MachineDetail.tsx:79-91).
+  private val CondenseMid = CondenseStart + 302400L       // minute-aligned midpoint
+  private val RefreshStart = CondenseMid - 600L
+  private val CondenseMachine = "site1/area1/line1/m1"
+
+  /** Per-machine condensation as DuckDB CTEs named `<p>` (+ internals)
+   * — the oracle twin of MachineDetail.realTimeMachineData, emitted
+   * twice by a4 with different windows. */
+  private def condenseOneSql(p: String, machineId: String, startS: Long, endS: Long): String =
+    s"""${p}_inrange AS (
+       |  SELECT *, GREATEST(((messageTimestamp + 59) // 60) * 60, $startS + 60) AS chunk
+       |  FROM rt
+       |  WHERE id IN ('STATUS_$machineId', 'PRODUCTION_COUNT_$machineId')
+       |    AND messageTimestamp BETWEEN $startS AND $endS),
+       |${p}_status_last AS (
+       |  SELECT chunk, value FROM ${p}_inrange WHERE starts_with(id, 'STATUS_')
+       |  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY messageTimestamp DESC, value DESC) = 1),
+       |${p}_status_down AS (
+       |  SELECT chunk, max(CASE WHEN value = 'DOWN' THEN 1 ELSE 0 END) AS anyd
+       |  FROM ${p}_inrange WHERE starts_with(id, 'STATUS_') GROUP BY chunk),
+       |${p}_prod_last AS (
+       |  SELECT chunk, value FROM ${p}_inrange WHERE starts_with(id, 'PRODUCTION_COUNT_')
+       |  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY messageTimestamp DESC, value DESC) = 1),
+       |$p AS (
+       |  SELECT g.generate_series AS dataAsOfUTCUnixTimestamp,
+       |    COALESCE(CASE WHEN sd.anyd = 1 THEN 'DOWN' ELSE sl.value END, 'UNKNOWN') AS statusValue,
+       |    COALESCE(pl.value, '') AS productionCountValue
+       |  FROM generate_series(${startS + 60}, $endS, 60) g
+       |  LEFT JOIN ${p}_status_last sl ON sl.chunk = g.generate_series
+       |  LEFT JOIN ${p}_status_down sd ON sd.chunk = g.generate_series
+       |  LEFT JOIN ${p}_prod_last pl ON pl.chunk = g.generate_series)""".stripMargin
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
    * reference's `getRealTimeMachineData` over a full month for one
@@ -50,6 +83,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     coreOracles ++ PipelineQueries.oracleSql
+
+  /** Oracles whose SQL embeds data-dependent fitted constants (n3's
+   * KMeans centroids) — generated against a concrete sf dir; Verify
+   * merges these into oracle_sql.json. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    PipelineQueries.dynamicOracleSql(spark, sfDir)
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A-family: TPC-H-style pricing summary (hash agg, partial+final)
@@ -177,6 +216,17 @@ object SparkEntry {
     // A3+A4: interval condensation (the flagship query, all machines)
     "a3_condense" -> ((s, d) => {
       MachineDetail.condenseAll(Tables.realTime(s, d), CondenseStart, CondenseEnd)
+    }),
+
+    // A4 incremental: the dashboard's 60-second refresh cycle — prior
+    // view over [start, mid], re-condense from 10 min before mid to
+    // end, refreshed chunks replace overlapping priors (keep-new),
+    // lookback covers the whole window (MachineDetail.tsx:61-96).
+    "a4_condense_incremental" -> ((s, d) => {
+      val rt = Tables.realTime(s, d)
+      val prior = MachineDetail.realTimeMachineData(rt, CondenseMachine, CondenseStart, CondenseMid)
+      graft.api.Facade.refreshRealTimeMachineData(rt, CondenseMachine, prior,
+        lastChunkTimestamp = RefreshStart, endTimestamp = CondenseEnd, lookbackHours = 168)
     }),
 
     // A5: machines grouped by line (collect_list)
@@ -433,6 +483,14 @@ object SparkEntry {
          |LEFT JOIN status_last sl ON sl.mid = s.mid AND sl.chunk = s.chunk_ts
          |LEFT JOIN status_down sd ON sd.mid = s.mid AND sd.chunk = s.chunk_ts
          |LEFT JOIN prod_last pl ON pl.mid = s.mid AND pl.chunk = s.chunk_ts""".stripMargin),
+
+    "a4_condense_incremental" -> (T + ", " +
+      condenseOneSql("pri", CondenseMachine, CondenseStart, CondenseMid) + ",\n" +
+      condenseOneSql("ref", CondenseMachine, RefreshStart, CondenseEnd) + "\n" +
+      s"""SELECT dataAsOfUTCUnixTimestamp, statusValue, productionCountValue FROM pri
+         |WHERE dataAsOfUTCUnixTimestamp NOT IN (SELECT dataAsOfUTCUnixTimestamp FROM ref)
+         |UNION ALL
+         |SELECT dataAsOfUTCUnixTimestamp, statusValue, productionCountValue FROM ref""".stripMargin),
 
     "a5_machines_by_line" -> (T +
       """, m AS (SELECT DISTINCT machineId AS id FROM telemetry)

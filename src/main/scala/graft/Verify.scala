@@ -37,7 +37,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + generated ones (fitted constants, e.g. n3's
+    // KMeans centroids — deterministic refit against this sf dir)
+    val allOracles = SparkEntry.oracleSql ++
+      (try SparkEntry.dynamicOracleSql(spark, sfDir)
+       catch { case e: Throwable =>
+         System.err.println(s"[verify] dynamic oracle generation failed: ${e.getMessage}")
+         Map.empty[String, String] })
+    val json = allOracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -38,13 +38,37 @@ object Facade {
 
   /** getRealTimeMachineData — the condensation query (SURVEY §3.2),
    * with the reference's request validation
-   * (machine-detail.ts:121-145): positive timestamps, non-blank id. */
+   * (machine-detail.ts:121-145): positive timestamps, non-blank id,
+   * and `incrementalRefresh` REQUIRED (:142-144 — the request is
+   * rejected when absent; here the parameter's presence is enforced by
+   * the signature). The flag doesn't change the query result — it only
+   * gates the reference's page-load metric — but the refresh WORKFLOW
+   * it belongs to is [[refreshRealTimeMachineData]]. */
   def getRealTimeMachineData(realTime: DataFrame, machineId: String,
-      startTimestamp: Long, endTimestamp: Long): DataFrame = {
+      startTimestamp: Long, endTimestamp: Long, incrementalRefresh: Boolean): DataFrame = {
     require(startTimestamp > 0, s"startTimestamp ($startTimestamp) must be a valid unix timestamp")
     require(endTimestamp > 0, s"endTimestamp ($endTimestamp) must be a valid unix timestamp")
     require(machineId != null && machineId.trim.nonEmpty, "id was not passed")
     MachineDetail.realTimeMachineData(realTime, machineId, startTimestamp, endTimestamp)
+  }
+
+  /**
+   * The dashboard's incremental refresh (web-ui MachineDetail.tsx:
+   * 123-129 + 61-96): re-condense from the LAST chunk's timestamp to
+   * now, merge keep-new into the prior chunks, and age out chunks past
+   * the lookback window. `lastChunkTimestamp` is the most recent
+   * `dataAsOfUTCUnixTimestamp` the caller holds (the UI reads it off
+   * its chart state; passing it keeps this pure — no action on
+   * `priorChunks`).
+   */
+  def refreshRealTimeMachineData(realTime: DataFrame, machineId: String,
+      priorChunks: DataFrame, lastChunkTimestamp: Long, endTimestamp: Long,
+      lookbackHours: Int = 12): DataFrame = {
+    val refreshed = getRealTimeMachineData(realTime, machineId,
+      lastChunkTimestamp, endTimestamp, incrementalRefresh = true)
+    MachineDetail.mergeChunks(priorChunks, refreshed)
+      .filter(col("dataAsOfUTCUnixTimestamp") > endTimestamp - lookbackHours * 3600L)
+      .orderBy("dataAsOfUTCUnixTimestamp")
   }
 
   private def keyMatch(id: String, itemType: String) =

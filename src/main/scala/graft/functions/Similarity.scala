@@ -71,45 +71,81 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Σ x² over a float vector — the SEQUENTIAL double fold shared by
+   * the Spark expressions and the generated oracle literals. */
+  def sqSum(c: Seq[Float]): Double =
+    c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+
+  /**
+   * Fit the IVF coarse quantizer (KMeans, fixed seed/iterations) and
+   * return the centroids as (cell, float vector). Deterministic for a
+   * given corpus, so an external oracle generator can refit the SAME
+   * centroids and embed them as literals (Verify does exactly this for
+   * the n3 DuckDB oracle).
+   */
+  def fitIvfCentroids(corpus: DataFrame, nClusters: Int = 16,
+      seed: Long = 42L, maxIter: Int = 8): Seq[(Int, Seq[Float])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // coarse quantizer: cell boundaries don't need convergence, they
+    // need stability — few iterations, fixed seed
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features")
+      .fit(corpus.select(array_to_vector(col("embedding")).as("features")))
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
+  }
+
   /**
    * IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
    * corpus vector to a cell; each query probes only the `nProbe`
    * nearest cells. The classic trade: one clustering pass over the
    * corpus (done once, reusable), then per-query work scales with
    * nProbe/nClusters of the corpus. Results are exact cosine within
-   * probed cells. Not SQL-expressible (KMeans) ⇒ rows-only driver
-   * check; recall vs brute force is asserted in tests.
-   * Output: (query_id, neighbor_id, cosine, rank).
+   * probed cells. Output: (query_id, neighbor_id, cosine, rank).
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nClusters: Int = 16, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = corpus.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("features"))
-    // coarse quantizer: cell boundaries don't need convergence, they
-    // need stability — few iterations, fixed seed
-    val model = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(8)
-      .setFeaturesCol("features")
-      .fit(feats)
-    val assigned = model.transform(feats)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"),
-        col("prediction").as("_cell"))
+      nClusters: Int = 16, nProbe: Int = 2): DataFrame =
+    ivfTopKWith(corpus, queries, k, fitIvfCentroids(corpus, nClusters), nProbe)
 
-    // query → nProbe nearest centroids (centroid set is tiny: broadcast)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
-      .toDF("_cell", "_center")
+  /**
+   * IVF search against a FIXED centroid set.
+   *
+   * Cell assignment is a map-only `least`-of-structs over centroid
+   * LITERALS — no shuffle, no per-row model inference, stays in
+   * whole-stage codegen. The assignment score is the euclidean
+   * argmin with the per-row constant ‖v‖² dropped:
+   * `cc_i - 2·v·c_i` (exact-math equivalent ordering), computed with
+   * the same sequential double arithmetic the generated DuckDB oracle
+   * uses, so assignments — including fp near-ties — agree bit-for-bit
+   * across engines. Ties break on the lower cell index.
+   */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Int, Seq[Float])], nProbe: Int): DataFrame = {
+    val cc: Map[Int, Double] = centroids.map { case (i, c) => i -> sqSum(c) }.toMap
+
+    // corpus → cell: min over cells of (cc_i - 2·v·c_i, cell)
+    val assignScore = centroids.map { case (i, c) =>
+      struct((lit(cc(i)) - lit(2.0) * dot(col("embedding"), typedLit(c))).as("d"),
+        lit(i).as("cell"))
+    }
+    val assigned = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("_cv"),
+      least(assignScore: _*).getField("cell").as("_cell"))
+
+    // query → nProbe nearest cells by cosine (query side is tiny:
+    // explode the 16 per-cell scores and rank)
+    val probeScore = centroids.map { case (i, c) =>
+      struct((dot(col("_qv"), typedLit(c)) /
+        (sqrt(dot(col("_qv"), col("_qv"))) * lit(math.sqrt(cc(i))))).as("d"),
+        lit(i).as("cell"))
+    }
     val qcells = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("_d", dot(col("_qv"), col("_center")) /
-        (norm(col("_qv")) * norm(col("_center"))))
+      .select(col("query_id"), col("_qv"), explode(array(probeScore: _*)).as("_p"))
       .withColumn("_pr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("_d").desc, col("_cell"))))
+        Window.partitionBy(col("query_id")).orderBy(col("_p.d").desc, col("_p.cell"))))
       .filter(col("_pr") <= nProbe)
-      .select(col("query_id"), col("_qv"), col("_cell"))
+      .select(col("query_id"), col("_qv"), col("_p.cell").as("_cell"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -120,4 +120,19 @@ object MachineDetail {
       .drop("machineId")
       .orderBy("dataAsOfUTCUnixTimestamp")
   }
+
+  /**
+   * Incremental-refresh chunk merge — the dashboard's 60-second re-pull
+   * (web-ui MachineDetail.tsx:79-91): every refreshed chunk REPLACES
+   * the prior chunk with the same `dataAsOfUTCUnixTimestamp`; prior
+   * chunks outside the refreshed window survive. Declarative form of
+   * the UI's findIndex/splice/push loop: prior ANTI-JOIN refreshed on
+   * the chunk ts, union refreshed. The anti-join broadcasts (chunk sets
+   * are spine-sized — ≤720 rows for the 12 h dashboard lookback).
+   */
+  def mergeChunks(priorChunks: DataFrame, refreshedChunks: DataFrame): DataFrame =
+    priorChunks
+      .join(broadcast(refreshedChunks.select(col("dataAsOfUTCUnixTimestamp"))),
+        Seq("dataAsOfUTCUnixTimestamp"), "left_anti")
+      .unionByName(refreshedChunks)
 }

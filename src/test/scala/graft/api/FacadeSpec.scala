@@ -60,10 +60,31 @@ class FacadeSpec extends SparkTestBase {
 
   test("getRealTimeMachineData validates its request (machine-detail.ts:121-145)") {
     val rt = Seq(("STATUS_m1", 100L, "UP")).toDF("id", "messageTimestamp", "value")
-    assert(Facade.getRealTimeMachineData(rt, "m1", 60, 120).count() == 1)
-    intercept[IllegalArgumentException] { Facade.getRealTimeMachineData(rt, " ", 60, 120) }
-    intercept[IllegalArgumentException] { Facade.getRealTimeMachineData(rt, "m1", 0, 120) }
-    intercept[IllegalArgumentException] { Facade.getRealTimeMachineData(rt, "m1", 60, 0) }
+    assert(Facade.getRealTimeMachineData(rt, "m1", 60, 120, incrementalRefresh = false).count() == 1)
+    intercept[IllegalArgumentException] { Facade.getRealTimeMachineData(rt, " ", 60, 120, incrementalRefresh = false) }
+    intercept[IllegalArgumentException] { Facade.getRealTimeMachineData(rt, "m1", 0, 120, incrementalRefresh = false) }
+    intercept[IllegalArgumentException] { Facade.getRealTimeMachineData(rt, "m1", 60, 0, incrementalRefresh = false) }
+  }
+
+  test("incremental refresh: refreshed chunks replace prior ones, lookback ages out") {
+    // prior view computed at t=240 when the 180-chunk was still partial
+    val rtOld = Seq(("STATUS_m1", 70L, "UP"), ("STATUS_m1", 130L, "UP"))
+      .toDF("id", "messageTimestamp", "value")
+    val prior = Facade.getRealTimeMachineData(rtOld, "m1", 60, 240, incrementalRefresh = false)
+    // by refresh time, a DOWN arrived at 150 (inside the already-served
+    // 180-chunk) plus a new reading at 190
+    val rtNow = Seq(("STATUS_m1", 70L, "UP"), ("STATUS_m1", 130L, "UP"),
+      ("STATUS_m1", 150L, "DOWN"), ("STATUS_m1", 190L, "UP"))
+      .toDF("id", "messageTimestamp", "value")
+    // refresh from chunk 120 (overlapping the already-served 180/240
+    // chunks) so replacement semantics are observable
+    val merged = Facade.refreshRealTimeMachineData(rtNow, "m1", prior,
+      lastChunkTimestamp = 120, endTimestamp = 300, lookbackHours = 1)
+      .select("dataAsOfUTCUnixTimestamp", "statusValue")
+      .as[(Long, String)].collect().toSeq
+    // chunk 120 survives from prior; chunk 180 REPLACED by the refreshed
+    // value (sticky DOWN); chunks 240/300 come from the refresh window
+    assert(merged == Seq((120L, "UP"), (180L, "DOWN"), (240L, "UP"), (300L, "UNKNOWN")))
   }
 
   test("updateMachineName renames existing UI reference rows") {
