@@ -134,6 +134,15 @@ object PipelineQueries {
       Dedup.simhash16(Tables.documents(s, d), "doc_id", "text")
     }),
 
+    // Dup-cluster labeling: connected components over the Jaccard
+    // pair graph (min-label propagation, O(diameter) rounds)
+    "d7_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 5, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    }),
+
     // Embedding-cosine near-dup via hyperplane-LSH buckets
     "d5_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -160,6 +169,16 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
         nClusters = 16, nProbe = 4)
+    }),
+
+    // Deterministic stratified sampling: md5-gated per-stratum rates
+    // (integer-space compare — exact, rerun-stable, engine-portable)
+    "t5_stratified_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("stratum", when(col("n_chars") < 200, "short").otherwise("long"))
+      TextAnalysis.stratifiedSample(docs, col("doc_id").cast("string"), col("stratum"),
+        Map("short" -> 0.25, "long" -> 0.75), defaultRate = 0.5)
+        .select(col("doc_id"), col("stratum"))
     }),
 
     // Multimodal binary-column plumbing (metadata path; decode stub is
@@ -252,6 +271,19 @@ object PipelineQueries {
       s"""WITH $shingleCte,
          |${jaccardSql(0.5)}
          |SELECT doc_a, doc_b, jaccard FROM jac""".stripMargin,
+
+    "d7_dup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardSql(0.5)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |  UNION
+         |  SELECT doc_b, doc_a FROM jac),
+         |reach AS (
+         |  SELECT DISTINCT src AS a, src AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
 
     "d3_minhash_lsh" -> {
       // 32-bit base hash from the first 8 md5 hex chars (mirrors Dedup.md5Hash32)
@@ -390,6 +422,19 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+
+    "t5_stratified_sample" -> {
+      // mirrors Dedup.md5Hash32(CAST(doc_id AS VARCHAR)) < threshold
+      val h = (1 to 8).map { kk =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $kk, 1)) - 1) * ${math.pow(16, 8 - kk).toLong}"
+      }.mkString("(", " + ", ")")
+      val tShort = TextAnalysis.sampleThreshold(0.25)
+      val tLong = TextAnalysis.sampleThreshold(0.75)
+      s"""SELECT doc_id,
+         |  CASE WHEN n_chars < 200 THEN 'short' ELSE 'long' END AS stratum
+         |FROM documents
+         |WHERE $h < CASE WHEN n_chars < 200 THEN $tShort ELSE $tLong END""".stripMargin
+    },
 
     "j7_chunk_merge" -> (T +
       """SELECT machineId, (es // 60) * 60 AS chunk,

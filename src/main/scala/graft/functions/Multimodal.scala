@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: image/audio/video as opaque `binary`
  * columns with typed metadata, processed in partition-sized batches.
  *
- * The decode step itself is STUBBED (this container has no image/audio
- * codecs): [[decodeStub]] produces a deterministic fake feature vector
- * (a 16-bin byte histogram) so the Spark-side plumbing — schema,
- * batching, partitioning, feature shape — is real and testable. Swap
- * `decodeBytes` for a real codec (JNI/ONNX/FFmpeg) without touching
- * the plan shape.
+ * The image path is REAL: [[decodeImage]] decodes any `javax.imageio`
+ * format available in the JDK (PNG, BMP, GIF, JPEG) and emits
+ * dimension + per-channel-intensity features. Payloads that aren't a
+ * decodable image fall back to [[byteHistogram]], a deterministic
+ * 16-bin content fingerprint, so the pipeline is total over mixed/
+ * corrupt corpora (decode failures are data, not exceptions). Other
+ * modalities (audio/video codecs) stay behind the same seam — swap
+ * [[decodeBytes]]'s fallback for FFmpeg/ONNX without touching the
+ * plan shape.
  *
  * Scale notes: media rows are processed with `mapPartitions` so a real
  * decoder amortizes model/codec init per PARTITION (the JVM analogue
@@ -25,13 +28,43 @@ object Multimodal {
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int)
 
-  /** Extracted features: fixed-length vector + dims actually decoded. */
+  /** Extracted features: fixed-length vector + dims actually decoded.
+   * `decoded` separates real image decodes from fallback fingerprints. */
   final case class MediaFeatures(media_id: Long, kind: String,
-      n_bytes: Int, features: Array[Double])
+      n_bytes: Int, decoded: Boolean, features: Array[Double])
 
-  /** The stubbed per-item decoder: 16-bin byte histogram, L1-normalized.
-   * Deterministic stand-in for image decode + feature extraction. */
-  def decodeBytes(payload: Array[Byte]): Array[Double] = {
+  /** Image features: [width, height, nComponents, meanR, meanG, meanB]
+   * with channel means normalized to [0,1]. None when the payload is
+   * not a decodable image (ImageIO returns null / throws). */
+  def decodeImage(payload: Array[Byte]): Option[Array[Double]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0.0; var sg = 0.0; var sb = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toDouble * h * 255.0
+        Some(Array(w.toDouble, h.toDouble,
+          img.getColorModel.getNumComponents.toDouble, sr / n, sg / n, sb / n))
+      }
+    } catch { case _: Exception => None }
+
+  /** Fallback fingerprint for non-image payloads: 16-bin byte
+   * histogram, L1-normalized. Deterministic. */
+  def byteHistogram(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
     var i = 0
     while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1.0; i += 1 }
@@ -39,13 +72,25 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** Total per-item decoder: image features when decodable, byte
+   * histogram otherwise (padded to the same 16-element shape so the
+   * feature column stays fixed-width). */
+  def decodeBytes(payload: Array[Byte]): (Boolean, Array[Double]) =
+    decodeImage(payload) match {
+      case Some(f) => (true, f.padTo(16, 0.0))
+      case None => (false, byteHistogram(payload))
+    }
+
   /** Batch decode: per-partition iteration (decoder init once per
-   * partition), typed in/out — the real decoder drops in here. */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+   * partition), typed in/out — additional codecs drop in here. */
+  def decode(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init would go here (codec/model handles)
-      rows.map(r => MediaFeatures(r.media_id, r.kind, r.payload.length, decodeBytes(r.payload)))
+      rows.map { r =>
+        val (ok, feats) = decodeBytes(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, ok, feats)
+      }
     }
   }
 

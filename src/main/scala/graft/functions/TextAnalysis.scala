@@ -117,4 +117,31 @@ object TextAnalysis {
         Dedup.shinglesFromTokens(col("_t"), n).as("_sh"))
       .select(col(keyCol), md5(col("_joined")).as("fp"),
         minShingleFingerprint(col("_sh")).as("min_shingle_fp"))
+
+  /** Integer gate for md5-derived deterministic sampling: keep a key
+   * iff md5_32(key) < floor(rate·2³²). The comparison stays in exact
+   * integer space — no float rounding, identical in any engine with
+   * md5, stable under reruns/backfills (the property training-data
+   * sampling needs: membership is a pure function of the key). */
+  def sampleThreshold(rate: Double): Long =
+    math.floor(rate * 4294967296.0).toLong
+
+  /** Uniform deterministic sample at `rate` keyed on `key`. */
+  def deterministicSample(df: org.apache.spark.sql.DataFrame, key: Column,
+      rate: Double): org.apache.spark.sql.DataFrame =
+    df.filter(Dedup.md5Hash32(key) < lit(sampleThreshold(rate)))
+
+  /**
+   * Stratified deterministic sample: per-stratum rates (training-
+   * mixture reweighting — e.g. downsample boilerplate-heavy strata,
+   * keep rare languages). Map-side filter only: no shuffle, no RNG
+   * state, membership reproducible from (key, stratum rates) alone.
+   */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): org.apache.spark.sql.DataFrame = {
+    val threshold = rates.foldLeft(lit(sampleThreshold(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(sampleThreshold(r))).otherwise(acc)
+    }
+    df.filter(Dedup.md5Hash32(key) < threshold)
+  }
 }

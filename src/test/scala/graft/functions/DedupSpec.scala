@@ -95,6 +95,17 @@ class DedupSpec extends SparkTestBase {
     assert(exact == 1.0)
   }
 
+  test("connected components: chains, triangles and singleton pairs get min-id labels") {
+    // 1-2-3 is a chain (diameter 2), 10-11 a pair, 20/21/22 a triangle
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(cc == Set((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L)))
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
     val v2 = v1.map(x => x * 1.001f) // near-identical direction

@@ -52,4 +52,23 @@ class TextAnalysisSpec extends SparkTestBase {
     // min over shingles usually unchanged by a suffix edit
     assert(fp1 == fp2)
   }
+
+  test("deterministic sampling: rerun-stable, rate-faithful, stratum-gated") {
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    def run() = TextAnalysis.stratifiedSample(df, col("id").cast("string"), col("stratum"),
+      Map("a" -> 0.1, "b" -> 0.9), defaultRate = 0.5)
+      .as[(Long, String)].collect().toSet
+    val s1 = run()
+    assert(s1 == run()) // pure function of the key — identical on rerun
+    val aKept = s1.count(_._2 == "a") / 1000.0
+    val bKept = s1.count(_._2 == "b") / 1000.0
+    assert(aKept > 0.06 && aKept < 0.14, s"a rate $aKept")
+    assert(bKept > 0.85 && bKept < 0.95, s"b rate $bKept")
+    // unknown stratum falls back to the default rate
+    val other = (0 until 1000).map(i => (i.toLong, "zz")).toDF("id", "stratum")
+    val n = TextAnalysis.stratifiedSample(other, col("id").cast("string"), col("stratum"),
+      Map("a" -> 0.1), defaultRate = 0.5).count()
+    assert(n > 420 && n < 580, s"default-rate kept $n")
+  }
 }

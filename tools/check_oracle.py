@@ -33,6 +33,17 @@ for t in TABLES:
     src = f"{SF}/{t}.parquet"
     pattern = f"{src}/*.parquet" if Path(src).is_dir() else src
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    if t == "events":
+        # Spark-regenerated scale data carries ts as epoch-nanos BIGINT
+        # (nanosAsLong round-trip); present it as the TIMESTAMP the
+        # driver data has, with the same ns→µs truncation DuckDB applies
+        # to the native TIMESTAMP_NS column.
+        ts_type = dict((r[0], r[1]) for r in con.execute("DESCRIBE events").fetchall())
+        if ts_type.get("ts") == "BIGINT":
+            con.execute("DROP VIEW events")
+            con.execute(
+                f"CREATE VIEW events AS SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                f"FROM read_parquet('{pattern}')")
 
 oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
 
@@ -53,12 +64,55 @@ def vals_eq(a, b):
     return a == b
 
 
+# Above this many rows, the per-row Python compare would materialize
+# both result sets as Python objects (15M-row condensation at sf1 OOMed
+# the harness in round 1) — switch to an in-DuckDB bag comparison:
+# EXCEPT ALL in both directions over the sorted column list, streamed
+# and hashed inside the engine, no Python materialization. Exact value
+# equality, bag (multiset) semantics — same contract as the small path.
+BIG_ROWS = 2_000_000
+
+
+def duckdb_bag_compare(name, pdir, sql, n_spark):
+    con.execute(
+        f"CREATE OR REPLACE VIEW _spark AS SELECT * FROM read_parquet('{pdir}/*.parquet')")
+    scols = [d[0] for d in con.execute("SELECT * FROM _spark LIMIT 0").description]
+    dcols = [d[0] for d in con.execute(f"SELECT * FROM ({sql}) LIMIT 0").description]
+    if sorted(scols) != sorted(dcols):
+        print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+        return False
+    cols = ", ".join(f'"{c}"' for c in sorted(scols))
+    n_duck = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+    if n_duck != n_spark:
+        print(f"FAIL {name}: rows spark={n_spark} duck={n_duck}")
+        return False
+    n_diff = con.execute(
+        f"SELECT count(*) FROM ("
+        f"(SELECT {cols} FROM _spark EXCEPT ALL SELECT {cols} FROM ({sql}))"
+        f" UNION ALL "
+        f"(SELECT {cols} FROM ({sql}) EXCEPT ALL SELECT {cols} FROM _spark))"
+    ).fetchone()[0]
+    if n_diff:
+        sample = con.execute(
+            f"SELECT {cols} FROM _spark EXCEPT ALL SELECT {cols} FROM ({sql}) LIMIT 2"
+        ).fetchall()
+        print(f"FAIL {name}: {n_diff} differing rows (bag compare); spark-only sample: {sample}")
+        return False
+    print(f"OK   {name} ({n_spark} rows, in-engine bag compare)")
+    return True
+
+
 fails = 0
 for name in sorted(oracle):
     pdir = Path(OUT) / name
     if not pdir.exists():
         print(f"FAIL {name}: no spark output")
         fails += 1
+        continue
+    n_spark = sum(pq.ParquetFile(f).metadata.num_rows for f in pdir.glob("*.parquet"))
+    if n_spark > BIG_ROWS:
+        if not duckdb_bag_compare(name, pdir, oracle[name], n_spark):
+            fails += 1
         continue
     tbl = pq.read_table(str(pdir))
     scols = tbl.column_names
