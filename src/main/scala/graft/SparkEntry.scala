@@ -276,6 +276,19 @@ object SparkEntry {
           col("n_events"), col("n_down"))
     }),
 
+    // Beyond-reference: as-of join — each production reading annotated
+    // with the per-minute status in effect at-or-before it (union +
+    // ordered carry-forward: one shuffle on the key, no range probe)
+    "x2_asof_join" -> ((s, d) => {
+      val t = Tables.telemetry(s, d)
+      val statusByMin = t
+        .groupBy(col("machineId"), expr("(es div 60) * 60 * 1000000").as("sts"))
+        .agg(max_by(col("status"), struct(col("ts_us"), col("status"))).as("status"))
+      val prod = t.select(col("event_id"), col("machineId"), col("ts_us"), col("cnt"))
+      graft.functions.AsofJoin.asof(prod, statusByMin,
+        "machineId", "ts_us", "sts", "status", asofCol = "status_asof")
+    }),
+
     // A9: config census (machine / series counts)
     "a9_census" -> ((s, d) => {
       Tables.telemetry(s, d).agg(
@@ -491,6 +504,17 @@ object SparkEntry {
          |WHERE dataAsOfUTCUnixTimestamp NOT IN (SELECT dataAsOfUTCUnixTimestamp FROM ref)
          |UNION ALL
          |SELECT dataAsOfUTCUnixTimestamp, statusValue, productionCountValue FROM ref""".stripMargin),
+
+    "x2_asof_join" -> (T +
+      """, prod AS (SELECT event_id, machineId, ts_us, cnt FROM telemetry),
+        |sm AS (
+        |  SELECT machineId, (es // 60) * 60 * 1000000 AS sts, status
+        |  FROM telemetry
+        |  QUALIFY row_number() OVER (PARTITION BY machineId, (es // 60) * 60
+        |    ORDER BY ts_us DESC, status DESC) = 1)
+        |SELECT p.event_id, p.machineId, p.ts_us, p.cnt, s.status AS status_asof
+        |FROM prod p ASOF LEFT JOIN sm s
+        |  ON p.machineId = s.machineId AND p.ts_us >= s.sts""".stripMargin),
 
     "a5_machines_by_line" -> (T +
       """, m AS (SELECT DISTINCT machineId AS id FROM telemetry)

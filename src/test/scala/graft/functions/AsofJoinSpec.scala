@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asof: latest at-or-before value per key, inclusive at equal ts") {
+    val left = Seq((1, 5L, 50), (1, 10L, 100), (1, 25L, 200), (2, 30L, 300))
+      .toDF("k", "ts", "v")
+    val right = Seq((1, 10L, "a"), (1, 20L, "b"), (2, 99L, "z"))
+      .toDF("k", "rts", "s")
+    val out = AsofJoin.asof(left, right, "k", "ts", "rts", "s", "s_asof")
+      .select("k", "ts", "v", "s_asof")
+      .as[(Int, Long, Int, Option[String])].collect().toSet
+    assert(out == Set(
+      (1, 5L, 50, None),        // before any right row
+      (1, 10L, 100, Some("a")), // inclusive: right at the same ts matches
+      (1, 25L, 200, Some("b")), // latest at-or-before wins
+      (2, 30L, 300, None)))     // key isolation: k=2's right row is later
+  }
+
+  test("asof carries all left columns and never drops or duplicates rows") {
+    val left = (0 until 100).map(i => (i % 3, i.toLong, s"row$i")).toDF("k", "ts", "payload")
+    val right = Seq((0, 10L, "x"), (1, 50L, "y")).toDF("k", "rts", "s")
+    val out = AsofJoin.asof(left, right, "k", "ts", "rts", "s")
+    assert(out.count() == 100)
+    assert(out.columns.toSeq == Seq("k", "ts", "payload", "asof_value"))
+    assert(out.filter(col("k") === 2 && col("asof_value").isNotNull).count() == 0)
+  }
+
+  test("plan: no range probe — single hash partitioning on the key for the window") {
+    val left = Seq((1, 5L, 50)).toDF("k", "ts", "v")
+    val right = Seq((1, 10L, "a")).toDF("k", "rts", "s")
+    val p = AsofJoin.asof(left, right, "k", "ts", "rts", "s")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("Window"), p.take(600))
+  }
+}
