@@ -109,52 +109,110 @@ object Similarity {
     ivfTopKWith(corpus, queries, k, fitIvfCentroids(corpus, nClusters), nProbe)
 
   /**
-   * IVF search against a FIXED centroid set.
-   *
-   * Cell assignment is a map-only `least`-of-structs over centroid
-   * LITERALS — no shuffle, no per-row model inference, stays in
-   * whole-stage codegen. The assignment score is the euclidean
-   * argmin with the per-row constant ‖v‖² dropped:
-   * `cc_i - 2·v·c_i` (exact-math equivalent ordering), computed with
-   * the same sequential double arithmetic the generated DuckDB oracle
-   * uses, so assignments — including fp near-ties — agree bit-for-bit
-   * across engines. Ties break on the lower cell index.
+   * Corpus → cell assignment against FIXED centroids. Map-only
+   * `least`-of-structs over centroid LITERALS — no shuffle, no per-row
+   * model inference, stays in whole-stage codegen. The assignment
+   * score is the euclidean argmin with the per-row constant ‖v‖²
+   * dropped: `cc_i - 2·v·c_i` (exact-math equivalent ordering),
+   * computed with the same sequential double arithmetic the generated
+   * DuckDB oracle uses, so assignments — including fp near-ties —
+   * agree bit-for-bit across engines. Ties break on the lower cell.
+   * Output: (vec_id, embedding, cell).
    */
-  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroids: Seq[(Int, Seq[Float])], nProbe: Int): DataFrame = {
+  def assignCells(corpus: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     val cc: Map[Int, Double] = centroids.map { case (i, c) => i -> sqSum(c) }.toMap
-
-    // corpus → cell: min over cells of (cc_i - 2·v·c_i, cell)
     val assignScore = centroids.map { case (i, c) =>
       struct((lit(cc(i)) - lit(2.0) * dot(col("embedding"), typedLit(c))).as("d"),
         lit(i).as("cell"))
     }
-    val assigned = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("_cv"),
-      least(assignScore: _*).getField("cell").as("_cell"))
+    corpus.select(col("vec_id"), col("embedding"),
+      least(assignScore: _*).getField("cell").as("cell"))
+  }
 
-    // query → nProbe nearest cells by cosine (query side is tiny:
-    // explode the 16 per-cell scores and rank)
+  /** Query → nProbe nearest cells by cosine-to-centroid. Query side is
+   * tiny: explode the per-cell scores and rank.
+   * Output: (query_id, _qv, cell). */
+  def probeCells(queries: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      nProbe: Int): DataFrame = {
+    val cc: Map[Int, Double] = centroids.map { case (i, c) => i -> sqSum(c) }.toMap
     val probeScore = centroids.map { case (i, c) =>
       struct((dot(col("_qv"), typedLit(c)) /
         (sqrt(dot(col("_qv"), col("_qv"))) * lit(math.sqrt(cc(i))))).as("d"),
         lit(i).as("cell"))
     }
-    val qcells = queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))
       .select(col("query_id"), col("_qv"), explode(array(probeScore: _*)).as("_p"))
       .withColumn("_pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("_p.d").desc, col("_p.cell"))))
       .filter(col("_pr") <= nProbe)
-      .select(col("query_id"), col("_qv"), col("_p.cell").as("_cell"))
+      .select(col("query_id"), col("_qv"), col("_p.cell").as("cell"))
+  }
 
+  /** Exact-cosine ranking of probed candidates (shared tail of every
+   * IVF path). `assigned` = (vec_id, embedding, cell). */
+  private def rankProbed(assigned: DataFrame, qcells: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    assigned.join(broadcast(qcells), Seq("_cell"))
+    assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"), col("cell"))
+      .join(broadcast(qcells), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosine(col("_cv"), col("_qv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF search against a FIXED centroid set (see [[assignCells]] /
+   * [[probeCells]] for the arithmetic contract with the oracle). */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[(Int, Seq[Float])], nProbe: Int): DataFrame =
+    rankProbed(assignCells(corpus, centroids), probeCells(queries, centroids, nProbe), k)
+
+  /**
+   * Persist the IVF index: the fit-once / probe-many layout. Two
+   * parquet tables under `path`:
+   *  - `centroids`: (cell, center float[])
+   *  - `corpus`: (vec_id, embedding) PARTITIONED BY cell — a query
+   *    that probes nProbe cells reads nProbe/nClusters of the corpus
+   *    via partition pruning, the disk analogue of an inverted file.
+   * Rebuild when the corpus drifts (centroids are deterministic for a
+   * given corpus+seed, so rebuilds are reproducible).
+   */
+  def buildIvfIndex(corpus: DataFrame, path: String, nClusters: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = fitIvfCentroids(corpus, nClusters)
+    centroids.toDF("cell", "center")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assignCells(corpus, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(Int, Seq[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("center"))
+      .as[(Int, Seq[Float])].collect().toSeq.sortBy(_._1)
+  }
+
+  /**
+   * Serve top-k from a persisted index: probe cells are computed from
+   * the loaded centroids, then ONLY those cell partitions of the
+   * corpus are scanned (`cell.isin(...)` prunes at the source — the
+   * partition filter is asserted in SimilaritySpec). No clustering at
+   * query time.
+   */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val centroids = loadIvfCentroids(spark, path)
+    val qcells = probeCells(queries, centroids, nProbe)
+    // the probed cell set is tiny (≤ |Q|·nProbe ≤ nClusters): collect
+    // it once so the scan prunes to those partitions
+    val probedCells = qcells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(probedCells: _*))
+    rankProbed(assigned, qcells, k)
   }
 
   /**

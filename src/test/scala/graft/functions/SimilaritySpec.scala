@@ -74,4 +74,27 @@ class SimilaritySpec extends SparkTestBase {
     val recall = ivf.intersect(bf).size.toDouble / bf.size
     assert(recall >= 0.4, s"IVF recall $recall") // random vectors: probing half the cells
   }
+
+  test("persisted IVF index: serving matches in-memory search and prunes cell partitions") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.buildIvfIndex(emb, path, nClusters = 8)
+
+    val centroids = Similarity.loadIvfCentroids(spark, path)
+    assert(centroids.map(_._1) == (0 until 8))
+    val direct = Similarity.ivfTopKWith(emb, queries, 5, centroids, nProbe = 3)
+      .collect().map(_.toSeq).toSet
+    val served = Similarity.ivfTopKIndexed(spark, path, queries, 5, nProbe = 3)
+    assert(served.collect().map(_.toSeq).toSet == direct)
+
+    // the corpus scan reads only the probed cell partitions
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(900))
+    // a single query probing 2 of 8 cells genuinely prunes the scan
+    val oneQuery = emb.filter(col("vec_id") === 0)
+    val probed = Similarity.probeCells(oneQuery, centroids, nProbe = 2)
+      .select("cell").distinct().count()
+    assert(probed == 2, s"probed $probed cells")
+  }
 }
