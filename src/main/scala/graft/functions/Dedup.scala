@@ -308,8 +308,16 @@ object Dedup {
    * rounds at any corpus size; for adversarial long-chain graphs the
    * swap-in is the alternating large-star/small-star algorithm
    * (Kiveris et al., "Connected Components in MapReduce", 2014) with
-   * its O(log n) round bound. Each round materializes (persist) so
-   * lineage stays flat, and convergence is an exact changed-count.
+   * its O(log n) round bound.
+   *
+   * Each round the label frontier is CHECKPOINTED (localCheckpoint:
+   * materialize + truncate lineage) — iterative DataFrame algorithms
+   * otherwise grow the logical plan every round, and plan
+   * analysis/explain costs turn superlinear long before the data
+   * does. On a cluster, point `spark.sparkContext.setCheckpointDir`
+   * at durable storage and swap in `.checkpoint()` for executor-loss
+   * resilience; the algorithm is unchanged. Convergence is an exact
+   * changed-count per round.
    *
    * Output: (id, component) — component = min id reachable.
    */
@@ -322,7 +330,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("_src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -332,10 +340,9 @@ object Dedup {
         .join(nbrMin, col("id") === col("_src"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("_nmin"), col("component"))).as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "_old"), Seq("id"))
         .filter(col("component") =!= col("_old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }

@@ -122,7 +122,11 @@ object IngestPipeline {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (formats, machineConfigs) = loadConfigs() // per-batch hot reload
+        // persist: the parse chain feeds three sinks per batch
+        // (registration, facts, status fold) — parse once, not per action
         val classified = parseBatch(batch, payloadCol, formats, machineConfigs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         if (registerMachines != null) {
           // any parsed message from an unseen machine triggers creation
           // (index.ts:53-57 filters on UI_REFERENCE_DATA membership)
@@ -155,6 +159,7 @@ object IngestPipeline {
           case None => folded
         }
         mergeStatuses(changed)
+        } finally { classified.unpersist(); () }
         ()
       }
       .start()

@@ -76,6 +76,29 @@ class LifecycleSpec extends SparkTestBase {
       base + 7100, base + 7400).as[(Long, String, String)].collect()
     assert(chunks.exists(_._2 == "d")) // raw DOWN value surfaces in its minute
 
+    // 4b. Dashboard auto-refresh (60 s cycle): a LATE DOWN lands inside
+    // an already-served chunk; the incremental refresh re-condenses
+    // from the client's last chunks and replaces them keep-new.
+    val prior = graft.api.Facade.getRealTimeMachineData(rt, "site/area/process/press",
+      base + 7100, base + 7400, incrementalRefresh = false)
+      .localCheckpoint(true) // client-held snapshot: pin it before facts change
+    assert(prior.filter(col("dataAsOfUTCUnixTimestamp") === (base + 7380))
+      .head().getString(1) == "UNKNOWN") // nothing in (7320, 7380] yet
+    val latePayload = {
+      val json = s"""{"messages":[{"name":"site/area/process/press/status","quality":"GOOD","timestamp":"${at(7350)}","value":"d"}]}"""
+      java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
+    }
+    val lateParsed = MessageParser.classify(MessageParser.parseBase64(
+      Seq((latePayload, base + 7350)).toDF("payload", "epoch"), col("payload"), formats),
+      machineConfigs)
+    MessageParser.toRealTime(lateParsed).write.mode("append").parquet(factDir)
+    val merged = graft.api.Facade.refreshRealTimeMachineData(
+      spark.read.parquet(factDir), "site/area/process/press",
+      prior, lastChunkTimestamp = base + 7320, endTimestamp = base + 7400,
+      lookbackHours = 12)
+    assert(merged.filter(col("dataAsOfUTCUnixTimestamp") === (base + 7380))
+      .head().getString(1) == "d") // refreshed chunk replaced the served one
+
     // 5. Nightly: raw archive → day ETL → warehouse → downtime durations
     Warehouse.archiveRaw(payloads.toDF("payload", "epoch"), "payload", "epoch", s"$dir/raw")
     val n = Warehouse.runDailyEtl(spark, s"$dir/raw", s"$dir/wh", formats, 2021, 3, 5)

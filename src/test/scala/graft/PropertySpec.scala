@@ -129,6 +129,60 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("asof join equals the naive per-row definition on random inputs") {
+    val pairGen = for {
+      nL <- Gen.choose(1, 20)
+      nR <- Gen.choose(0, 10)
+      lts <- Gen.listOfN(nL, Gen.choose(0L, 100L))
+      rts <- Gen.listOfN(nR, Gen.choose(0L, 100L))
+    } yield (lts, rts.distinct) // unique right ts ⇒ deterministic spec
+    forAll(pairGen) { case (lts, rts) =>
+      val left = lts.zipWithIndex.map { case (ts, i) => (1, ts, i) }.toDF("k", "ts", "row")
+      val right = rts.map(ts => (1, ts, s"v$ts")).toDF("k", "rts", "s")
+      val got = graft.functions.AsofJoin.asof(left, right, "k", "ts", "rts", "s")
+        .select("row", "asof_value").as[(Int, Option[String])].collect().toMap
+      lts.zipWithIndex.foreach { case (ts, i) =>
+        val expect = rts.filter(_ <= ts) match {
+          case Nil => None
+          case hit => Some(s"v${hit.max}") // latest at-or-before
+        }
+        assert(got(i) == expect, s"left ts=$ts rights=$rts")
+      }
+    }
+  }
+
+  test("md5-gate sampling is nested: sample(r1) ⊆ sample(r2) for r1 <= r2") {
+    val ids = (0 until 500).map(i => (i.toLong, "s")).toDF("id", "stratum")
+    def keys(rate: Double) = graft.functions.TextAnalysis.deterministicSample(
+      ids, col("id").cast("string"), rate).select("id").as[Long].collect().toSet
+    val r25 = keys(0.25); val r50 = keys(0.5); val r75 = keys(0.75)
+    assert(r25.subsetOf(r50) && r50.subsetOf(r75)) // raise the rate, keep every prior doc
+  }
+
+  test("connected components: every member maps to its component's min id") {
+    val edgeGen = Gen.listOfN(15, for {
+      a <- Gen.choose(0L, 18L); off <- Gen.choose(1L, 5L)
+    } yield (a, math.min(a + off, 19L)))
+    forAll(edgeGen, n = 4) { edges =>
+      if (edges.nonEmpty) {
+        val cc = graft.functions.Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          .as[(Long, Long)].collect().toMap
+        // reference union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val groups = cc.keySet.groupBy(find)
+        groups.foreach { case (_, members) =>
+          val expectedLabel = members.min
+          members.foreach(m => assert(cc(m) == expectedLabel, s"member $m of $members"))
+        }
+      }
+    }
+  }
+
   test("parse roundtrip: any >=2-token alias splits and rejoins losslessly") {
     val tokGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     forAll(Gen.choose(2, 5).flatMap(n => Gen.listOfN(n, tokGen))) { toks =>
