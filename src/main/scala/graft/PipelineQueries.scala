@@ -171,6 +171,22 @@ object PipelineQueries {
         nClusters = 16, nProbe = 4)
     }),
 
+    // Exact length quantiles per stratum (corpus distribution stats —
+    // the "what does this corpus look like" pass before filtering).
+    // Exact percentile (sort-based), not approx: the result is a
+    // quality REPORT, not a hot-path metric; rounded 4dp so the
+    // linear-interpolation arithmetic hashes identically cross-engine.
+    "t6_length_quantiles" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("stratum", when(col("n_chars") < 200, "short").otherwise("long"))
+        .groupBy(col("stratum"))
+        .agg(
+          expr("round(percentile(n_chars, 0.5), 4)").as("p50"),
+          expr("round(percentile(n_chars, 0.9), 4)").as("p90"),
+          expr("round(percentile(n_chars, 0.99), 4)").as("p99"),
+          count(lit(1)).as("n"))
+    }),
+
     // Deterministic stratified sampling: md5-gated per-stratum rates
     // (integer-space compare — exact, rerun-stable, engine-portable)
     "t5_stratified_sample" -> ((s, d) => {
@@ -422,6 +438,14 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+
+    "t6_length_quantiles" ->
+      """SELECT CASE WHEN n_chars < 200 THEN 'short' ELSE 'long' END AS stratum,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS p99,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "t5_stratified_sample" -> {
       // mirrors Dedup.md5Hash32(CAST(doc_id AS VARCHAR)) < threshold

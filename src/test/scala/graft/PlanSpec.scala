@@ -84,6 +84,19 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p.take(600))
   }
 
+  test("asof join: union + one window shuffle, never a range probe (X2)") {
+    val df = SparkEntry.queries("x2_asof_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(800))
+    // one exchange for the per-minute status agg, one for the asof window
+    assert(countShuffles(df) <= 2, p.take(1200))
+  }
+
+  test("deterministic sampling is a map-side filter: zero shuffles (T5)") {
+    val df = SparkEntry.queries("t5_stratified_sample")(spark, sf)
+    assert(countShuffles(df) == 0, df.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("codegen'd FloatVecDot is in the plan, not interpreted lambdas (N1)") {
     val p = plan("n1_ann_bruteforce")
     assert(p.contains("floatvecdot") || p.contains("FloatVecDot"), p.take(800))
