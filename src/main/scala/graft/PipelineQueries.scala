@@ -197,6 +197,13 @@ object PipelineQueries {
         .select(col("doc_id"), col("stratum"))
     }),
 
+    // Int8 scalar quantization of the embedding corpus (the 4x storage
+    // compression pass; round-half-up, per-vector symmetric scale)
+    "n4_quantize_int8" -> ((s, d) => {
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("qvec"))
+    }),
+
     // Multimodal binary-column plumbing (metadata path; decode stub is
     // exercised in MultimodalSpec — mapPartitions output isn't
     // SQL-expressible)
@@ -438,6 +445,18 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents""".stripMargin,
+
+    "n4_quantize_int8" ->
+      """WITH scaled AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+        |  FROM embeddings)
+        |SELECT vec_id, round(s, 6) AS scale,
+        |  CASE WHEN s = 0
+        |       THEN list_transform(embedding, x -> 0)
+        |       ELSE list_transform(embedding,
+        |              x -> CAST(floor(x::DOUBLE / s * 127.0 + 0.5) AS INTEGER)) END AS qvec
+        |FROM scaled""".stripMargin,
 
     "t6_length_quantiles" ->
       """SELECT CASE WHEN n_chars < 200 THEN 'short' ELSE 'long' END AS stratum,

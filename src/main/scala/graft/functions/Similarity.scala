@@ -42,6 +42,34 @@ object Similarity {
     when(nn === 0, lit(0.0)).otherwise(d / nn)
   }
 
+  /**
+   * Int8 scalar quantization of an embedding column — the 4×
+   * compression an embedding warehouse applies before anything else
+   * at 100 TB (float32 → int8 + one float scale per vector).
+   * Per-vector symmetric scheme: scale = max|v_d|,
+   * q_d = floor(v_d/scale·127 + 0.5) ∈ [-127, 127] (round-half-up —
+   * floor(x+0.5) is sign-uniform and portable, unlike banker's
+   * rounding). Zero vectors quantize to zeros with scale 0.
+   * Arithmetic is double throughout and mirrors the n4 oracle SQL
+   * term-for-term. Output: original columns + (scale, qvec).
+   */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    // stage the scale first: a lambda body re-evaluates captured
+    // expression trees per element (array_max over 64 dims × 64
+    // elements otherwise)
+    val staged = df.withColumn("scale",
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+    staged.withColumn("qvec",
+      when(col("scale") === 0.0,
+        transform(col(vecCol), _ => lit(0)))
+        .otherwise(transform(col(vecCol),
+          x => floor(x.cast("double") / col("scale") * 127.0 + 0.5).cast("int"))))
+  }
+
+  /** Dequantize back to float: v_d ≈ q_d·scale/127. */
+  def dequantizeInt8(qvec: Column, scale: Column): Column =
+    transform(qvec, q => (q.cast("double") * scale / 127.0).cast("float"))
+
   /** Deterministic hyperplane weight for (plane, dim): md5-derived
    * integer in [-7.5, 7.5] — reproducible in any engine with md5. */
   def planeWeight(plane: Int, dim: Int): Double = {

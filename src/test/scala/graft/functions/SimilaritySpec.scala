@@ -75,6 +75,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.4, s"IVF recall $recall") // random vectors: probing half the cells
   }
 
+  test("int8 quantization: values bounded, reconstruction preserves direction") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Similarity.quantizeInt8(emb, "embedding")
+      .withColumn("recon", Similarity.dequantizeInt8(col("qvec"), col("scale")))
+      .withColumn("cos", Similarity.cosine(col("embedding"), col("recon")))
+      .withColumn("qmax", array_max(transform(col("qvec"), x => abs(x))))
+    val (minCos, maxQ) = q.agg(min(col("cos")), max(col("qmax")))
+      .as[(Double, Int)].head()
+    assert(maxQ <= 127)
+    assert(minCos >= 0.995, s"min reconstruction cosine $minCos") // ~8-bit error on 64 dims
+    // zero vector: scale 0, all-zero qvec, no NaN
+    val z = Similarity.quantizeInt8(
+      Seq((0L, Seq.fill(4)(0f))).toDF("vec_id", "embedding"), "embedding")
+      .select("scale", "qvec").as[(Double, Seq[Int])].head()
+    assert(z == ((0.0, Seq(0, 0, 0, 0))))
+  }
+
   test("persisted IVF index: serving matches in-memory search and prunes cell partitions") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 5)
