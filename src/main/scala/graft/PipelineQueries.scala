@@ -134,6 +134,12 @@ object PipelineQueries {
       Dedup.simhash16(Tables.documents(s, d), "doc_id", "text")
     }),
 
+    // TF-IDF weighted cosine pairs (soft near-dup; exact-integer
+    // weights so sums are order-independent across engines)
+    "d8_tfidf_pairs" -> ((s, d) => {
+      Dedup.tfidfPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.4)
+    }),
+
     // Dup-cluster labeling: connected components over the Jaccard
     // pair graph (min-label propagation, O(diameter) rounds)
     "d7_dup_clusters" -> ((s, d) => {
@@ -294,6 +300,30 @@ object PipelineQueries {
       s"""WITH $shingleCte,
          |${jaccardSql(0.5)}
          |SELECT doc_a, doc_b, jaccard FROM jac""".stripMargin,
+
+    "d8_tfidf_pairs" ->
+      s"""WITH $toksCte,
+         |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |w AS (
+         |  SELECT t.doc_id, t.term,
+         |    CAST(t.tf AS HUGEINT) *
+         |      CAST(floor(10000.0 * ln((SELECT n FROM nn)::DOUBLE / df)) AS HUGEINT) AS w
+         |  FROM tf t JOIN dfreq USING (term)
+         |  WHERE df * 2 <= (SELECT n FROM nn)),
+         |norms AS (SELECT doc_id, sum(w * w) AS norm2 FROM w GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(dot::DOUBLE / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6) AS cosine
+         |FROM dots
+         |JOIN norms na ON na.doc_id = doc_a
+         |JOIN norms nb ON nb.doc_id = doc_b
+         |WHERE round(dot::DOUBLE / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6) >= 0.4""".stripMargin,
 
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,

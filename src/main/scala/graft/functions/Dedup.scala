@@ -296,6 +296,58 @@ object Dedup {
   }
 
   /**
+   * TF-IDF weighted cosine similarity pairs — the "soft" near-dup /
+   * related-document signal that complements set-based Jaccard
+   * (weighs rare terms up, boilerplate down). Candidates come from the
+   * same inverted-index equi-join as Jaccard — never pairwise over the
+   * corpus — with the standard stop-term guard: terms present in more
+   * than half the documents are dropped from the weighting (they carry
+   * ~no idf mass and would quadratically blow up the term join).
+   *
+   * Engine-portability trick: weights are EXACT INTEGERS —
+   * w = tf · ⌊10⁴·ln(N/df)⌋ — and dot products / norms are exact
+   * decimal sums, so accumulation ORDER cannot perturb them (float
+   * sums differ across engines/partitionings in the last ulp). The
+   * only floating step is the final single-expression cosine over
+   * exact inputs, which is deterministic; cross-engine agreement then
+   * rests only on libm's ln being within ~1e-9 of the ⌊·⌋ boundary,
+   * i.e. astronomically safe at 1e4 scaling.
+   *
+   * Output: (doc_a, doc_b, cosine) for pairs with cosine ≥ threshold.
+   */
+  def tfidfPairs(df: DataFrame, keyCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val n = df.count() // corpus size for idf — one count job, fit-time metadata
+    val tf = df.select(col(keyCol).as("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = floor(lit(10000.0) * log(lit(n.toDouble) / col("df")))
+      .cast("decimal(19,0)")
+    val weighted = tf.join(dfreq, Seq("term"))
+      .filter(col("df") * 2 <= n) // stop-term guard (exact integer compare)
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("decimal(19,0)") * idf).cast("decimal(19,0)").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("norm2"))
+    val dots = weighted.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(weighted.select(col("term"), col("doc_id").as("doc_b"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    val cosine = round(col("dot").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm2").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), cosine.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /**
    * Connected components over a near-dup pair list — the clustering
    * step a dedup pipeline runs after pair generation (keep one
    * representative per component). Iterative min-label propagation:

@@ -95,6 +95,23 @@ class DedupSpec extends SparkTestBase {
     assert(exact == 1.0)
   }
 
+  test("tfidf pairs: clones hit cosine 1, shared-boilerplate docs score below rare-term overlap") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"), // exact clone of 0
+      (2L, "alpha beta gamma delta zeta"),    // 4/5 overlap with 0
+      (3L, "completely different words here entirely"),
+      (4L, "more unrelated content nothing shared"),
+      (5L, "filler one two three four"),
+      (6L, "filler five six seven eight"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.tfidfPairs(docs, "doc_id", "text", threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) == 1.0) // identical weight vectors
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0 && pairs((0L, 2L)) > 0.5)
+    assert(!pairs.contains((3L, 4L))) // no shared terms at all
+  }
+
   test("connected components: chains, triangles and singleton pairs get min-id labels") {
     // 1-2-3 is a chain (diameter 2), 10-11 a pair, 20/21/22 a triangle
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
