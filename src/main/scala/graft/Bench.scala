@@ -10,6 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,21 +31,44 @@ object Bench {
       org.apache.spark.sql.functions.col("status") =!= "").count()
     catch { case _: Throwable => () }
 
-    // Two timed executions per query, report the min: machine noise on
-    // a shared host swings single samples by 40%+; the min approximates
-    // steady-state latency (standard benchmark practice).
+    // n timed executions per query (default 3, SPARK_GRAFT_BENCH_N to
+    // override), report the min plus a spread indicator: machine noise
+    // on a shared host swings single samples by 40%+; the min
+    // approximates steady-state latency and (max-min)/min flags runs
+    // where even the min may be contaminated. A query that THROWS is a
+    // bench failure, not a timing: it is reported in "failed" and the
+    // process exits non-zero so a broken query can't silently record
+    // its time-to-throw.
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val times =
+        try Seq.fill(samples)(once())
+        catch {
+          case e: Throwable =>
+            failed ::= name
+            System.err.println(s"BENCH FAILURE in $name: ${e.getClass.getName}: ${e.getMessage}")
+            Seq.empty[Double]
+        }
+      (name, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.filter(_._2.nonEmpty)
+    val qs = ok.map { case (k, ts) => s"\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query relative spread (max-min)/min — a noise indicator the
+    // reader can use to discount contaminated samples
+    val spreads = ok.map { case (k, ts) =>
+      val rel = if (ts.min > 0) (ts.max - ts.min) / ts.min else 0.0
+      s"\"" + k + "\":" + math.round(rel * 1000) / 1000.0
+    }.mkString("{", ",", "}")
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -71,17 +71,25 @@ object MessageParser {
 
   /** Strict timestamp parse: null on mismatch (moment(.., true) parity).
    * moment's X/x (epoch seconds/millis) aren't java.time patterns and
-   * get a numeric-literal special case. Formats with Z/ZZ offsets try
-   * the colon (XXX) then compact (XX) offset shape — moment's offset
-   * regex strictly accepts both. */
+   * get a numeric-literal special case. Formats with Z/ZZ offsets accept
+   * both the colon ("+00:00") and compact ("+0000") offset shapes —
+   * moment's offset regex matches both strictly. Rather than coalescing
+   * two try_to_timestamp attempts (timestamp parsing dominates the hot
+   * path), compact offsets are normalized to the colon shape with one
+   * cheap regexp_replace and a SINGLE try_to_timestamp (XXX) runs. */
   def strictTimestamp(c: Column, momentFmt: String): Column =
     if (MomentFormat.isEpochSeconds(momentFmt))
       when(c.rlike("^-?\\d{1,18}$"), timestamp_seconds(c.cast("long")))
     else if (MomentFormat.isEpochMillis(momentFmt))
       when(c.rlike("^-?\\d{1,18}$"), timestamp_millis(c.cast("long")))
-    else MomentFormat.toJavaTimeVariants(momentFmt)
-      .map(f => try_to_timestamp(c, lit(f)))
-      .reduce(coalesce(_, _))
+    else {
+      val variants = MomentFormat.toJavaTimeVariants(momentFmt)
+      val input =
+        if (variants.lengthCompare(1) > 0)
+          regexp_replace(c, "([+-]\\d{2})(\\d{2})$", "$1:$2")
+        else c
+      try_to_timestamp(input, lit(variants.head))
+    }
 
   /** base64 → utf8 JSON string (S2 / F1). */
   def decodeBase64(c: Column): Column = unbase64(c).cast(StringType)

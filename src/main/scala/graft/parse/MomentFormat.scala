@@ -44,8 +44,9 @@ object MomentFormat {
     // "+0000" and literal "Z" all match strictly. java.time has no
     // single pattern letter for both offset shapes, so the primary
     // translation is XXX (colon form — what the reference's seeded
-    // data uses, FIXTURES.md §1) and toJavaTimeVariants adds an XX
-    // (compact form) fallback tried via coalesce at parse time.
+    // data uses, FIXTURES.md §1); compact offsets are normalized to
+    // the colon shape before the single parse
+    // (MessageParser.strictTimestamp).
     "ZZ" -> "XXX",
     "Z" -> "XXX",
     "A" -> "a",
@@ -86,8 +87,10 @@ object MomentFormat {
    * All java.time patterns a moment format may strictly match:
    * the primary translation, plus a compact-offset (XX) variant when
    * the format carries a Z/ZZ token — moment accepts "+0000" where
-   * java's XXX requires "+00:00". Callers try the variants in order
-   * (MessageParser.strictTimestamp coalesces them per row).
+   * java's XXX requires "+00:00". A 2-element result signals the
+   * caller that both offset shapes must be accepted;
+   * MessageParser.strictTimestamp normalizes compact→colon once and
+   * parses only with the primary (XXX) pattern.
    */
   def toJavaTimeVariants(momentFmt: String): Seq[String] = {
     val primary = toJavaTime(momentFmt)
