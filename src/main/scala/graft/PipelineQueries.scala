@@ -95,6 +95,15 @@ object PipelineQueries {
         TextAnalysis.qualityScore(col("text")).as("quality"))
     }),
 
+    // BPE-ish token estimate (letter runs + digit runs + single other
+    // chars — the cheap proxy for "how many LLM tokens is this corpus")
+    "t7_token_estimate" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+    }),
+
     // Language ID (stopword-profile argmax)
     "t2_lang_id" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -276,6 +285,13 @@ object PipelineQueries {
          |       + least((CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.stopwordsEn)}, x))) AS DOUBLE)/len(t) END) * 5.0, 1.0)
          |       + (CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/len(t) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
          |       ) / 3.0, 6) AS quality
+         |FROM toks""".stripMargin,
+
+    "t7_token_estimate" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  CAST(len(t) AS INTEGER) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpeish
          |FROM toks""".stripMargin,
 
     "t2_lang_id" -> {

@@ -71,13 +71,35 @@ object TextAnalysis {
     round((lenScore + stopScore + shapeScore) / 3.0, 6)
   }
 
-  /** Per-language stopword profiles for the n-gram/stopword language
-   * heuristic (tiny, deterministic). */
+  /** Per-language stopword profiles for the stopword-argmax language
+   * heuristic. Top high-frequency function words per language (public
+   * frequency lists), lowercase, apostrophe-free so each word embeds
+   * as a plain SQL string literal — the t2 oracle is GENERATED from
+   * this table (PipelineQueries), so profile edits stay in lockstep
+   * by construction. Profile ORDER is part of the semantics: the
+   * argmax is strictly-greater in sequence order, so ties resolve to
+   * the earlier language. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "is"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
-    "es" -> Seq("el", "la", "de", "y", "los", "las"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "von"))
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that", "it",
+      "was", "for", "on", "are", "with", "as", "be", "this", "have"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est",
+      "dans", "que", "qui", "pour", "pas", "sur", "avec", "au", "ce"),
+    "es" -> Seq("el", "la", "de", "y", "los", "las", "que", "en", "un",
+      "una", "es", "por", "con", "para", "del", "se", "no", "como"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "den",
+      "mit", "nicht", "ein", "eine", "auf", "sich", "dem", "auch", "es", "im"),
+    "it" -> Seq("il", "di", "che", "e", "la", "per", "un", "una", "in",
+      "non", "sono", "con", "del", "si", "da", "come", "le", "gli"),
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um",
+      "uma", "para", "com", "os", "as", "por", "mais", "dos", "se"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "in", "is", "dat",
+      "op", "te", "zijn", "met", "voor", "niet", "aan", "er", "ook", "maar"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "av", "den",
+      "till", "är", "inte", "om", "ett", "han", "med", "var", "sig", "från"),
+    "pl" -> Seq("w", "i", "z", "na", "do", "to", "jest", "nie", "jak",
+      "ale", "po", "co", "tak", "dla", "od", "przez", "przy"),
+    "tr" -> Seq("bir", "bu", "ve", "için", "ile", "olarak", "da", "de",
+      "çok", "daha", "gibi", "ama", "en", "sonra", "kadar", "olan", "her"))
 
   /**
    * Language ID by stopword-profile score: argmax over languages of
