@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: image/audio/video as opaque `binary`
  * columns with typed metadata, processed in partition-sized batches.
  *
- * The image path is REAL: [[decodeImage]] decodes any `javax.imageio`
- * format available in the JDK (PNG, BMP, GIF, JPEG) and emits
- * dimension + per-channel-intensity features. Payloads that aren't a
- * decodable image fall back to [[byteHistogram]], a deterministic
- * 16-bin content fingerprint, so the pipeline is total over mixed/
- * corrupt corpora (decode failures are data, not exceptions). Other
- * modalities (audio/video codecs) stay behind the same seam — swap
- * [[decodeBytes]]'s fallback for FFmpeg/ONNX without touching the
- * plan shape.
+ * The image and audio paths are REAL: [[decodeImage]] decodes any
+ * `javax.imageio` format available in the JDK (PNG, BMP, GIF, JPEG)
+ * and emits dimension + per-channel-intensity features;
+ * [[decodeAudio]] decodes any `javax.sound.sampled` container
+ * (WAV, AIFF, AU — PCM) and emits rate/channel/depth/duration plus
+ * RMS-and-peak amplitude features. Payloads that are neither fall
+ * back to [[byteHistogram]], a deterministic 16-bin content
+ * fingerprint, so the pipeline is total over mixed/corrupt corpora
+ * (decode failures are data, not exceptions). Remaining modalities
+ * (video, compressed audio codecs) stay behind the same seam — add a
+ * decoder to [[decodeBytes]]'s chain without touching the plan shape.
  *
  * Scale notes: media rows are processed with `mapPartitions` so a real
  * decoder amortizes model/codec init per PARTITION (the JVM analogue
@@ -28,10 +30,11 @@ object Multimodal {
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int)
 
-  /** Extracted features: fixed-length vector + dims actually decoded.
-   * `decoded` separates real image decodes from fallback fingerprints. */
+  /** Extracted features: fixed-length vector + the modality actually
+   * decoded ("image" | "audio" | "binary" fallback). `decoded` is
+   * modality != binary — a real decoder understood the payload. */
   final case class MediaFeatures(media_id: Long, kind: String,
-      n_bytes: Int, decoded: Boolean, features: Array[Double])
+      n_bytes: Int, decoded: Boolean, modality: String, features: Array[Double])
 
   /** Image features: [width, height, nComponents, meanR, meanG, meanB]
    * with channel means normalized to [0,1]. None when the payload is
@@ -72,13 +75,52 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  /** Total per-item decoder: image features when decodable, byte
-   * histogram otherwise (padded to the same 16-element shape so the
-   * feature column stays fixed-width). */
-  def decodeBytes(payload: Array[Byte]): (Boolean, Array[Double]) =
+  /** Audio features via the JDK's `javax.sound.sampled` (WAV/AIFF/AU):
+   * [sampleRate, channels, bitDepth, frames, durationSec, rms, peak].
+   * Sample statistics cover the PCM encodings the JDK parses natively
+   * (signed 16-bit either endianness, signed/unsigned 8-bit); other
+   * encodings still yield the container metadata with zero rms/peak.
+   * None when the payload is not a parseable audio container. */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Double]] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val enc = fmt.getEncoding
+        val bytes = in.readAllBytes()
+        val samples: Array[Double] =
+          if (enc == AudioFormat.Encoding.PCM_SIGNED && bits == 16 && bytes.length >= 2) {
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            Array.tabulate(bytes.length / 2)(i => bb.getShort(i * 2) / 32768.0)
+          } else if (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+            bytes.map(b => ((b & 0xff) - 128) / 128.0)
+          else if (enc == AudioFormat.Encoding.PCM_SIGNED && bits == 8)
+            bytes.map(_ / 128.0)
+          else Array.empty[Double]
+        var sq = 0.0; var peak = 0.0
+        samples.foreach { s => sq += s * s; peak = math.max(peak, math.abs(s)) }
+        val frames =
+          if (fmt.getFrameSize > 0) bytes.length.toDouble / fmt.getFrameSize else 0.0
+        val dur = if (fmt.getFrameRate > 0) frames / fmt.getFrameRate else 0.0
+        Some(Array(fmt.getSampleRate.toDouble, fmt.getChannels.toDouble, bits.toDouble,
+          frames, dur, math.sqrt(sq / math.max(1, samples.length)), peak))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Total per-item decoder chain: image, then audio, then the byte
+   * histogram (all padded to the same 16-element shape so the feature
+   * column stays fixed-width). Returns (modality, features). */
+  def decodeBytes(payload: Array[Byte]): (String, Array[Double]) =
     decodeImage(payload) match {
-      case Some(f) => (true, f.padTo(16, 0.0))
-      case None => (false, byteHistogram(payload))
+      case Some(f) => ("image", f.padTo(16, 0.0))
+      case None => decodeAudio(payload) match {
+        case Some(f) => ("audio", f.padTo(16, 0.0))
+        case None => ("binary", byteHistogram(payload))
+      }
     }
 
   /** Batch decode: per-partition iteration (decoder init once per
@@ -88,8 +130,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init would go here (codec/model handles)
       rows.map { r =>
-        val (ok, feats) = decodeBytes(r.payload)
-        MediaFeatures(r.media_id, r.kind, r.payload.length, ok, feats)
+        val (modality, feats) = decodeBytes(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length,
+          modality != "binary", modality, feats)
       }
     }
   }

@@ -86,7 +86,11 @@ object MessageParser {
       val variants = MomentFormat.toJavaTimeVariants(momentFmt)
       val input =
         if (variants.lengthCompare(1) > 0)
-          regexp_replace(c, "([+-]\\d{2})(\\d{2})$", "$1:$2")
+          // O(1) gate: the compact-offset regex needs 4 trailing digits,
+          // so a ':' at position -3 (the colon form "+00:00" — the
+          // common case) can never match; skip the regex scan entirely.
+          when(substring(c, -3, 1) === ":", c)
+            .otherwise(regexp_replace(c, "([+-]\\d{2})(\\d{2})$", "$1:$2"))
         else c
       try_to_timestamp(input, lit(variants.head))
     }

@@ -69,13 +69,21 @@ object Aggregators {
     def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] = a ++ b
     def finish(b: List[(Long, Long)]): Long = {
       val sorted = b.sortBy(identity) // (ts, count) — same tie-break as the window form
-      var total = 0L
-      var max = 0L
-      sorted.foreach { case (_, v) =>
-        if (v > max) max = v
-        else if (max > v) { total += max; max = v }
+      sorted match {
+        case Nil => 0L
+        case (_, first) :: rest =>
+          // seed from the FIRST observation, not 0: a series of
+          // all-negative counters must not bank a phantom 0 run
+          // (reference counters are non-negative, so this is latent
+          // there; the window form already behaves this way)
+          var total = 0L
+          var max = first
+          rest.foreach { case (_, v) =>
+            if (v > max) max = v
+            else if (max > v) { total += max; max = v }
+          }
+          total + max
       }
-      total + max
     }
     def bufferEncoder: Encoder[List[(Long, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Long)]]()

@@ -92,6 +92,12 @@ object UiReferenceStore {
     val state = read(spark, path)
     val fresh = machineIds.select(col("machineId")).distinct()
       .join(state.select(col("machineId")), Seq("machineId"), "left_anti")
+    // Driver-side collect is bounded by NEW machines in this batch —
+    // near-zero in steady state. The one unbounded case is the very
+    // first batch of a huge fleet (every machine is new); ids are a
+    // few dozen bytes each, so even 10⁶ first-sight machines is tens
+    // of MB on the driver — acceptable for a one-time cold start, and
+    // the caller needs the ids (config autocreate pairing).
     val freshIds = fresh.collect().map(_.getString(0)).toSeq.sorted
     if (freshIds.nonEmpty) {
       val rows = fresh

@@ -76,6 +76,25 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("rollover total: typed aggregator == window form on negative counters") {
+    // outside the reference's domain (its counters are non-negative):
+    // both our forms seed the run from the FIRST observation, never a
+    // phantom 0 — they must agree with each other
+    forAll(Gen.listOfN(20, Gen.choose(-100L, 100L))) { counts =>
+      if (counts.nonEmpty) {
+        val df = counts.zipWithIndex.map { case (c, i) => ("m", i.toLong, c) }
+          .toDF("machineId", "ts", "count")
+        val window = Rollups.totalProduction(df).as[(String, Long)].head()._2
+        val typed = df.as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(r => Aggregators.CountObs(r._2, r._3))
+          .agg(Aggregators.RolloverTotal.toColumn)
+          .collect().head._2
+        assert(typed == window, s"typed vs window on $counts")
+      }
+    }
+  }
+
   test("DownDominantLast aggregator == condensation status rule") {
     forAll(rowsGen) { rows =>
       if (rows.nonEmpty) {
