@@ -244,6 +244,14 @@ object PipelineQueries {
           expr("array_join(transform(qvec, x -> cast(x as string)), ',')").as("qvec_csv"))
     }),
 
+    // Two-stage quantized ANN: int8 candidate scan (scales cancel in
+    // cosine), exact float rerank of candidates only — the retrieval
+    // shape that makes n4's 4x compression pay at scale
+    "n5_ann_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+    }),
+
     // Multimodal binary-column plumbing (metadata path; decode stub is
     // exercised in MultimodalSpec — mapPartitions output isn't
     // SQL-expressible)
@@ -528,6 +536,32 @@ object PipelineQueries {
         |       ELSE list_transform(embedding,
         |              x -> CAST(floor(x::DOUBLE / s * 127.0 + 0.5) AS INTEGER)) END, ',') AS qvec_csv
         |FROM scaled""".stripMargin,
+
+    "n5_ann_quantized" ->
+      s"""WITH scaled AS (
+         |  SELECT vec_id, embedding,
+         |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, embedding,
+         |    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+         |         ELSE list_transform(embedding,
+         |                x -> CAST(floor(x::DOUBLE / s * 127.0 + 0.5) AS INTEGER)) END AS qvec
+         |  FROM scaled),
+         |cands AS (
+         |  SELECT qq.vec_id AS query_id, qc.vec_id AS neighbor_id
+         |  FROM q qc CROSS JOIN (SELECT * FROM q WHERE vec_id < 20) qq
+         |  WHERE qq.vec_id <> qc.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY qq.vec_id
+         |    ORDER BY ${cosSql("qc.qvec", "qq.qvec")} DESC, qc.vec_id) <= 30)
+         |SELECT c.query_id, c.neighbor_id,
+         |  ${cosSql("ec.embedding", "eq.embedding")} AS cosine,
+         |  CAST(row_number() OVER (PARTITION BY c.query_id
+         |    ORDER BY ${cosSql("ec.embedding", "eq.embedding")} DESC, c.neighbor_id) AS INTEGER) AS rank
+         |FROM cands c
+         |JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+         |JOIN embeddings eq ON eq.vec_id = c.query_id
+         |QUALIFY rank <= 10""".stripMargin,
 
     "t6_length_quantiles" ->
       """SELECT CASE WHEN n_chars < 200 THEN 'short' ELSE 'long' END AS stratum,

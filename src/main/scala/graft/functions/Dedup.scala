@@ -388,14 +388,18 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, col("_dst") === col("id"))
         .groupBy(col("_src")).agg(min(col("component")).as("_nmin"))
-      val next = labels.select(col("id"), col("component"))
+      // the per-row change flag rides along in the SAME checkpointed
+      // plan (a label only changes when a strictly smaller neighbor
+      // min arrives), so the convergence check below is a scan of the
+      // materialized partitions — not a second shuffle join per round
+      val next = labels.select(col("id"), col("component").as("_old"))
         .join(nbrMin, col("id") === col("_src"), "left_outer")
         .select(col("id"),
-          least(col("component"), coalesce(col("_nmin"), col("component"))).as("component"))
+          least(col("_old"), coalesce(col("_nmin"), col("_old"))).as("component"),
+          (col("_nmin").isNotNull && col("_nmin") < col("_old")).as("_changed"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "_old"), Seq("id"))
-        .filter(col("component") =!= col("_old")).count()
-      labels = next
+      changed = next.filter(col("_changed")).count()
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     edges.unpersist()

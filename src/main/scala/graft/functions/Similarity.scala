@@ -70,6 +70,49 @@ object Similarity {
   def dequantizeInt8(qvec: Column, scale: Column): Column =
     transform(qvec, q => (q.cast("double") * scale / 127.0).cast("float"))
 
+  /**
+   * Two-stage quantized ANN — the retrieval shape that makes int8
+   * quantization pay at 100 TB: stage 1 scans ONLY the 4×-smaller
+   * int8 corpus for candidates (per-vector symmetric scales cancel in
+   * cosine, so quantized cosine needs no rescaling); stage 2 fetches
+   * full-precision vectors for the `k·rerankFactor` survivors per
+   * query and reranks exactly. The float corpus is touched only
+   * through the (broadcast-sized) candidate join, never scanned.
+   *
+   * Determinism: int8 dots are exact integers in double (≤ 127²·dim
+   * ≪ 2⁵³), so stage-1 ranking is bit-stable across engines and the
+   * whole operator is oracle-expressible. Output: (query_id,
+   * neighbor_id, cosine, rank) — exact cosines, same shape as
+   * [[bruteForceTopK]].
+   */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerankFactor: Int = 3): DataFrame = {
+    def asFloats(qvec: Column) = transform(qvec, _.cast("float"))
+    val qCorpus = quantizeInt8(corpus, "embedding")
+      .select(col("vec_id").as("neighbor_id"), asFloats(col("qvec")).as("_cq"))
+    val qQueries = quantizeInt8(queries, "embedding")
+      .select(col("vec_id").as("query_id"), asFloats(col("qvec")).as("_qq"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val cands = qCorpus.crossJoin(broadcast(qQueries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos", round(cosine(col("_cq"), col("_qq")), 6))
+      .withColumn("_ar", row_number().over(wA))
+      .filter(col("_ar") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(cands)
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))),
+        Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Deterministic hyperplane weight for (plane, dim): md5-derived
    * integer in [-7.5, 7.5] — reproducible in any engine with md5. */
   def planeWeight(plane: Int, dim: Int): Double = {

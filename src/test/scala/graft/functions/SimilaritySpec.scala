@@ -92,6 +92,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(z == ((0.0, Seq(0, 0, 0, 0))))
   }
 
+  test("quantized two-stage ANN: high recall vs brute force, exact rescored cosines") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val qz = Similarity.quantizedTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(qz.length == bf.length) // k filled for every query
+    // int8 on 64 dims is a fine-grained proxy: the rescored top-10
+    // should recover nearly all of the exact top-10
+    val recall = qz.map(r => (r._1, r._2)).toSet
+      .intersect(bf.map(r => (r._1, r._2)).toSet).size.toDouble / bf.length
+    assert(recall >= 0.8, s"quantized recall $recall")
+    // rescoring is EXACT: shared pairs carry identical cosines
+    val bfCos = bf.map(r => (r._1, r._2) -> r._3).toMap
+    qz.foreach { case (q, n, c) =>
+      bfCos.get((q, n)).foreach(e => assert(e == c, s"rescored cosine mismatch ($q,$n)")) }
+  }
+
   test("persisted IVF index: serving matches in-memory search and prunes cell partitions") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 5)
