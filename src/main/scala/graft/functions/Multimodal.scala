@@ -12,11 +12,16 @@ import org.apache.spark.sql.functions._
  * and emits dimension + per-channel-intensity features;
  * [[decodeAudio]] decodes any `javax.sound.sampled` container
  * (WAV, AIFF, AU — PCM) and emits rate/channel/depth/duration plus
- * RMS-and-peak amplitude features. Payloads that are neither fall
+ * RMS-and-peak amplitude features. [[decodeVideo]] handles the one
+ * multi-frame container the JDK decodes natively — animated GIF —
+ * emitting frame count, dimensions, timing, and sampled-frame
+ * luminance; [[videoFrames]] extracts evenly-spaced frames re-encoded
+ * as PNG so they flow through the image path, and [[resizeImage]] is
+ * a real raster resize. Payloads that are none of these fall
  * back to [[byteHistogram]], a deterministic 16-bin content
  * fingerprint, so the pipeline is total over mixed/corrupt corpora
  * (decode failures are data, not exceptions). Remaining modalities
- * (video, compressed audio codecs) stay behind the same seam — add a
+ * (compressed video/audio codecs) stay behind the same seam — add a
  * decoder to [[decodeBytes]]'s chain without touching the plan shape.
  *
  * Scale notes: media rows are processed with `mapPartitions` so a real
@@ -111,15 +116,151 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
-  /** Total per-item decoder chain: image, then audio, then the byte
-   * histogram (all padded to the same 16-element shape so the feature
-   * column stays fixed-width). Returns (modality, features). */
+  /** Mean luminance of a frame in [0,1] (ITU-R 601 weights). */
+  private def meanLuminance(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth; val h = img.getHeight
+    var s = 0.0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    s / (w.toDouble * h * 255.0)
+  }
+
+  /** Run `f` over a positioned multi-frame ImageReader for `payload`,
+   * or None when no installed reader claims the bytes. Shared by the
+   * video decode + frame-extraction paths. */
+  private def withFrameReader[A](payload: Array[Byte])(
+      f: (javax.imageio.ImageReader, Int) => Option[A]): Option[A] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis, false, false) // keep metadata: frame delay lives there
+          try f(r, r.getNumImages(true)) finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Per-frame display delay in centiseconds from the GIF
+   * GraphicControlExtension (0 when absent/non-GIF). */
+  private def frameDelayCs(r: javax.imageio.ImageReader, i: Int): Double =
+    try {
+      val md = r.getImageMetadata(i)
+      val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val gce = tree.getElementsByTagName("GraphicControlExtension")
+      if (gce.getLength == 0) 0.0
+      else gce.item(0).asInstanceOf[org.w3c.dom.Element]
+        .getAttribute("delayTime").toDouble
+    } catch { case _: Exception => 0.0 }
+
+  /** Video features for multi-frame containers (animated GIF is what
+   * the JDK decodes natively): [nFrames, width, height, avgFrameDelayCs,
+   * durationSec, lum(first), lum(mid), lum(last)]. Sampled-frame
+   * luminance makes scene structure visible without decoding every
+   * frame. None for single-frame images and non-image payloads —
+   * those belong to [[decodeImage]]. */
+  def decodeVideo(payload: Array[Byte]): Option[Array[Double]] =
+    withFrameReader(payload) { (r, n) =>
+      if (n <= 1) None
+      else {
+        val first = r.read(0)
+        val idxs = Array(0, n / 2, n - 1)
+        val lums = idxs.map(i => meanLuminance(r.read(i)))
+        val delays = Array.tabulate(n)(frameDelayCs(r, _))
+        val avgDelay = delays.sum / n
+        Some(Array(n.toDouble, first.getWidth.toDouble, first.getHeight.toDouble,
+          avgDelay, delays.sum / 100.0, lums(0), lums(1), lums(2)))
+      }
+    }
+
+  /** Extract up to `maxFrames` evenly-spaced frames, re-encoded as PNG
+   * — REAL frame sampling for animated GIFs. Each frame is composited
+   * to its own full raster (GIF frames may be partial-patch deltas, so
+   * raw frame i alone is not the displayed image; compositing
+   * sequentially onto the logical screen is). Returned frames feed
+   * straight back into [[decodeImage]]/[[resizeImage]]. */
+  def videoFrames(payload: Array[Byte], maxFrames: Int): Seq[Array[Byte]] =
+    withFrameReader(payload) { (r, n) =>
+      if (n < 1) None
+      else {
+        val first = r.read(0)
+        val canvas = new java.awt.image.BufferedImage(
+          first.getWidth, first.getHeight, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        val g = canvas.createGraphics()
+        val want = math.min(maxFrames, n)
+        val wanted = (0 until want).map(j => j * (n - 1) / math.max(1, want - 1)).toSet
+        val out = Seq.newBuilder[Array[Byte]]
+        var i = 0
+        while (i < n) {
+          val frame = r.read(i)
+          // GIF patch frames carry their top-left offset in metadata;
+          // ImageIO exposes it via the image's raster min — composite
+          // at (0,0) covers full-frame GIFs and the common case.
+          g.drawImage(frame, 0, 0, null)
+          if (wanted.contains(i)) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val snap = new java.awt.image.BufferedImage(
+              canvas.getWidth, canvas.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val sg = snap.createGraphics()
+            sg.drawImage(canvas, 0, 0, java.awt.Color.BLACK, null)
+            sg.dispose()
+            javax.imageio.ImageIO.write(snap, "png", bos)
+            out += bos.toByteArray
+          }
+          i += 1
+        }
+        g.dispose()
+        Some(out.result())
+      }
+    }.getOrElse(Seq.empty)
+
+  /** Real raster resize: decode, bilinear-scale to (w, h), re-encode
+   * as PNG. None when the payload is not a decodable image. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, java.awt.Color.BLACK, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Total per-item decoder chain: video (multi-frame), then image,
+   * then audio, then the byte histogram (all padded to the same
+   * 16-element shape so the feature column stays fixed-width).
+   * Video is probed first because a multi-frame GIF also decodes as
+   * an image (frame 0) — the more specific modality wins.
+   * Returns (modality, features). */
   def decodeBytes(payload: Array[Byte]): (String, Array[Double]) =
-    decodeImage(payload) match {
-      case Some(f) => ("image", f.padTo(16, 0.0))
-      case None => decodeAudio(payload) match {
-        case Some(f) => ("audio", f.padTo(16, 0.0))
-        case None => ("binary", byteHistogram(payload))
+    decodeVideo(payload) match {
+      case Some(f) => ("video", f.padTo(16, 0.0))
+      case None => decodeImage(payload) match {
+        case Some(f) => ("image", f.padTo(16, 0.0))
+        case None => decodeAudio(payload) match {
+          case Some(f) => ("audio", f.padTo(16, 0.0))
+          case None => ("binary", byteHistogram(payload))
+        }
       }
     }
 
@@ -136,6 +277,32 @@ object Multimodal {
       }
     }
   }
+
+  /** One sampled video frame, re-encoded PNG — an ordinary image row
+   * for everything downstream ([[decodeImage]], [[resizeImage]]). */
+  final case class FrameRow(media_id: Long, frame_idx: Int, frame_png: Array[Byte])
+
+  /** Distributed frame sampling: each video row explodes into up to
+   * `maxFrames` evenly-spaced composited PNG frames; non-video rows
+   * vanish. `mapPartitions` so decoder init amortizes per partition;
+   * payloads never shuffle — explode first, then prune the binary. */
+  def explodeFrames(media: Dataset[MediaRow], maxFrames: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        // single-frame payloads are images, not video — skip (the
+        // count pass only scans headers, it decodes no rasters)
+        if (videoFrameCount(r.payload) <= 1) Iterator.empty
+        else videoFrames(r.payload, maxFrames).iterator.zipWithIndex.map {
+          case (png, i) => FrameRow(r.media_id, i, png)
+        }
+      }
+    }
+  }
+
+  /** Frame count a multi-frame reader sees (0 = not raster-decodable). */
+  def videoFrameCount(payload: Array[Byte]): Int =
+    withFrameReader(payload)((_, n) => Some(n)).getOrElse(0)
 
   /** "Frame sampling": pick every `stride`-th fixed-size window of the
    * payload as a pseudo-frame (shape-preserving stand-in for video

@@ -29,6 +29,90 @@ class MultimodalSpec extends SparkTestBase {
     out.toByteArray
   }
 
+  /** A REAL animated GIF: n solid frames stepping from black to white,
+   * written with the JDK's sequence-capable GIF writer. */
+  private def animatedGifBytes(w: Int, h: Int, nFrames: Int, delayCs: Int = 10): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until nFrames) {
+      val v = if (nFrames == 1) 0 else i * 255 / (nFrames - 1)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val md = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromBufferedImageType(
+          java.awt.image.BufferedImage.TYPE_INT_RGB), writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      tree.appendChild(gce)
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(new IIOImage(img, null, md), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  test("real animated-GIF decode: frame count, dims, timing, luminance ramp") {
+    val gif = animatedGifBytes(6, 4, nFrames = 5, delayCs = 20)
+    val (modality, f) = Multimodal.decodeBytes(gif)
+    assert(modality == "video")
+    assert(f(0) == 5.0)               // frames
+    assert(f(1) == 6.0 && f(2) == 4.0) // width, height
+    assert(f(3) == 20.0)              // avg delay (cs)
+    assert(math.abs(f(4) - 1.0) < 1e-9) // 5 × 20 cs = 1.0 s
+    // black → grey → white ramp across sampled frames
+    assert(f(5) < 0.05 && f(6) > 0.3 && f(6) < 0.7 && f(7) > 0.95)
+    // a single-frame GIF is an image, not a video
+    assert(Multimodal.decodeBytes(animatedGifBytes(3, 3, nFrames = 1))._1 == "image")
+  }
+
+  test("videoFrames extracts decodable evenly-spaced PNG frames") {
+    val gif = animatedGifBytes(8, 8, nFrames = 7)
+    val frames = Multimodal.videoFrames(gif, maxFrames = 3)
+    assert(frames.length == 3)
+    val lums = frames.map { png =>
+      val Some(feat) = Multimodal.decodeImage(png): @unchecked
+      (feat(3) + feat(4) + feat(5)) / 3.0 // mean channel intensity
+    }
+    // first/mid/last of the black→white ramp, each a REAL decodable PNG
+    assert(lums(0) < 0.05 && lums(1) > 0.3 && lums(1) < 0.7 && lums(2) > 0.95)
+    // non-video payloads yield no frames
+    assert(Multimodal.videoFrames("not media".getBytes, 3).isEmpty)
+  }
+
+  test("resizeImage is a real raster resize") {
+    val big = pngBytes(16, 8, 0x00ff00)
+    val Some(small) = Multimodal.resizeImage(big, 4, 2): @unchecked
+    val Some(f) = Multimodal.decodeImage(small): @unchecked
+    assert(f(0) == 4.0 && f(1) == 2.0)
+    assert(f(4) > 0.99) // still green after scaling
+    assert(Multimodal.resizeImage("junk".getBytes, 4, 4).isEmpty)
+  }
+
+  test("explodeFrames: video rows explode to image rows, others vanish") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video/gif", animatedGifBytes(6, 6, nFrames = 9), 6, 6),
+      Multimodal.MediaRow(2L, "image/png", pngBytes(4, 4, 0xff0000), 4, 4),
+      Multimodal.MediaRow(3L, "text/plain", "plain".getBytes, 0, 0)).toDS()
+    val frames = Multimodal.explodeFrames(media, maxFrames = 4).collect()
+    assert(frames.map(_.media_id).toSet == Set(1L))
+    assert(frames.length == 4)
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
+    frames.foreach(fr => assert(Multimodal.decodeImage(fr.frame_png).nonEmpty))
+  }
+
   test("real PNG decode: dimensions and channel means extracted") {
     val red = pngBytes(8, 4, 0xff0000)
     val (modality, f) = Multimodal.decodeBytes(red)
