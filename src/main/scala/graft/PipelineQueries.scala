@@ -176,6 +176,39 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
     }),
 
+    // Benchmark decontamination: directional n-gram containment of a
+    // held-out eval slice (doc_id % 97 == 0 stands in for the
+    // benchmark) inside the train split — inverted-index equi-join,
+    // eval side benchmark-sized (broadcast at scale)
+    "d9_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5, minContainment = 0.3)
+    }),
+
+    // PII scrub: count + redact emails/phones/IPv4s. The corpus is
+    // deterministically AUGMENTED with synthetic PII derived from
+    // doc_id (same construction in the oracle) so the redaction is
+    // exercised on every row; output carries pre-redaction counts and
+    // the md5 of the scrubbed text.
+    "t8_pii_redact" -> ((s, d) => {
+      val aug = Tables.documents(s, d).withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string")))
+      aug.select(
+        col("doc_id"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.piiPatterns(0)._2).as("n_email"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.piiPatterns(1)._2).as("n_phone"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.piiPatterns(2)._2).as("n_ipv4"),
+        md5(TextAnalysis.redactPii(col("text"))).as("red_md5"))
+    }),
+
     // Embedding-cosine near-dup via hyperplane-LSH buckets
     "d5_embedding_neardup" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -349,6 +382,37 @@ object PipelineQueries {
       s"""WITH $shingleCte,
          |${jaccardSql(0.5)}
          |SELECT doc_a, doc_b, jaccard FROM jac""".stripMargin,
+
+    "d9_decontaminate" ->
+      s"""WITH $shingleCte,
+         |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+         |esz AS (SELECT eval_id, count(*) AS ne FROM ev GROUP BY 1),
+         |com AS (
+         |  SELECT train_id, eval_id, count(*) AS common
+         |  FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)
+         |SELECT train_id, eval_id, common,
+         |  round(common*1.0/ne, 6) AS containment
+         |FROM com JOIN esz USING (eval_id)
+         |WHERE round(common*1.0/ne, 6) >= 0.3""".stripMargin,
+
+    "t8_pii_redact" -> {
+      val Seq(em, ph, ip) = TextAnalysis.piiPatterns.map(_._2.replace("'", "''"))
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com or call 555-' ||
+         |    lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+         |    lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+         |    ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$ph')) AS INTEGER) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ipv4,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS red_md5
+         |FROM aug""".stripMargin
+    },
 
     "d8_tfidf_pairs" ->
       s"""WITH $toksCte,

@@ -140,6 +140,38 @@ object Dedup {
     }
   }
 
+  /**
+   * Cross-corpus contamination (benchmark decontamination): for every
+   * (train, eval) doc pair sharing word n-gram shingles, containment
+   * = |train ∩ eval| / |eval shingles| — the fraction of the EVAL doc
+   * reproduced inside the train doc (the directional metric
+   * decontamination needs; Jaccard under-fires when a short benchmark
+   * item is embedded in a long train doc). Candidates come from an
+   * inverted-index equi-join on the shingle key — never all-pairs —
+   * and the eval side is benchmark-sized, so Catalyst broadcasts its
+   * index under the threshold; at corpus scale the train side streams
+   * map-side against it. Output: (train_id, eval_id, common,
+   * containment ≥ minContainment).
+   */
+  def contaminationPairs(train: DataFrame, eval: DataFrame, keyCol: String,
+      textCol: String, n: Int = 5, minContainment: Double = 0.5): DataFrame = {
+    val trainIdx = shingleIndex(train, keyCol, textCol, n)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val evalSets = shingleSets(eval, keyCol, textCol, n)
+    val evalIdx = evalSets
+      .select(col("doc_id").as("eval_id"), explode(col("sh_set")).as("shingle"))
+    val evalSizes = evalSets
+      .select(col("doc_id").as("eval_id"), size(col("sh_set")).as("_ne"))
+      .filter(col("_ne") > 0)
+    trainIdx.join(evalIdx, Seq("shingle"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(evalSizes, "eval_id")
+      .withColumn("containment", round(col("common").cast("double") / col("_ne"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("train_id"), col("eval_id"), col("common"), col("containment"))
+  }
+
   /** Affine-permutation constants for MinHash (deterministic, shared
    * with the SQL oracle). Products stay < 2^63: base hash < 2^32,
    * multiplier < 2^17. */

@@ -118,6 +118,27 @@ object TextAnalysis {
     best._1
   }
 
+  /** PII patterns as (name, regex, replacement), in redaction order.
+   * The regex subset is portable (no backreferences or lookarounds —
+   * legal in both java.util.regex and RE2-style engines, so the SQL
+   * oracle can run the identical patterns). Email is redacted first:
+   * its local part can contain digit runs that the later numeric
+   * patterns would otherwise clip mid-address. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Occurrences of one PII pattern (count BEFORE redaction — the
+   * audit metric: how much PII did this doc carry). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Scrub all PII patterns in order. Pure regexp_replace chain —
+   * codegen'd, no shuffle, linear scan of the corpus. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
+
   /** Whole-document fingerprint: md5 of the whitespace-normalized text. */
   def fingerprint(text: Column): Column =
     md5(array_join(tokens(text), " "))

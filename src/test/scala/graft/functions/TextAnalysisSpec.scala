@@ -71,4 +71,39 @@ class TextAnalysisSpec extends SparkTestBase {
       Map("a" -> 0.1), defaultRate = 0.5).count()
     assert(n > 420 && n < 580, s"default-rate kept $n")
   }
+
+  test("PII redaction: emails/phones/IPs counted and scrubbed, clean text untouched") {
+    val dirty = "reach me at jane.doe+spam@mail.example.org or 555-867-5309, " +
+      "server 192.168.1.200 is down"
+    val red = one(TextAnalysis.redactPii(lit(dirty))).getString(0)
+    assert(red == "reach me at <EMAIL> or <PHONE>, server <IP> is down")
+    val counts = Seq(dirty).toDF("text").select(
+      TextAnalysis.piiCount(col("text"), TextAnalysis.piiPatterns(0)._2).as("e"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.piiPatterns(1)._2).as("p"),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.piiPatterns(2)._2).as("i"))
+      .as[(Int, Int, Int)].head()
+    assert(counts == ((1, 1, 1)))
+    // clean text passes through byte-identical; version strings with
+    // fewer than 4 dotted groups are not IPs
+    val clean = "release v1.2 shipped to 12 users, cost 3.50"
+    assert(one(TextAnalysis.redactPii(lit(clean))).getString(0) == clean)
+    // email is redacted BEFORE numeric patterns so digits in the local
+    // part never get clipped mid-address
+    assert(one(TextAnalysis.redactPii(lit("a 10.0.0.1@h.co b"))).getString(0) == "a <EMAIL> b")
+  }
+
+  test("cross-corpus contamination: containment finds embedded eval docs, jaccard-blind") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta"
+    val train = Seq(
+      // eval doc verbatim inside a much longer train doc (low jaccard!)
+      (1L, "one two three four five six seven " + evalDoc + " eight nine ten eleven twelve"),
+      (2L, "totally unrelated text about completely different things entirely here")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val hits = Dedup.contaminationPairs(train, eval, "doc_id", "text",
+      n = 3, minContainment = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSeq == Seq((1L, 100L)))
+    assert(hits.head._4 == 1.0) // every eval shingle present in train doc 1
+  }
 }
