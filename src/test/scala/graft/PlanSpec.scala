@@ -97,6 +97,29 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(countShuffles(df) == 0, df.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("quantized ANN: queries broadcast in BOTH stages, corpus never shuffled (N5)") {
+    val df = SparkEntry.queries("n5_ann_quantized")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // stage 1 scans the int8 corpus against broadcast queries; stage 2
+    // joins the (broadcast-sized) candidate list back — the full-float
+    // corpus side must never be exchanged by content
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("embedding")), p.take(1200))
+  }
+
+  test("decontamination is an equi-join on the shingle key, no cartesian (D9)") {
+    val p = plan("d9_decontaminate")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("PII redaction is a pure map pipeline: zero shuffles (T8)") {
+    val df = SparkEntry.queries("t8_pii_redact")(spark, sf)
+    assert(countShuffles(df) == 0, df.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("codegen'd FloatVecDot is in the plan, not interpreted lambdas (N1)") {
     val p = plan("n1_ann_bruteforce")
     assert(p.contains("floatvecdot") || p.contains("FloatVecDot"), p.take(800))
