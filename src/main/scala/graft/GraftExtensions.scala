@@ -1,16 +1,25 @@
 package graft
 
+import graft.functions.{Dedup, Similarity, TextAnalysis}
 import graft.functions.expressions.FloatVecDot
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.GraftColumns
+import org.apache.spark.sql.types.IntegerType
 
 /**
- * Session extensions: registers graft's custom Catalyst expressions
- * for SQL callers. Install via
+ * Session extensions: registers graft's custom Catalyst expression and
+ * the whole text/dedup/similarity scalar surface as native SQL
+ * functions, so a pure-SQL caller (`spark.sql`, thrift, notebooks) can
+ * use the library without touching the Scala API. Install via
  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
  * `spark.sql.extensions=graft.GraftExtensions`; for an already-running
  * session use [[GraftExtensions.registerTemp]].
+ *
+ * Every function here lowers to the same Column expressions the
+ * DataFrame API uses — codegen'd, no UDFs — so `graft_quality_score(
+ * text)` in SQL plans identically to `TextAnalysis.qualityScore(col)`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -18,13 +27,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq((
-    new FunctionIdentifier("float_vec_dot"),
-    new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[TextAnalysis.type].getName, name)
+
+  private def fn1(name: String)(f: Column => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name), info(name),
     (exprs: Seq[Expression]) => {
-      require(exprs.length == 2, "float_vec_dot(a, b) takes two array<float> arguments")
-      FloatVecDot(exprs.head, exprs(1))
-    }))
+      require(exprs.length == 1, s"$name takes one argument")
+      GraftColumns.toExpression(f(GraftColumns.column(exprs.head)))
+    })
+
+  private def fn2(name: String)(f: (Column, Column) => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name), info(name),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, s"$name takes two arguments")
+      GraftColumns.toExpression(
+        f(GraftColumns.column(exprs.head), GraftColumns.column(exprs(1))))
+    })
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      new FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "float_vec_dot(a, b) takes two array<float> arguments")
+        FloatVecDot(exprs.head, exprs(1))
+      }),
+    fn1("graft_token_count")(TextAnalysis.tokenCount),
+    fn1("graft_bpeish_token_count")(TextAnalysis.bpeishTokenCount),
+    fn1("graft_mean_token_length")(TextAnalysis.meanTokenLength),
+    fn1("graft_punct_ratio")(TextAnalysis.punctRatio),
+    fn1("graft_repetition_ratio")(TextAnalysis.repetitionRatio),
+    fn1("graft_stopword_ratio")(TextAnalysis.stopwordRatio(_)),
+    fn1("graft_quality_score")(TextAnalysis.qualityScore),
+    fn1("graft_lang_id")(TextAnalysis.languageId),
+    fn1("graft_fingerprint")(TextAnalysis.fingerprint),
+    fn1("graft_redact_pii")(TextAnalysis.redactPii),
+    fn1("graft_hash32")(Dedup.md5Hash32),
+    fn2("graft_cosine")(Similarity.cosine),
+    // graft_shingles(text, n): n must be a literal — it fixes the
+    // shape of the generated expression tree at plan time
+    (
+      new FunctionIdentifier("graft_shingles"), info("graft_shingles"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs match {
+          case Seq(_, Literal(v: Int, IntegerType)) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_shingles(text, n) takes a text column and a literal int n")
+        }
+        GraftColumns.toExpression(Dedup.shingles(GraftColumns.column(exprs.head), n))
+      }))
 
   /** Register into a live session (getOrCreate ignores withExtensions
    * when a session already exists). */

@@ -1,11 +1,68 @@
 package graft
 
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+
 class GraftExtensionsSpec extends SparkTestBase {
+
   test("float_vec_dot is SQL-callable after registration") {
     GraftExtensions.registerTemp(spark)
     val r = spark.sql(
       "SELECT float_vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
         "array(cast(3.0 as float), cast(4.0 as float))) AS d").head()
     assert(r.getDouble(0) == 11.0)
+  }
+
+  test("text-analysis surface is SQL-callable and matches the Column API") {
+    GraftExtensions.registerTemp(spark)
+    val text = "the quick brown fox jumps over the lazy dog and the cat"
+    val sqlRow = spark.sql(
+      s"""SELECT graft_token_count('$text') AS tc,
+         |  graft_bpeish_token_count('$text') AS bc,
+         |  graft_quality_score('$text') AS q,
+         |  graft_lang_id('$text') AS lang,
+         |  graft_repetition_ratio('$text') AS rep,
+         |  graft_fingerprint('$text') AS fp,
+         |  graft_redact_pii('mail a@b.co or 555-123-4567') AS red,
+         |  graft_hash32('k1') AS h,
+         |  size(graft_shingles('$text', 5)) AS nsh""".stripMargin).head()
+    val colRow = spark.range(1).select(
+      TextAnalysis.tokenCount(lit(text)),
+      TextAnalysis.bpeishTokenCount(lit(text)),
+      TextAnalysis.qualityScore(lit(text)),
+      TextAnalysis.languageId(lit(text)),
+      TextAnalysis.repetitionRatio(lit(text)),
+      TextAnalysis.fingerprint(lit(text)),
+      TextAnalysis.redactPii(lit("mail a@b.co or 555-123-4567")),
+      graft.functions.Dedup.md5Hash32(lit("k1")),
+      size(graft.functions.Dedup.shingles(lit(text), 5))).head()
+    assert(sqlRow.toSeq == colRow.toSeq)
+    assert(sqlRow.getAs[String]("lang") == "en")
+    assert(sqlRow.getAs[String]("red") == "mail <EMAIL> or <PHONE>")
+  }
+
+  test("graft_cosine in SQL over a real table matches Similarity.cosine") {
+    GraftExtensions.registerTemp(spark)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(8)
+    emb.createOrReplaceTempView("emb_ext_spec")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, round(graft_cosine(a.embedding, b.embedding), 6) AS c
+        |FROM emb_ext_spec a JOIN emb_ext_spec b ON b.vec_id = 0
+        |ORDER BY a.vec_id""".stripMargin).collect()
+    val viaCol = emb.as("a")
+      .join(emb.as("b").filter(col("vec_id") === 0)
+        .select(col("embedding").as("b_emb")))
+      .select(col("vec_id"),
+        round(graft.functions.Similarity.cosine(col("embedding"), col("b_emb")), 6).as("c"))
+      .orderBy("vec_id").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+  }
+
+  test("graft_shingles requires a literal n") {
+    GraftExtensions.registerTemp(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b c', cast(rand()*3 as int))").head()
+    }
+    assert(e.getMessage.contains("literal int"))
   }
 }
