@@ -27,6 +27,15 @@ object PipelineQueries {
       path
     })
 
+  /** Same fit-once memo for the IVF-SQ8 (quantized-scan) index. */
+  private val ivfSq8Memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfSq8Path(s: SparkSession, d: String): String =
+    ivfSq8Memo.computeIfAbsent(d, _ => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfsq8-${Integer.toHexString(d.hashCode)}"
+      Similarity.buildIvfSq8Index(Tables.embeddings(s, d), path, nClusters = 16)
+      path
+    })
+
   // ---- shared oracle SQL fragments ---------------------------------------
 
   /** Tokens CTE fragment: whitespace-split, blanks dropped (mirrors
@@ -283,6 +292,16 @@ object PipelineQueries {
     "n5_ann_quantized" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+    }),
+
+    // IVF-SQ8: cell-pruned probe over the persisted QUANTIZED corpus,
+    // exact float rerank of survivors by id join — the serving shape
+    // when the float corpus is too big to scan (n3's pruning × n5's
+    // compression). Generated oracle (centroid literals), like n3.
+    "n6_ann_ivf_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfQuantizedTopK(s, ivfSq8Path(s, d),
+        emb.filter(col("vec_id") < 20), k = 10, nProbe = 4)
     }),
 
     // Multimodal binary-column plumbing (metadata path; decode stub is
@@ -667,11 +686,25 @@ object PipelineQueries {
    */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
     val centroids = Similarity.fitIvfCentroids(Tables.embeddings(spark, sfDir), nClusters = 16)
-    Map("n3_ann_ivf" -> ivfOracleSql(centroids, k = 10, nProbe = 4))
+    Map(
+      "n3_ann_ivf" -> ivfOracleSql(centroids, k = 10, nProbe = 4),
+      "n6_ann_ivf_sq8" -> ivfSq8OracleSql(centroids, k = 10, nProbe = 4, rerankFactor = 3))
   }
 
-  private def ivfOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): String = {
-    def fmt(d: Double) = d.toString // shortest repr that round-trips to the same double
+  private def ivfOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): String =
+    s"""WITH ${ivfCtesSql(centroids, nProbe)}
+       |SELECT p.query_id, a.neighbor_id,
+       |  ${cosSql("a.embedding", "p.qv")} AS cosine,
+       |  CAST(row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY ${cosSql("a.embedding", "p.qv")} DESC, a.neighbor_id) AS INTEGER) AS rank
+       |FROM assigned a JOIN probes p ON a.cell = p.cell
+       |WHERE p.query_id <> a.neighbor_id
+       |QUALIFY rank <= $k""".stripMargin
+
+  /** Centroid-literal CTEs shared by the n3/n6 generated oracles:
+   * cell assignment of the corpus + nProbe probe cells per query. */
+  private def ivfCtesSql(centroids: Seq[(Int, Seq[Float])], nProbe: Int): String = {
+    def fmt(d: Double) = d.toString
     def vec(c: Seq[Float]) = c.map(x => fmt(x.toDouble)).mkString("[", ", ", "]")
     val rows = centroids.map { case (i, c) =>
       val ccv = Similarity.sqSum(c)
@@ -679,7 +712,7 @@ object PipelineQueries {
     }.mkString(",\n      ")
     def vc(v: String, cvec: String) =
       s"list_sum(list_transform(list_zip($v, $cvec), p -> p[1]::DOUBLE * p[2]))"
-    s"""WITH centroids(cell, cv, cc, sqrtcc) AS (
+    s"""centroids(cell, cv, cc, sqrtcc) AS (
        |  SELECT * FROM (VALUES
        |      $rows) t),
        |assigned AS (
@@ -693,15 +726,41 @@ object PipelineQueries {
        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
        |    ORDER BY (${vc("q.embedding", "c.cv")} /
        |      (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) * c.sqrtcc)) DESC,
-       |      c.cell ASC) <= $nProbe)
-       |SELECT p.query_id, a.neighbor_id,
-       |  ${cosSql("a.embedding", "p.qv")} AS cosine,
-       |  CAST(row_number() OVER (PARTITION BY p.query_id
-       |    ORDER BY ${cosSql("a.embedding", "p.qv")} DESC, a.neighbor_id) AS INTEGER) AS rank
-       |FROM assigned a JOIN probes p ON a.cell = p.cell
-       |WHERE p.query_id <> a.neighbor_id
-       |QUALIFY rank <= $k""".stripMargin
+       |      c.cell ASC) <= $nProbe)""".stripMargin
   }
+
+  /** IVF-SQ8 oracle: n3's cell CTEs + n5's quantization, stage-1 rank
+   * by quantized cosine within probed cells, exact rerank of the
+   * k·rerankFactor survivors. Mirrors Similarity.ivfQuantizedTopK. */
+  private def ivfSq8OracleSql(centroids: Seq[(Int, Seq[Float])], k: Int,
+      nProbe: Int, rerankFactor: Int): String =
+    s"""WITH ${ivfCtesSql(centroids, nProbe)},
+       |scaled AS (
+       |  SELECT vec_id, embedding,
+       |         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+       |         ELSE list_transform(embedding,
+       |                x -> CAST(floor(x::DOUBLE / s * 127.0 + 0.5) AS INTEGER)) END AS qvec
+       |  FROM scaled),
+       |cands AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  JOIN q qc ON qc.vec_id = a.neighbor_id
+       |  JOIN q qq ON qq.vec_id = p.query_id
+       |  WHERE p.query_id <> a.neighbor_id
+       |  QUALIFY row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY ${cosSql("qc.qvec", "qq.qvec")} DESC, a.neighbor_id) <= ${k * rerankFactor})
+       |SELECT c.query_id, c.neighbor_id,
+       |  ${cosSql("ec.embedding", "eq.embedding")} AS cosine,
+       |  CAST(row_number() OVER (PARTITION BY c.query_id
+       |    ORDER BY ${cosSql("ec.embedding", "eq.embedding")} DESC, c.neighbor_id) AS INTEGER) AS rank
+       |FROM cands c
+       |JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+       |JOIN embeddings eq ON eq.vec_id = c.query_id
+       |QUALIFY rank <= $k""".stripMargin
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

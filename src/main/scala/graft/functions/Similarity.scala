@@ -287,6 +287,77 @@ object Similarity {
   }
 
   /**
+   * Build the IVF-SQ8 index layout — the serving shape for a corpus
+   * whose float vectors don't fit the scan budget. Three tables under
+   * `path`:
+   *  - `centroids`: (cell, center float[])
+   *  - `qcorpus`: (vec_id, qvec int8-as-int) PARTITIONED BY cell —
+   *    the 4×-compressed table that probe scans actually read
+   *  - `fcorpus`: (vec_id, embedding) — full precision, touched ONLY
+   *    through the id-equi-join for candidates that survive stage 1
+   * At 100 TB the probe cost is nProbe/nClusters of the QUANTIZED
+   * corpus, and full floats are fetched for k·rerankFactor rows per
+   * query, never scanned.
+   */
+  def buildIvfSq8Index(corpus: DataFrame, path: String, nClusters: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = fitIvfCentroids(corpus, nClusters)
+    centroids.toDF("cell", "center")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    quantizeInt8(assignCells(corpus, centroids), "embedding")
+      .select(col("vec_id"), col("qvec"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/qcorpus")
+    corpus.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/fcorpus")
+  }
+
+  /**
+   * Serve top-k from a persisted IVF-SQ8 index: probe `nProbe` cells
+   * (partition-pruned scan of the int8 table), rank candidates by
+   * quantized cosine (per-vector symmetric scales cancel, and int8
+   * dots are exact integers in double — stage-1 order is bit-stable
+   * across engines), then rerank the k·rerankFactor survivors per
+   * query with exact float cosine via an id join against `fcorpus`.
+   * Output: (query_id, neighbor_id, cosine, rank) — exact cosines,
+   * same contract as [[bruteForceTopK]]/[[ivfTopKIndexed]].
+   */
+  def ivfQuantizedTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int, rerankFactor: Int = 3): DataFrame = {
+    def asFloats(qvec: Column) = transform(qvec, _.cast("float"))
+    val centroids = loadIvfCentroids(spark, path)
+    val qcells = probeCells(queries, centroids, nProbe)
+    val probedCells = qcells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val qq = quantizeInt8(queries, "embedding")
+      .select(col("vec_id").as("query_id"), asFloats(col("qvec")).as("_qq"))
+    val probes = qcells.select(col("query_id"), col("cell")).join(qq, Seq("query_id"))
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    val cands = spark.read.parquet(s"$path/qcorpus")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("vec_id").as("neighbor_id"), asFloats(col("qvec")).as("_cq"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcos", round(cosine(col("_cq"), col("_qq")), 6))
+      .withColumn("_ar", row_number().over(wQ))
+      .filter(col("_ar") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(cands)
+      .join(spark.read.parquet(s"$path/fcorpus")
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))),
+        Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /**
    * LSH-bucketed ANN: corpus bucketed by hyperplane signature; each
    * query probes its own bucket only (single equi-join on the bucket
    * key — at scale this is the difference between a full scan per query

@@ -135,4 +135,39 @@ class SimilaritySpec extends SparkTestBase {
       .select("cell").distinct().count()
     assert(probed == 2, s"probed $probed cells")
   }
+
+  test("IVF-SQ8: quantized probe + exact rerank matches full-precision IVF within probed cells") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfsq8").toString
+    Similarity.buildIvfSq8Index(emb, path, nClusters = 8)
+
+    val served = Similarity.ivfQuantizedTopK(spark, path, queries, k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(served.map(_._1).distinct.length == 5)
+    assert(served.groupBy(_._1).forall(_._2.length == 5)) // k filled per query
+
+    // exact-rerank contract: every reported cosine equals the
+    // full-precision IVF cosine for the same pair (same probe set)
+    val full = Similarity.ivfTopKIndexed(spark,
+      { val p = java.nio.file.Files.createTempDirectory("graft-ivf-ref").toString
+        Similarity.buildIvfIndex(emb, p, nClusters = 8); p },
+      queries, k = 30, nProbe = 3)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    served.foreach { case (q, n, c) =>
+      full.get((q, n)).foreach(e => assert(e == c, s"cosine mismatch ($q,$n)")) }
+    // int8 stage-1 on 64 dims: near-total agreement with the exact
+    // top-5 within the same probed cells
+    val fullTop5 = Similarity.ivfQuantizedTopK(spark, path, queries, k = 5,
+      nProbe = 3, rerankFactor = 6).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = served.map(r => (r._1, r._2)).count(fullTop5.contains) / served.length.toDouble
+    assert(recall >= 0.8, s"sq8 recall vs wider rerank $recall")
+
+    // the quantized table is the one partition-pruned at probe time
+    val plan = Similarity.ivfQuantizedTopK(spark, path, queries, k = 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("qcorpus"), plan.take(1200))
+  }
 }
