@@ -208,15 +208,22 @@ object Dedup {
    * sharing any band key become candidate pairs (shuffle on band key —
    * never pairwise over the corpus).
    */
-  def lshCandidates(sigs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+  /** Per-document LSH band keys: (doc_id, band, key) — the banding
+   * stage of [[lshCandidates]], exposed on its own for callers that
+   * need the keys themselves (e.g. streaming near-dedup state). */
+  def bandKeys(sigs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     val bandCols = (0 until bands).map { bnd =>
       val slice = (0 until rowsPerBand).map(r => col(s"sig_${bnd * rowsPerBand + r}"))
       struct(lit(bnd).as("band"), md5(concat_ws("|", slice: _*)).as("key"))
     }
-    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  def lshCandidates(sigs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val banded = bandKeys(sigs, k, bands)
     val l = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     l.join(r, Seq("band", "key"))

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.functions.Dedup
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming NEAR-dedup — the streaming face of MinHash+LSH: suppress
+ * an incoming document when any of its LSH band keys was already
+ * emitted within the horizon. Sits behind [[StreamingDedup]] (exact
+ * digests) in an ingest pipeline: exact kills the copy firehose,
+ * this kills the near-copy firehose, and the batch pipeline
+ * (`Dedup.dedupPipeline`) still does the precise pass downstream.
+ *
+ * Semantics (deterministic, documented over-suppression):
+ *  - cross-batch: a doc is suppressed iff any of its band keys was
+ *    recorded by a KEPT doc in an earlier micro-batch, with a
+ *    last-seen timestamp within `horizonSec` of the batch's max
+ *    event time (the store is event-time expired, so state is
+ *    bounded by the horizon — the same property
+ *    dropDuplicatesWithinWatermark gives the exact path).
+ *  - within-batch: docs are ordered by (event time, doc id); a doc is
+ *    suppressed iff an EARLIER batch doc shares any band key —
+ *    whether or not that earlier doc itself survived. This is the
+ *    standard conservative approximation: it never emits two
+ *    colliding docs from one batch, at the cost of occasionally
+ *    suppressing a doc whose only collision was itself suppressed.
+ *  - docs too short to shingle have no bands and are always kept.
+ *
+ * Scale: band keys shuffle by (band, key) — content-derived,
+ * corpus-size-independent key space; the store is an append-only
+ * (band, key, ts) parquet log, read with an event-time cutoff filter
+ * and compacted by [[compactStore]]. No driver-side membership
+ * structure, no per-doc pairwise work.
+ */
+object StreamingNearDedup {
+
+  /** One micro-batch: returns the KEPT rows of `batch` and appends
+   * their band keys to the store. Wire via foreachBatch ([[attach]])
+   * or call directly in tests/backfills. */
+  def processBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
+      textCol: String, tsCol: String, storePath: String, horizonSec: Long,
+      n: Int = 5, k: Int = 16, bands: Int = 4): DataFrame = {
+    if (batch.isEmpty) return batch
+    val persisted = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = Dedup.bandKeys(
+        Dedup.minhashSignatures(persisted, keyCol, textCol, n, k), k, bands)
+        .join(persisted.select(col(keyCol).as("doc_id"), col(tsCol).as("_ts")), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxTs = persisted.agg(max(col(tsCol))).head().getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(maxTs.getTime - horizonSec * 1000)
+
+      // cross-batch: any band key seen (by a kept doc) within horizon
+      val seen = readStore(spark, storePath).filter(col("ts") >= cutoff)
+        .select(col("band"), col("key")).distinct()
+      val crossHit = banded.join(seen, Seq("band", "key"))
+        .select(col("doc_id")).distinct()
+
+      // within-batch: suppressed iff an earlier (ts, id) doc shares a band
+      val wB = Window.partitionBy(col("band"), col("key"))
+        .orderBy(col("_ts"), col("doc_id"))
+      val batchHit = banded
+        .withColumn("_rn", row_number().over(wB))
+        .filter(col("_rn") > 1)
+        .select(col("doc_id")).distinct()
+
+      val suppressed = crossHit.union(batchHit).distinct()
+      val kept = persisted.join(
+        suppressed.withColumnRenamed("doc_id", keyCol), Seq(keyCol), "left_anti")
+
+      // record kept docs' band keys (event-time stamped)
+      banded.join(kept.select(col(keyCol).as("doc_id")), Seq("doc_id"))
+        .select(col("band"), col("key"), col("_ts").as("ts"))
+        .write.mode(SaveMode.Append).parquet(storePath)
+      kept
+    } finally { persisted.unpersist(); () }
+  }
+
+  private def readStore(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case _: Exception =>
+        import spark.implicits._
+        Seq.empty[(Int, String, java.sql.Timestamp)].toDF("band", "key", "ts")
+    }
+
+  /** Rewrite the store keeping only keys seen since `cutoff` (run
+   * periodically; read-time filtering keeps correctness in between —
+   * same TTL-as-predicate + compaction shape as RealTimeStore).
+   * Distributed stage-then-swap: survivors land in `<path>-staged`
+   * (Spark cannot overwrite a path it is reading), then replace the
+   * live store. */
+  def compactStore(spark: SparkSession, path: String,
+      cutoff: java.sql.Timestamp): Unit = {
+    val staged = s"$path-staged"
+    readStore(spark, path)
+      .groupBy(col("band"), col("key")).agg(max(col("ts")).as("ts"))
+      .filter(col("ts") >= cutoff)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    spark.read.parquet(staged)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Attach to a streaming DataFrame: kept rows land in `outPath`. */
+  def attach(stream: DataFrame, keyCol: String, textCol: String, tsCol: String,
+      storePath: String, outPath: String, checkpoint: String,
+      horizonSec: Long): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch.sparkSession, batch, keyCol, textCol, tsCol,
+          storePath, horizonSec)
+          .write.mode(SaveMode.Append).parquet(outPath)
+      }
+      .start()
+}

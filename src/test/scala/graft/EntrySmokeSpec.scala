@@ -16,8 +16,10 @@ class EntrySmokeSpec extends SparkTestBase {
     }
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
-    // every query is oracle-backed except the documented rows-only set
+    // every query is oracle-backed except the generated-oracle set
+    // (centroid-literal SQL produced by dynamicOracleSql at Verify time)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("n3_ann_ivf"), s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly == Set("n3_ann_ivf", "n6_ann_ivf_sq8"),
+      s"unexpected rows-only queries: $rowsOnly")
   }
 }

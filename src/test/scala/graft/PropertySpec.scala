@@ -215,4 +215,43 @@ class PropertySpec extends SparkTestBase {
       assert(parsed._2 == toks.last)
     }
   }
+
+  test("PII redaction is idempotent and non-expanding on random PII-laced text") {
+    import graft.functions.TextAnalysis
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val pii = Gen.oneOf(
+      Gen.const("bob.smith+x@corp.example.net"),
+      Gen.const("555-201-3344"),
+      Gen.const("172.16.254.3"))
+    val textGen = Gen.listOfN(6, Gen.frequency(3 -> word, 1 -> pii)).map(_.mkString(" "))
+    forAll(textGen, n = 12) { text =>
+      val once = Seq(text).toDF("t")
+        .select(TextAnalysis.redactPii(col("t")).as("r")).as[String].head()
+      val twice = Seq(once).toDF("t")
+        .select(TextAnalysis.redactPii(col("t")).as("r")).as[String].head()
+      assert(twice == once, s"not idempotent on: $text")
+      assert(!once.contains("@"), s"unredacted email survives in: $once")
+    }
+  }
+
+  test("contamination containment is in (0,1] and 1.0 for verbatim-embedded docs") {
+    import graft.functions.Dedup
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val docGen = Gen.listOfN(12, word).map(_.mkString(" "))
+    forAll(Gen.listOfN(3, docGen), n = 5) { evalDocs =>
+      val eval = evalDocs.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      // every eval doc embedded verbatim in one long train doc
+      val train = Seq((1L, evalDocs.mkString("start padding ", " mid join padding ", " end padding")))
+        .toDF("doc_id", "text")
+      val hits = Dedup.contaminationPairs(train, eval, "doc_id", "text",
+        n = 5, minContainment = 0.0)
+        .select("eval_id", "containment").as[(Long, Double)].collect().toMap
+      evalDocs.zipWithIndex.foreach { case (t, i) =>
+        if (t.split("\\s+").length >= 5)
+          assert(hits(100L + i) == 1.0, s"eval doc $i not fully contained")
+      }
+      assert(hits.values.forall(c => c > 0.0 && c <= 1.0))
+    }
+  }
 }

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingNearDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  // ~40 tokens so 5-gram shingles exist; edits of a few words keep
+  // most shingles shared => same minhash bands with high probability
+  private val base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+    "kilo lima mike november oscar papa quebec romeo sierra tango " +
+    "uniform victor whiskey xray yankee zulu one two three four " +
+    "five six seven eight nine ten eleven twelve thirteen fourteen")
+  // whitespace-only variant: different raw text (md5-exact dedup would
+  // MISS it) but an identical token stream, so shingle sets — and
+  // therefore minhash bands — match deterministically
+  private val nearCopy = base.replace(" kilo ", "   kilo  ")
+  private val distinct =
+    "the quick brown fox jumps over the lazy dog and then runs far away into the woods " +
+      "while birds sing morning songs above the quiet river bend near the old stone bridge " +
+      "under a pale winter sky full of slow clouds drifting east"
+
+  test("near-duplicates suppressed across batches; horizon expires state; within-batch ordered") {
+    val store = java.nio.file.Files.createTempDirectory("neardedup-store").toString + "/s"
+    def run(docs: Seq[(Long, String, java.sql.Timestamp)]) =
+      StreamingNearDedup.processBatch(spark,
+        docs.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+        store, horizonSec = 600)
+        .select("doc_id").as[Long].collect().toSet
+
+    // batch 1: base kept; in-batch near-copy suppressed (later ts);
+    // unrelated doc kept
+    assert(run(Seq((1L, base, ts(0)), (2L, nearCopy, ts(1)), (3L, distinct, ts(2))))
+      == Set(1L, 3L))
+    // batch 2 (within horizon): another near-copy suppressed, new doc kept
+    assert(run(Seq((4L, nearCopy, ts(5)), (5L, distinct.toUpperCase, ts(6)))) == Set(5L))
+    // batch 3 (beyond horizon): the same near-copy is NEW again
+    assert(run(Seq((6L, nearCopy, ts(30)))) == Set(6L))
+  }
+
+  test("short docs with no shingles always pass; store compaction keeps live keys only") {
+    val store = java.nio.file.Files.createTempDirectory("neardedup-store2").toString + "/s"
+    val kept = StreamingNearDedup.processBatch(spark,
+      Seq((1L, "too short", ts(0)), (2L, "too short", ts(1)), (3L, base, ts(2)))
+        .toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", store, horizonSec = 600)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L)) // no bands => exact-dup stage's job, not ours
+
+    // compaction with a future cutoff empties the store => key re-admitted
+    StreamingNearDedup.compactStore(spark, store, ts(20))
+    val again = StreamingNearDedup.processBatch(spark,
+      Seq((9L, base, ts(3))).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", store, horizonSec = 600)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == Set(9L))
+  }
+
+  test("end-to-end over a real stream via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardedup-e2e").toString
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingNearDedup.attach(input.toDF().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", s"$dir/store", s"$dir/out", s"$dir/ckpt",
+      horizonSec = 600)
+    input.addData((1L, base, ts(0)), (2L, distinct, ts(1)))
+    q.processAllAvailable()
+    input.addData((3L, nearCopy, ts(4)), (4L, base + " tail extension", ts(5)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(2L))
+    assert(!kept.contains(3L), "cross-batch near-copy must be suppressed")
+  }
+}
