@@ -66,6 +66,8 @@ object GraftExtensions {
     fn1("graft_lang_id")(TextAnalysis.languageId),
     fn1("graft_fingerprint")(TextAnalysis.fingerprint),
     fn1("graft_redact_pii")(TextAnalysis.redactPii),
+    fn1("graft_nfc")(TextAnalysis.nfc),
+    fn1("graft_nfkc")(TextAnalysis.nfkc),
     fn1("graft_hash32")(Dedup.md5Hash32),
     fn2("graft_cosine")(Similarity.cosine),
     // graft_shingles(text, n): n must be a literal — it fixes the

@@ -304,6 +304,21 @@ object PipelineQueries {
         emb.filter(col("vec_id") < 20), k = 10, nProbe = 4)
     }),
 
+    // Unicode NFC normalization (custom codegen'd Expression). Docs are
+    // deterministically augmented with DECOMPOSED sequences (e+U+0301,
+    // n+U+0303) so composition is exercised on every row; DuckDB's
+    // nfc_normalize oracles the exact UAX#15 output. NFKC has no DuckDB
+    // counterpart — it is pinned by TextAnalysisSpec instead.
+    "t9_unicode_normalize" -> ((s, d) => {
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 nin\u0303o")).as("_aug"))
+      aug.select(
+        col("doc_id"),
+        md5(TextAnalysis.nfc(col("_aug"))).as("nfc_md5"),
+        length(col("_aug")).as("n_raw"),
+        length(TextAnalysis.nfc(col("_aug"))).as("n_nfc"))
+    }),
+
     // Multimodal binary-column plumbing (metadata path; decode stub is
     // exercised in MultimodalSpec — mapPartitions output isn't
     // SQL-expressible)
@@ -432,6 +447,19 @@ object PipelineQueries {
          |    '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS red_md5
          |FROM aug""".stripMargin
     },
+
+    // chr(769)=U+0301 combining acute, chr(771)=U+0303 combining tilde —
+    // the same decomposed suffix the Spark query appends
+    "t9_unicode_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o' AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(nfc_normalize(a)) AS nfc_md5,
+        |  CAST(length(a) AS INTEGER) AS n_raw,
+        |  CAST(length(nfc_normalize(a)) AS INTEGER) AS n_nfc
+        |FROM aug""".stripMargin,
 
     "d8_tfidf_pairs" ->
       s"""WITH $toksCte,

@@ -118,6 +118,23 @@ object TextAnalysis {
     best._1
   }
 
+  /** Unicode NFC normalization — canonical composition, the first
+   * pass of a multilingual pipeline (decomposed "e"+U+0301 and
+   * precomposed "é" must digest/shingle identically). Custom
+   * codegen'd Expression: Spark has no built-in normalizer and a UDF
+   * would break whole-stage codegen on the full-corpus scan. */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftColumns.column(
+      expressions.UnicodeNormalize(
+        org.apache.spark.sql.graftshim.GraftColumns.expression(text), "NFC"))
+
+  /** NFKC: compatibility composition (also folds ligatures/width
+   * variants, e.g. "ﬁ" → "fi") — the aggressive form for dedup keys. */
+  def nfkc(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftColumns.column(
+      expressions.UnicodeNormalize(
+        org.apache.spark.sql.graftshim.GraftColumns.expression(text), "NFKC"))
+
   /** PII patterns as (name, regex, replacement), in redaction order.
    * The regex subset is portable (no backreferences or lookarounds —
    * legal in both java.util.regex and RE2-style engines, so the SQL

@@ -92,6 +92,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one(TextAnalysis.redactPii(lit("a 10.0.0.1@h.co b"))).getString(0) == "a <EMAIL> b")
   }
 
+  test("unicode normalize: NFC composes, NFKC also folds compatibility forms, codegen'd") {
+    val decomposed = "cafe\u0301 nin\u0303o"     // e+U+0301, n+U+0303
+    val composed = "caf\u00e9 ni\u00f1o"         // é, ñ precomposed
+    assert(one(TextAnalysis.nfc(lit(decomposed))).getString(0) == composed)
+    // NFC leaves the ligature; NFKC folds it
+    val lig = "\ufb01le"                          // "ﬁle" with U+FB01
+    assert(one(TextAnalysis.nfc(lit(lig))).getString(0) == lig)
+    assert(one(TextAnalysis.nfkc(lit(lig))).getString(0) == "file")
+    // idempotent; null-safe
+    assert(one(TextAnalysis.nfc(TextAnalysis.nfc(lit(decomposed)))).getString(0) == composed)
+    assert(one(TextAnalysis.nfc(lit(null).cast("string"))).isNullAt(0))
+    // digests agree after normalization — the reason the pass exists
+    val r = Seq((decomposed, composed)).toDF("a", "b").select(
+      (md5(TextAnalysis.nfc(col("a"))) === md5(TextAnalysis.nfc(col("b")))).as("eq"),
+      (md5(col("a")) === md5(col("b"))).as("raw_eq")).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    // the custom Expression is IN the generated plan (not a UDF)
+    val plan = Seq("x").toDF("t").select(TextAnalysis.nfc(col("t")))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("unicodenormalize"), plan.take(400))
+  }
+
   test("cross-corpus contamination: containment finds embedded eval docs, jaccard-blind") {
     val evalDoc = "alpha beta gamma delta epsilon zeta"
     val train = Seq(
