@@ -319,6 +319,20 @@ object PipelineQueries {
         length(TextAnalysis.nfc(col("_aug"))).as("n_nfc"))
     }),
 
+    // Within-doc line dedup (boilerplate removal): docs are rebuilt as
+    // multi-line pages with a repeated NAV line and a repeated body —
+    // the cleaned text keeps first occurrences in order
+    "t10_line_dedup" -> ((s, d) => {
+      val sep = " | "
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("NAV"), lit(sep), col("text"), lit(sep), lit("NAV"),
+          lit(sep), lit("FOOTER"), lit(sep), col("text")).as("_page"))
+      aug.select(
+        col("doc_id"),
+        md5(TextAnalysis.dedupLines(col("_page"), sep)).as("clean_md5"),
+        TextAnalysis.dupLineCount(col("_page"), sep).as("n_dup"))
+    }),
+
     // Multimodal binary-column plumbing (metadata path; decode stub is
     // exercised in MultimodalSpec — mapPartitions output isn't
     // SQL-expressible)
@@ -447,6 +461,21 @@ object PipelineQueries {
          |    '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS red_md5
          |FROM aug""".stripMargin
     },
+
+    // DuckDB list lambdas index from 1; Spark's filter() indexes from 0
+    // (the +1 lives on the Spark side) — both keep first occurrences
+    "t10_line_dedup" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    'NAV' || ' | ' || text || ' | ' || 'NAV' || ' | ' || 'FOOTER'
+        |      || ' | ' || text AS p
+        |  FROM documents),
+        |split AS (SELECT doc_id, string_split(p, ' | ') AS l FROM page)
+        |SELECT doc_id,
+        |  md5(array_to_string(
+        |    list_filter(l, (x, i) -> list_position(l, x) = i), ' | ')) AS clean_md5,
+        |  CAST(len(l) - len(list_distinct(l)) AS INTEGER) AS n_dup
+        |FROM split""".stripMargin,
 
     // chr(769)=U+0301 combining acute, chr(771)=U+0303 combining tilde —
     // the same decomposed suffix the Spark query appends

@@ -156,6 +156,25 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (_, p, r)) => regexp_replace(c, p, r) }
 
+  /** Within-document line dedup — the boilerplate-removal pass
+   * (repeated nav/footer/disclaimer lines): split on `sep`, keep each
+   * line's FIRST occurrence (order preserved), rejoin. Pure
+   * higher-order expressions over the line array — codegen'd, no
+   * shuffle, no UDF: a line survives iff its index equals the index
+   * of its first occurrence. */
+  def dedupLines(text: Column, sep: String = "\n"): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === (i + 1).cast("long")),
+      sep)
+  }
+
+  /** Lines removed by [[dedupLines]] (the repetition signal itself). */
+  def dupLineCount(text: Column, sep: String = "\n"): Column = {
+    val lines = split(text, java.util.regex.Pattern.quote(sep))
+    size(lines) - size(array_distinct(lines))
+  }
+
   /** Whole-document fingerprint: md5 of the whitespace-normalized text. */
   def fingerprint(text: Column): Column =
     md5(array_join(tokens(text), " "))

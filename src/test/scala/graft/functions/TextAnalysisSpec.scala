@@ -114,6 +114,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(plan.toLowerCase.contains("unicodenormalize"), plan.take(400))
   }
 
+  test("line dedup keeps first occurrences in order; count matches") {
+    val page = "nav\nintro text\nnav\nbody line\nintro text\nfooter"
+    assert(one(TextAnalysis.dedupLines(lit(page))).getString(0)
+      == "nav\nintro text\nbody line\nfooter")
+    assert(one(TextAnalysis.dupLineCount(lit(page))).getInt(0) == 2)
+    // no dups => identity; custom separator; empty doc
+    assert(one(TextAnalysis.dedupLines(lit("a|b|c"), "|")).getString(0) == "a|b|c")
+    assert(one(TextAnalysis.dedupLines(lit(""))).getString(0) == "")
+    assert(one(TextAnalysis.dupLineCount(lit(""))).getInt(0) == 0)
+  }
+
   test("cross-corpus contamination: containment finds embedded eval docs, jaccard-blind") {
     val evalDoc = "alpha beta gamma delta epsilon zeta"
     val train = Seq(
