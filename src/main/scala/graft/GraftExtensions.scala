@@ -68,6 +68,7 @@ object GraftExtensions {
     fn1("graft_redact_pii")(TextAnalysis.redactPii),
     fn1("graft_nfc")(TextAnalysis.nfc),
     fn1("graft_nfkc")(TextAnalysis.nfkc),
+    fn1("graft_dedup_lines")(TextAnalysis.dedupLines(_)),
     fn1("graft_hash32")(Dedup.md5Hash32),
     fn2("graft_cosine")(Similarity.cosine),
     // graft_shingles(text, n): n must be a literal — it fixes the

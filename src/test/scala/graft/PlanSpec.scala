@@ -120,6 +120,16 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(countShuffles(df) == 0, df.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("normalization and line-dedup are zero-shuffle map pipelines (T9/T10)") {
+    val t9 = SparkEntry.queries("t9_unicode_normalize")(spark, sf)
+    assert(countShuffles(t9) == 0, t9.queryExecution.executedPlan.toString.take(800))
+    // the custom Expression runs inside the scan-project pipeline
+    assert(t9.queryExecution.executedPlan.toString.toLowerCase
+      .contains("unicodenormalize"))
+    val t10 = SparkEntry.queries("t10_line_dedup")(spark, sf)
+    assert(countShuffles(t10) == 0, t10.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("codegen'd FloatVecDot is in the plan, not interpreted lambdas (N1)") {
     val p = plan("n1_ann_bruteforce")
     assert(p.contains("floatvecdot") || p.contains("FloatVecDot"), p.take(800))
