@@ -319,6 +319,34 @@ object PipelineQueries {
         length(TextAnalysis.nfc(col("_aug"))).as("n_nfc"))
     }),
 
+    // Corpus vocabulary: top-20 terms by frequency (partial-agg
+    // wordcount + bounded top-k — the vocabulary report pass)
+    "t11_top_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      counts.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))))
+        .filter(col("rank") <= 20)
+    }),
+
+    // Per-label embedding centroids, one row per (label, dim) — the
+    // corpus-analytics pass over the embedding table. Element sums run
+    // in EXACT integer micro-units (floor(v*1e6+0.5) per element) so
+    // accumulation order can't flip a ulp across engines; the mean is
+    // one deterministic double division at the end.
+    "e1_embedding_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("_micro", floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("_micro")).as("_sum"))
+        .select(col("label"), col("pos"),
+          round(col("_sum").cast("double") / col("n") / 1e6, 6).as("centroid"),
+          col("n"))
+    }),
+
     // Within-doc line dedup (boilerplate removal): docs are rebuilt as
     // multi-line pages with a repeated NAV line and a repeated body —
     // the cleaned text keeps first occurrences in order
@@ -461,6 +489,26 @@ object PipelineQueries {
          |    '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS red_md5
          |FROM aug""".stripMargin
     },
+
+    "t11_top_terms" ->
+      s"""WITH $toksCte,
+         |terms AS (SELECT unnest(t) AS term FROM toks),
+         |counts AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1)
+         |SELECT term, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER) AS rank
+         |FROM counts QUALIFY rank <= 20""".stripMargin,
+
+    // DuckDB lacks WITH ORDINALITY — the indexed list_transform lambda
+    // (1-based i) carries the dim position instead
+    "e1_embedding_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(list_transform(embedding, (v, i) ->
+        |    {'pos': i - 1, 'micro': CAST(floor(v::DOUBLE * 1e6 + 0.5) AS BIGINT)})) AS u
+        |  FROM embeddings)
+        |SELECT label, CAST(u.pos AS INTEGER) AS pos,
+        |  round((sum(u.micro)::DOUBLE / count(*)) / 1e6, 6) AS centroid,
+        |  count(*) AS n
+        |FROM ex GROUP BY 1, 2""".stripMargin,
 
     // DuckDB list lambdas index from 1; Spark's filter() indexes from 0
     // (the +1 lives on the Spark side) — both keep first occurrences
