@@ -56,6 +56,19 @@ object PipelineQueries {
        |                for i in range(1, len(t)-3) ] END)) AS shingle
        |  FROM toks)""".stripMargin
 
+  /** Quality-score SQL over arbitrary (text, token-list) expressions —
+   * mirrors TextAnalysis.qualityScore term-for-term (t1 and t12 share
+   * this definition). */
+  private def qualitySql(textE: String, tE: String): String = {
+    val stop = sqlList(TextAnalysis.stopwordsEn)
+    val meanLen = s"(CASE WHEN len($tE) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform($tE, x -> length(x))) AS DOUBLE)/len($tE) END)"
+    val stopR = s"(CASE WHEN len($tE) = 0 THEN 0.0 ELSE CAST(len(list_filter($tE, x -> list_contains($stop, x))) AS DOUBLE)/len($tE) END)"
+    s"""round((least(CAST(length($textE) AS DOUBLE)/200.0, 1.0)
+       |       + least($stopR * 5.0, 1.0)
+       |       + (CASE WHEN $meanLen BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       |       ) / 3.0, 6)""".stripMargin
+  }
+
   /** Exact-Jaccard pair SQL over the shingle index (τ, rounded 6). */
   private def jaccardSql(threshold: Double): String =
     s"""common AS (
@@ -347,6 +360,17 @@ object PipelineQueries {
           col("n"))
     }),
 
+    // One-call corpus cleaning: normalize → line dedup → PII scrub →
+    // quality gate → exact dedup. Docs are rebuilt as boilerplate-laden
+    // pages with a CONSTANT pii suffix so clone docs still cluster.
+    "t12_clean_corpus" -> ((s, d) => {
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("NAV\n"), col("text"),
+          lit(" contact admin@example.com or 555-000-1234\nNAV\n"),
+          col("text")).as("_page"))
+      TextAnalysis.cleanCorpus(aug, "doc_id", "_page", minQuality = 0.5)
+    }),
+
     // Within-doc line dedup (boilerplate removal): docs are rebuilt as
     // multi-line pages with a repeated NAV line and a repeated body —
     // the cleaned text keeps first occurrences in order
@@ -398,10 +422,7 @@ object PipelineQueries {
          |       ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/len(t) END AS mean_token_len,
          |  CASE WHEN len(t) = 0 THEN 0.0
          |       ELSE CAST(len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.stopwordsEn)}, x))) AS DOUBLE)/len(t) END AS stopword_ratio,
-         |  round((least(CAST(length(text) AS DOUBLE)/200.0, 1.0)
-         |       + least((CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains(${sqlList(TextAnalysis.stopwordsEn)}, x))) AS DOUBLE)/len(t) END) * 5.0, 1.0)
-         |       + (CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/len(t) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-         |       ) / 3.0, 6) AS quality
+         |  ${qualitySql("text", "t")} AS quality
          |FROM toks""".stripMargin,
 
     "t7_token_estimate" ->
@@ -488,6 +509,32 @@ object PipelineQueries {
          |  md5(regexp_replace(regexp_replace(regexp_replace(text,
          |    '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS red_md5
          |FROM aug""".stripMargin
+    },
+
+    "t12_clean_corpus" -> {
+      val Seq(em, ph, ip) = TextAnalysis.piiPatterns.map(_._2.replace("'", "''"))
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    'NAV' || chr(10) || text || ' contact admin@example.com or 555-000-1234'
+         |      || chr(10) || 'NAV' || chr(10) || text AS p
+         |  FROM documents),
+         |nrm AS (SELECT doc_id, string_split(nfc_normalize(p), chr(10)) AS l FROM aug),
+         |led AS (
+         |  SELECT doc_id, array_to_string(
+         |    list_filter(l, (x, i) -> list_position(l, x) = i), chr(10)) AS dl
+         |  FROM nrm),
+         |cln AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(dl,
+         |    '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS ctext
+         |  FROM led),
+         |ctoks AS (
+         |  SELECT doc_id, ctext,
+         |    list_filter(string_split_regex(ctext, '\\s+'), x -> x <> '') AS t
+         |  FROM cln),
+         |gated AS (SELECT doc_id, ctext FROM ctoks
+         |  WHERE ${qualitySql("ctext", "t")} >= 0.5)
+         |SELECT md5(ctext) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM gated GROUP BY 1""".stripMargin
     },
 
     "t11_top_terms" ->

@@ -197,6 +197,24 @@ object TextAnalysis {
       .select(col(keyCol), md5(col("_joined")).as("fp"),
         minShingleFingerprint(col("_sh")).as("min_shingle_fp"))
 
+  /**
+   * One-call corpus cleaning — the standard pre-training sequence,
+   * composed from the individual passes: NFC normalize → within-doc
+   * line dedup → PII scrub → quality gate → exact dedup (min-id
+   * representative per distinct cleaned text, with the clone count).
+   * Everything up to the final digest groupBy is a zero-shuffle map
+   * over the corpus scan; the dedup is the one content-keyed shuffle.
+   * Output: (digest, keep_id, dup_count).
+   */
+  def cleanCorpus(df: org.apache.spark.sql.DataFrame, keyCol: String, textCol: String,
+      minQuality: Double = 0.3, lineSep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val cleaned = df.select(col(keyCol),
+      redactPii(dedupLines(nfc(col(textCol)), lineSep)).as("_clean"))
+      .filter(qualityScore(col("_clean")) >= minQuality)
+    cleaned.groupBy(md5(col("_clean")).as("digest"))
+      .agg(min(col(keyCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
+
   /** Integer gate for md5-derived deterministic sampling: keep a key
    * iff md5_32(key) < floor(rate·2³²). The comparison stays in exact
    * integer space — no float rounding, identical in any engine with

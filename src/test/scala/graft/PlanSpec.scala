@@ -130,6 +130,13 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(countShuffles(t10) == 0, t10.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("centroids aggregate partially before the exchange (E1)") {
+    val p = plan("e1_embedding_centroids")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), p.take(800))
+    val df = SparkEntry.queries("e1_embedding_centroids")(spark, sf)
+    assert(countShuffles(df) <= 1, p.take(800))
+  }
+
   test("codegen'd FloatVecDot is in the plan, not interpreted lambdas (N1)") {
     val p = plan("n1_ann_bruteforce")
     assert(p.contains("floatvecdot") || p.contains("FloatVecDot"), p.take(800))

@@ -125,6 +125,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one(TextAnalysis.dupLineCount(lit(""))).getInt(0) == 0)
   }
 
+  test("cleanCorpus: normalize + line-dedup + scrub + gate + exact-dedup composed") {
+    val good = "the quick brown fox jumps over the lazy dog and it is in the house " * 4
+    val page = s"NAV\n$good mail x@y.co\nNAV"
+    val df = Seq(
+      (3L, page), (1L, page),            // clones (min id kept)
+      (5L, "zz qq xx")                   // fails the quality gate
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanCorpus(df, "doc_id", "text", minQuality = 0.5)
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 1)
+    assert(out.head._2 == 1L && out.head._3 == 2L) // min-id representative, clone count
+    // the digest is over the CLEANED text: scrubbed + line-deduped
+    val cleanedMd5 = Seq(s"NAV\n$good mail <EMAIL>").toDF("t")
+      .select(md5(col("t"))).as[String].head()
+    assert(out.head._1 == cleanedMd5)
+  }
+
   test("cross-corpus contamination: containment finds embedded eval docs, jaccard-blind") {
     val evalDoc = "alpha beta gamma delta epsilon zeta"
     val train = Seq(
