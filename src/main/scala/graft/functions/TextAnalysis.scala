@@ -29,11 +29,13 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
   /** Mean token length (0 for empty docs). */
-  def meanTokenLength(text: Column): Column = {
-    val t = tokens(text)
+  def meanTokenLength(text: Column): Column = meanTokenLengthOf(tokens(text))
+
+  /** Mean token length from an already-materialized token array —
+   * callers staging tokens once (cleanCorpus) avoid re-tokenizing. */
+  def meanTokenLengthOf(t: Column): Column =
     when(size(t) === 0, lit(0.0))
       .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
-  }
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =
@@ -54,19 +56,28 @@ object TextAnalysis {
   }
 
   /** Ratio of tokens that are stopwords — a standard quality signal. */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column = {
-    val t = tokens(text)
+  def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column =
+    stopwordRatioOf(tokens(text), stopwords)
+
+  /** Stopword ratio from an already-materialized token array. */
+  def stopwordRatioOf(t: Column, stopwords: Seq[String] = stopwordsEn): Column =
     when(size(t) === 0, lit(0.0))
       .otherwise(size(filter(t, x => x.isin(stopwords.map(lit(_)): _*))).cast("double") / size(t))
-  }
 
   /** Composite quality score in [0,1]: length in a sane band, some
    * stopwords present, tokens not degenerate. Deterministic arithmetic
    * only (each term portable to the SQL oracle). */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(charCount(text).cast("double") / 200.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    val meanLen = meanTokenLength(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(charCount(text), tokens(text))
+
+  /** Quality score from already-materialized (char count, token array)
+   * columns — the form stages use when the text itself is expensive to
+   * recompute (cleanCorpus gates on this without re-evaluating the
+   * whole normalize→dedup→scrub chain per quality term). */
+  def qualityScoreOf(len: Column, t: Column): Column = {
+    val lenScore = least(len.cast("double") / 200.0, lit(1.0))
+    val stopScore = least(stopwordRatioOf(t) * 5.0, lit(1.0))
+    val meanLen = meanTokenLengthOf(t)
     val shapeScore = when(meanLen >= 2.0 && meanLen <= 12.0, 1.0).otherwise(0.0)
     round((lenScore + stopScore + shapeScore) / 3.0, 6)
   }
@@ -208,11 +219,28 @@ object TextAnalysis {
    */
   def cleanCorpus(df: org.apache.spark.sql.DataFrame, keyCol: String, textCol: String,
       minQuality: Double = 0.3, lineSep: String = "\n"): org.apache.spark.sql.DataFrame = {
+    // Stage 1: the expensive chain, ONCE per row. Stage 2 derives
+    // digest + quality inputs from the staged string (CollapseProject
+    // keeps multi-referenced non-trivial aliases staged rather than
+    // inlining). The quality GATE runs post-aggregation on the carried
+    // score — a pre-agg Filter would be pushed through the projects
+    // and re-expand the whole chain per quality term (measured 22
+    // chain sites in the plan); clones share identical cleaned text,
+    // so gating the group equals gating each row.
     val cleaned = df.select(col(keyCol),
       redactPii(dedupLines(nfc(col(textCol)), lineSep)).as("_clean"))
-      .filter(qualityScore(col("_clean")) >= minQuality)
-    cleaned.groupBy(md5(col("_clean")).as("digest"))
-      .agg(min(col(keyCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+    val derived = cleaned.select(col(keyCol),
+      md5(col("_clean")).as("digest"),
+      length(col("_clean")).as("_len"),
+      tokens(col("_clean")).as("_t"))
+    derived
+      .select(col(keyCol), col("digest"),
+        qualityScoreOf(col("_len"), col("_t")).as("_q"))
+      .groupBy(col("digest"))
+      .agg(min(col(keyCol)).as("keep_id"), count(lit(1)).as("dup_count"),
+        min(col("_q")).as("_q"))
+      .filter(col("_q") >= minQuality)
+      .select(col("digest"), col("keep_id"), col("dup_count"))
   }
 
   /** Integer gate for md5-derived deterministic sampling: keep a key
