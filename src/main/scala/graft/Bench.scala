@@ -57,17 +57,25 @@ object Bench {
       (name, times)
     }
     val ok = results.filter(_._2.nonEmpty)
-    val qs = ok.map { case (k, ts) => s"\"" + k + "\":" + ts.min }
+    def f3(d: Double): String = "%.3f".format(d)
+    // The consumer of the final JSON line keeps only a bounded tail of
+    // this process's output, so the line must stay compact (≤ ~1.9 KB):
+    // 3-decimal times, and the per-query noise map goes to a PREFIXED
+    // diagnostic line above instead of inline.
+    val qs = ok.map { case (k, ts) => "\"" + k + "\":" + f3(ts.min) }
       .mkString("{", ",", "}")
     // per-query relative spread (max-min)/min — a noise indicator the
     // reader can use to discount contaminated samples
     val spreads = ok.map { case (k, ts) =>
       val rel = if (ts.min > 0) (ts.max - ts.min) / ts.min else 0.0
-      s"\"" + k + "\":" + math.round(rel * 1000) / 1000.0
-    }.mkString("{", ",", "}")
+      (k, rel)
+    }
+    println("BENCH_SPREAD " + spreads.map { case (k, r) => s"$k=${f3(r)}" }.mkString(" "))
+    val (spreadArgmax, spreadMax) =
+      if (spreads.isEmpty) ("", 0.0) else spreads.maxBy(_._2)
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":$samples,"queries":$qs,"spread":$spreads,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":$samples,"queries":$qs,"spread_max":${f3(spreadMax)},"spread_argmax":"$spreadArgmax","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -69,6 +69,42 @@ object PipelineQueries {
        |       ) / 3.0, 6)""".stripMargin
   }
 
+  /** Stop-shingle frequency cap shared by the d2/d7 engine queries and
+   * their oracles — both sides must gate candidates identically or the
+   * harness reports a phantom engine bug the first time a boilerplate
+   * shingle crosses the cap. */
+  private val ShingleFreqCap = 1000
+
+  /** Capped-candidate Jaccard pair SQL — mirrors the engine's
+   * maxShingleFreq guard (Dedup.jaccardPairsFromSets, Some(cap) path):
+   * candidate pairs come only from shingles appearing in ≤ cap docs;
+   * each surviving pair's Jaccard is then recomputed EXACTLY over the
+   * full shingle index, so the cap affects candidate recall only and
+   * engine/oracle parity holds at any scale, not just while every
+   * shingle stays under the cap. */
+  private def jaccardCappedSql(threshold: Double, cap: Int): String =
+    s"""freq AS (SELECT shingle, count(*) AS f FROM sh GROUP BY 1),
+       |rare AS (
+       |  SELECT s.doc_id, s.shingle FROM sh s JOIN freq USING (shingle)
+       |  WHERE f <= $cap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |         round(common*1.0/(sa.n + sb.n - common), 6) AS jaccard
+       |  FROM common
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE round(common*1.0/(sa.n + sb.n - common), 6) >= $threshold)""".stripMargin
+
   /** Exact-Jaccard pair SQL over the shingle index (τ, rounded 6). */
   private def jaccardSql(threshold: Double): String =
     s"""common AS (
@@ -162,7 +198,7 @@ object PipelineQueries {
     // observed shingle frequency — true at every test SF.
     "d2_jaccard_pairs" -> ((s, d) => {
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 5, threshold = 0.5,
-        maxShingleFreq = Some(1000))
+        maxShingleFreq = Some(ShingleFreqCap))
     }),
 
     // MinHash + LSH banding, verified with exact Jaccard
@@ -193,7 +229,7 @@ object PipelineQueries {
     // pair graph (min-label propagation, O(diameter) rounds)
     "d7_dup_clusters" -> ((s, d) => {
       val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 5, threshold = 0.5, maxShingleFreq = Some(1000))
+        n = 5, threshold = 0.5, maxShingleFreq = Some(ShingleFreqCap))
       Dedup.connectedComponents(pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
     }),
@@ -477,7 +513,7 @@ object PipelineQueries {
 
     "d2_jaccard_pairs" ->
       s"""WITH $shingleCte,
-         |${jaccardSql(0.5)}
+         |${jaccardCappedSql(0.5, ShingleFreqCap)}
          |SELECT doc_a, doc_b, jaccard FROM jac""".stripMargin,
 
     "d9_decontaminate" ->
@@ -611,7 +647,7 @@ object PipelineQueries {
 
     "d7_dup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
-         |${jaccardSql(0.5)},
+         |${jaccardCappedSql(0.5, ShingleFreqCap)},
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM jac
          |  UNION

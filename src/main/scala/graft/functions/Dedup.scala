@@ -191,8 +191,14 @@ object Dedup {
    * Output: (doc_id, sig_0 … sig_{k-1}).
    */
   def minhashSignatures(df: DataFrame, keyCol: String, textCol: String,
-      n: Int = 5, k: Int = 16): DataFrame = {
-    val hashed = shingleSets(df, keyCol, textCol, n)
+      n: Int = 5, k: Int = 16): DataFrame =
+    minhashSignaturesFromSets(shingleSets(df, keyCol, textCol, n), k)
+
+  /** Signatures over a caller-provided (doc_id, sh_set) table — lets
+   * callers that also need the sets stage own (and unpersist) the
+   * one persisted copy instead of relying on cache-plan unification. */
+  def minhashSignaturesFromSets(sets: DataFrame, k: Int = 16): DataFrame = {
+    val hashed = sets
       .filter(size(col("sh_set")) > 0)
       .select(col("doc_id"), transform(col("sh_set"), s => md5Hash32(s)).as("_h"))
     val sigs = (0 until k).map { i =>

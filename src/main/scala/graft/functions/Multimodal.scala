@@ -165,6 +165,108 @@ object Multimodal {
         .getAttribute("delayTime").toDouble
     } catch { case _: Exception => 0.0 }
 
+  /** Per-frame placement + disposal from the GIF image metadata:
+   * ImageDescriptor carries the patch's top-left offset on the logical
+   * screen; GraphicControlExtension carries how the region is disposed
+   * before the next frame draws. Defaults (0,0)/"none" for non-GIF
+   * multi-frame formats. */
+  private final case class FrameMeta(x: Int, y: Int, disposal: String,
+      transparent: Boolean)
+
+  private def frameMeta(r: javax.imageio.ImageReader, i: Int): FrameMeta =
+    try {
+      val tree = r.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val desc = tree.getElementsByTagName("ImageDescriptor")
+      val (x, y) =
+        if (desc.getLength == 0) (0, 0)
+        else {
+          val e = desc.item(0).asInstanceOf[org.w3c.dom.Element]
+          (e.getAttribute("imageLeftPosition").toInt,
+            e.getAttribute("imageTopPosition").toInt)
+        }
+      val gce = tree.getElementsByTagName("GraphicControlExtension")
+      val (disposal, transparent) =
+        if (gce.getLength == 0) ("none", false)
+        else {
+          val e = gce.item(0).asInstanceOf[org.w3c.dom.Element]
+          (e.getAttribute("disposalMethod"),
+            e.getAttribute("transparentColorFlag").equalsIgnoreCase("true"))
+        }
+      FrameMeta(x, y, disposal, transparent)
+    } catch { case _: Exception => FrameMeta(0, 0, "none", transparent = false) }
+
+  /** GIF logical screen dimensions from the stream metadata — the
+   * canvas every patch frame composites onto. None for non-GIF. */
+  private def logicalScreenSize(r: javax.imageio.ImageReader): Option[(Int, Int)] =
+    try {
+      val sm = r.getStreamMetadata
+      if (sm == null) None
+      else {
+        val tree = sm.getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val lsd = tree.getElementsByTagName("LogicalScreenDescriptor")
+        if (lsd.getLength == 0) None
+        else {
+          val e = lsd.item(0).asInstanceOf[org.w3c.dom.Element]
+          val w = e.getAttribute("logicalScreenWidth").toInt
+          val h = e.getAttribute("logicalScreenHeight").toInt
+          if (w > 0 && h > 0) Some((w, h)) else None
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Sequentially composite all frames onto the logical screen,
+   * honoring each frame's descriptor offset and disposal method
+   * (patch-delta GIFs draw partial rasters at non-zero offsets;
+   * restore-to-background clears the patch rect, restore-to-previous
+   * rewinds the canvas). `sink` observes the LIVE canvas after frame
+   * `i` is drawn — snapshot inside if the pixels must outlive the call. */
+  private def foreachComposited(r: javax.imageio.ImageReader, n: Int)(
+      sink: (Int, java.awt.image.BufferedImage) => Unit): Unit = {
+    val metas = Array.tabulate(n)(frameMeta(r, _))
+    val (cw, ch) = logicalScreenSize(r).getOrElse((
+      (0 until n).map(i => metas(i).x + r.getWidth(i)).max,
+      (0 until n).map(i => metas(i).y + r.getHeight(i)).max))
+    val canvas = new java.awt.image.BufferedImage(
+      cw, ch, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val g = canvas.createGraphics()
+    var i = 0
+    while (i < n) {
+      val m = metas(i)
+      val saved =
+        if (m.disposal == "restoreToPrevious") Some(canvas.getData()) else None
+      val frame = r.read(i)
+      g.drawImage(frame, m.x, m.y, null)
+      sink(i, canvas)
+      m.disposal match {
+        case "restoreToBackgroundColor" =>
+          g.setComposite(java.awt.AlphaComposite.Clear)
+          g.fillRect(m.x, m.y, frame.getWidth, frame.getHeight)
+          g.setComposite(java.awt.AlphaComposite.SrcOver)
+        case "restoreToPrevious" => saved.foreach(canvas.setData)
+        case _ => ()
+      }
+      i += 1
+    }
+    g.dispose()
+  }
+
+  /** True when every frame is an OPAQUE full-raster redraw of the
+   * logical screen at (0,0) — the common case, where a sampled frame
+   * read directly equals its composite (nothing earlier shows
+   * through). Header-only reads (getWidth/getHeight/metadata); no
+   * raster decode. */
+  private def allFullFrames(r: javax.imageio.ImageReader, n: Int): Boolean =
+    try {
+      val w0 = r.getWidth(0); val h0 = r.getHeight(0)
+      (0 until n).forall { i =>
+        val m = frameMeta(r, i)
+        m.x == 0 && m.y == 0 && !m.transparent &&
+          r.getWidth(i) == w0 && r.getHeight(i) == h0
+      }
+    } catch { case _: Exception => false }
+
   /** Video features for multi-frame containers (animated GIF is what
    * the JDK decodes natively): [nFrames, width, height, avgFrameDelayCs,
    * durationSec, lum(first), lum(mid), lum(last)]. Sampled-frame
@@ -175,9 +277,20 @@ object Multimodal {
     withFrameReader(payload) { (r, n) =>
       if (n <= 1) None
       else {
-        val first = r.read(0)
         val idxs = Array(0, n / 2, n - 1)
-        val lums = idxs.map(i => meanLuminance(r.read(i)))
+        val lums =
+          if (allFullFrames(r, n)) idxs.map(i => meanLuminance(r.read(i)))
+          else {
+            // patch-delta frames: the displayed image at index i is the
+            // COMPOSITE up to i, not raw frame i — composite through
+            val wanted = idxs.toSet
+            val byIdx = scala.collection.mutable.Map.empty[Int, Double]
+            foreachComposited(r, n) { (i, canvas) =>
+              if (wanted.contains(i)) byIdx(i) = meanLuminance(canvas)
+            }
+            idxs.map(byIdx)
+          }
+        val first = r.read(0)
         val delays = Array.tabulate(n)(frameDelayCs(r, _))
         val avgDelay = delays.sum / n
         Some(Array(n.toDouble, first.getWidth.toDouble, first.getHeight.toDouble,
@@ -186,42 +299,30 @@ object Multimodal {
     }
 
   /** Extract up to `maxFrames` evenly-spaced frames, re-encoded as PNG
-   * — REAL frame sampling for animated GIFs. Each frame is composited
-   * to its own full raster (GIF frames may be partial-patch deltas, so
-   * raw frame i alone is not the displayed image; compositing
-   * sequentially onto the logical screen is). Returned frames feed
-   * straight back into [[decodeImage]]/[[resizeImage]]. */
+   * — REAL frame sampling for animated GIFs. Each sampled frame is the
+   * displayed image at that index: patch-delta frames are composited
+   * sequentially onto the logical screen at their descriptor offsets,
+   * with disposal methods honored ([[foreachComposited]]). Returned
+   * frames feed straight back into [[decodeImage]]/[[resizeImage]]. */
   def videoFrames(payload: Array[Byte], maxFrames: Int): Seq[Array[Byte]] =
     withFrameReader(payload) { (r, n) =>
       if (n < 1) None
       else {
-        val first = r.read(0)
-        val canvas = new java.awt.image.BufferedImage(
-          first.getWidth, first.getHeight, java.awt.image.BufferedImage.TYPE_INT_ARGB)
-        val g = canvas.createGraphics()
         val want = math.min(maxFrames, n)
         val wanted = (0 until want).map(j => j * (n - 1) / math.max(1, want - 1)).toSet
         val out = Seq.newBuilder[Array[Byte]]
-        var i = 0
-        while (i < n) {
-          val frame = r.read(i)
-          // GIF patch frames carry their top-left offset in metadata;
-          // ImageIO exposes it via the image's raster min — composite
-          // at (0,0) covers full-frame GIFs and the common case.
-          g.drawImage(frame, 0, 0, null)
+        foreachComposited(r, n) { (i, canvas) =>
           if (wanted.contains(i)) {
-            val bos = new java.io.ByteArrayOutputStream()
             val snap = new java.awt.image.BufferedImage(
               canvas.getWidth, canvas.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
             val sg = snap.createGraphics()
             sg.drawImage(canvas, 0, 0, java.awt.Color.BLACK, null)
             sg.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(snap, "png", bos)
             out += bos.toByteArray
           }
-          i += 1
         }
-        g.dispose()
         Some(out.result())
       }
     }.getOrElse(Seq.empty)

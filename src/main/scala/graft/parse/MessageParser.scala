@@ -84,15 +84,21 @@ object MessageParser {
       when(c.rlike("^-?\\d{1,18}$"), timestamp_millis(c.cast("long")))
     else {
       val variants = MomentFormat.toJavaTimeVariants(momentFmt)
-      val input =
-        if (variants.lengthCompare(1) > 0)
-          // O(1) gate: the compact-offset regex needs 4 trailing digits,
-          // so a ':' at position -3 (the colon form "+00:00" — the
-          // common case) can never match; skip the regex scan entirely.
-          when(substring(c, -3, 1) === ":", c)
-            .otherwise(regexp_replace(c, "([+-]\\d{2})(\\d{2})$", "$1:$2"))
-        else c
-      try_to_timestamp(input, lit(variants.head))
+      if (variants.lengthCompare(1) == 0)
+        try_to_timestamp(c, lit(variants.head))
+      else if (MomentFormat.offsetIsFormatFinal(momentFmt)) {
+        // O(1) gate: the compact-offset regex needs 4 trailing digits,
+        // so a ':' at position -3 (the colon form "+00:00" — the
+        // common case) can never match; skip the regex scan entirely.
+        val input = when(substring(c, -3, 1) === ":", c)
+          .otherwise(regexp_replace(c, "([+-]\\d{2})(\\d{2})$", "$1:$2"))
+        try_to_timestamp(input, lit(variants.head))
+      } else
+        // offset token not format-final: the end-anchored normalization
+        // can't reach it — accept both offset shapes the slow way. Only
+        // non-default configs land here; the hot default format keeps
+        // the single-parse path above.
+        coalesce(variants.map(v => try_to_timestamp(c, lit(v))): _*)
     }
 
   /** base64 → utf8 JSON string (S2 / F1). */

@@ -98,4 +98,15 @@ object MomentFormat {
     val compact = primary.replace("XXX", "XX")
     if (compact == primary) Seq(primary) else Seq(primary, compact)
   }
+
+  /** True iff the format's ONLY offset token is also its final token —
+   * the precondition for the end-anchored compact→colon offset
+   * normalization fast path (MessageParser.strictTimestamp). A format
+   * placing Z/ZZ anywhere else (legal in moment, e.g. "Z YYYY-MM-DD")
+   * must take the two-variant coalesce instead: the trailing-anchored
+   * regexp can't reach a mid-string compact offset. */
+  def offsetIsFormatFinal(momentFmt: String): Boolean = {
+    val p = toJavaTime(momentFmt)
+    p.endsWith("XXX") && p.indexOf("XXX") == p.length - 3
+  }
 }

@@ -37,23 +37,40 @@ import org.apache.spark.sql.functions._
 object StreamingNearDedup {
 
   /** One micro-batch: returns the KEPT rows of `batch` and appends
-   * their band keys to the store. Wire via foreachBatch ([[attach]])
-   * or call directly in tests/backfills. */
+   * their band keys to the store, stamped with `batchId`. Wire via
+   * foreachBatch ([[attach]]) or call directly in tests/backfills
+   * (pass a fresh, monotonically increasing id per call).
+   *
+   * Replay idempotency: foreachBatch is at-least-once — a crash
+   * between this store append and the caller's sink write replays the
+   * micro-batch with the SAME batchId. The cross-batch `seen` read
+   * excludes rows stamped with the current batchId, so a replayed
+   * batch never suppresses its own documents on the strength of its
+   * earlier (half-committed) append: replay duplicates rows in the
+   * sink instead of silently deleting them, and the recomputed kept
+   * set is identical whether or not the store re-lists the files the
+   * first attempt wrote. */
   def processBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
       textCol: String, tsCol: String, storePath: String, horizonSec: Long,
-      n: Int = 5, k: Int = 16, bands: Int = 4): DataFrame = {
+      batchId: Long, n: Int = 5, k: Int = 16, bands: Int = 4): DataFrame = {
     if (batch.isEmpty) return batch
     val persisted = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // own the shingle-set stage explicitly so its cache is released in
+    // the finally below (a long-running stream must not accumulate
+    // cached blocks across micro-batches)
+    val sets = Dedup.shingleSets(persisted, keyCol, textCol, n)
+    val banded = Dedup.bandKeys(Dedup.minhashSignaturesFromSets(sets, k), k, bands)
+      .join(persisted.select(col(keyCol).as("doc_id"), col(tsCol).as("_ts")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val banded = Dedup.bandKeys(
-        Dedup.minhashSignatures(persisted, keyCol, textCol, n, k), k, bands)
-        .join(persisted.select(col(keyCol).as("doc_id"), col(tsCol).as("_ts")), "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maxTs = persisted.agg(max(col(tsCol))).head().getTimestamp(0)
       val cutoff = new java.sql.Timestamp(maxTs.getTime - horizonSec * 1000)
 
-      // cross-batch: any band key seen (by a kept doc) within horizon
-      val seen = readStore(spark, storePath).filter(col("ts") >= cutoff)
+      // cross-batch: any band key seen (by a kept doc) within horizon,
+      // excluding this batch's own (possibly replayed) rows
+      val seen = readStore(spark, storePath)
+        .filter(col("ts") >= cutoff &&
+          coalesce(col("batch_id"), lit(PreHistoryBatchId)) =!= batchId)
         .select(col("band"), col("key")).distinct()
       val crossHit = banded.join(seen, Seq("band", "key"))
         .select(col("doc_id")).distinct()
@@ -70,20 +87,30 @@ object StreamingNearDedup {
       val kept = persisted.join(
         suppressed.withColumnRenamed("doc_id", keyCol), Seq(keyCol), "left_anti")
 
-      // record kept docs' band keys (event-time stamped)
+      // record kept docs' band keys (event-time stamped, batch stamped)
       banded.join(kept.select(col(keyCol).as("doc_id")), Seq("doc_id"))
-        .select(col("band"), col("key"), col("_ts").as("ts"))
+        .select(col("band"), col("key"), col("_ts").as("ts"),
+          lit(batchId).as("batch_id"))
         .write.mode(SaveMode.Append).parquet(storePath)
       kept
-    } finally { persisted.unpersist(); () }
+    } finally { banded.unpersist(); sets.unpersist(); persisted.unpersist(); () }
   }
 
+  /** batch_id stamped on compacted / legacy store rows — streaming
+   * batch ids are non-negative, so it never matches a live batch. */
+  val PreHistoryBatchId: Long = -1L
+
   private def readStore(spark: SparkSession, path: String): DataFrame =
-    try spark.read.parquet(path)
-    catch {
+    try {
+      // mergeSchema: tolerate stores written before the batch_id stamp
+      val df = spark.read.option("mergeSchema", "true").parquet(path)
+      if (df.columns.contains("batch_id")) df
+      else df.withColumn("batch_id", lit(PreHistoryBatchId))
+    } catch {
       case _: Exception =>
         import spark.implicits._
-        Seq.empty[(Int, String, java.sql.Timestamp)].toDF("band", "key", "ts")
+        Seq.empty[(Int, String, java.sql.Timestamp, Long)]
+          .toDF("band", "key", "ts", "batch_id")
     }
 
   /** Rewrite the store keeping only keys seen since `cutoff` (run
@@ -98,6 +125,7 @@ object StreamingNearDedup {
     readStore(spark, path)
       .groupBy(col("band"), col("key")).agg(max(col("ts")).as("ts"))
       .filter(col("ts") >= cutoff)
+      .withColumn("batch_id", lit(PreHistoryBatchId))
       .write.mode(SaveMode.Overwrite).parquet(staged)
     spark.read.parquet(staged)
       .write.mode(SaveMode.Overwrite).parquet(path)
@@ -109,9 +137,9 @@ object StreamingNearDedup {
       horizonSec: Long): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, keyCol, textCol, tsCol,
-          storePath, horizonSec)
+          storePath, horizonSec, batchId)
           .write.mode(SaveMode.Append).parquet(outPath)
       }
       .start()

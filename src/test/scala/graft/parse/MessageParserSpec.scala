@@ -150,6 +150,19 @@ class MessageParserSpec extends SparkTestBase {
       "GOOD", 1614968170L, isStatusMsg = true, isProductionCountMsg = false, Some("UP")))
   }
 
+  test("non-trailing offset token: compact shape still parses (coalesce fallback)") {
+    // moment allows Z anywhere; the end-anchored normalization can't
+    // reach a leading offset, so this format must take the two-variant
+    // coalesce and still accept BOTH offset shapes
+    val fmt = MessageFormatConfig(id = "ZFIRST", timestampFormat = "Z YYYY-MM-DD HH:mm:ss")
+    val colonOk = parseOne(envelope(ts = "+00:00 2021-03-05 18:16:10"), Seq(fmt))
+    val compactOk = parseOne(envelope(ts = "+0000 2021-03-05 18:16:10"), Seq(fmt))
+    assert(colonOk.select("epoch_s").as[Long].head() == 1614968170L)
+    assert(compactOk.select("epoch_s").as[Long].head() == 1614968170L,
+      "compact non-trailing offset regressed vs moment(.., true) parity")
+    assert(parseOne(envelope(ts = "+9x99 2021-03-05 18:16:10"), Seq(fmt)).count() == 0)
+  }
+
   test("moment X format: epoch-seconds timestamps parse strictly") {
     val epochFmt = MessageFormatConfig(id = "EPOCH", timestampFormat = "X")
     val ok = parseOne(envelope(ts = "1614968170"), Seq(epochFmt))

@@ -16,4 +16,11 @@ class MomentFormatSpec extends AnyFunSuite {
       == Seq("yyyy-MM-dd HH:mm:ss.SSSSSSXXX", "yyyy-MM-dd HH:mm:ss.SSSSSSXX"))
     assert(MomentFormat.toJavaTimeVariants("DD/MM/YY") == Seq("dd/MM/yy"))
   }
+  test("offset-final detection gates the single-parse normalization path") {
+    assert(MomentFormat.offsetIsFormatFinal("YYYY-MM-DD HH:mm:ss.SSSSSSZZ"))
+    assert(MomentFormat.offsetIsFormatFinal("YYYY-MM-DD HH:mm:ssZ"))
+    assert(!MomentFormat.offsetIsFormatFinal("Z YYYY-MM-DD HH:mm:ss"))
+    assert(!MomentFormat.offsetIsFormatFinal("YYYY-MM-DDZHH:mm:ss"))
+    assert(!MomentFormat.offsetIsFormatFinal("DD/MM/YY")) // no offset at all
+  }
 }

@@ -26,20 +26,54 @@ class StreamingNearDedupSpec extends SparkTestBase {
 
   test("near-duplicates suppressed across batches; horizon expires state; within-batch ordered") {
     val store = java.nio.file.Files.createTempDirectory("neardedup-store").toString + "/s"
-    def run(docs: Seq[(Long, String, java.sql.Timestamp)]) =
+    def run(batchId: Long, docs: Seq[(Long, String, java.sql.Timestamp)]) =
       StreamingNearDedup.processBatch(spark,
         docs.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
-        store, horizonSec = 600)
+        store, horizonSec = 600, batchId = batchId)
         .select("doc_id").as[Long].collect().toSet
 
     // batch 1: base kept; in-batch near-copy suppressed (later ts);
     // unrelated doc kept
-    assert(run(Seq((1L, base, ts(0)), (2L, nearCopy, ts(1)), (3L, distinct, ts(2))))
+    assert(run(0L, Seq((1L, base, ts(0)), (2L, nearCopy, ts(1)), (3L, distinct, ts(2))))
       == Set(1L, 3L))
     // batch 2 (within horizon): another near-copy suppressed, new doc kept
-    assert(run(Seq((4L, nearCopy, ts(5)), (5L, distinct.toUpperCase, ts(6)))) == Set(5L))
+    assert(run(1L, Seq((4L, nearCopy, ts(5)), (5L, distinct.toUpperCase, ts(6)))) == Set(5L))
     // batch 3 (beyond horizon): the same near-copy is NEW again
-    assert(run(Seq((6L, nearCopy, ts(30)))) == Set(6L))
+    assert(run(2L, Seq((6L, nearCopy, ts(30)))) == Set(6L))
+  }
+
+  test("at-least-once replay keeps its own docs (store write is batch-stamped)") {
+    val store = java.nio.file.Files.createTempDirectory("neardedup-replay").toString + "/s"
+    def run(batchId: Long, docs: Seq[(Long, String, java.sql.Timestamp)]) =
+      StreamingNearDedup.processBatch(spark,
+        docs.toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+        store, horizonSec = 600, batchId = batchId)
+        .select("doc_id").as[Long].collect().toSet
+
+    val docs = Seq((1L, base, ts(0)), (2L, distinct, ts(1)))
+    assert(run(7L, docs) == Set(1L, 2L))
+    // crash-after-store-append, before sink write: the SAME batch
+    // replays with the SAME id — its own band keys must not suppress it
+    assert(run(7L, docs) == Set(1L, 2L),
+      "replayed batch suppressed by its own half-committed store append")
+    // a LATER batch with the same content is still a cross-batch hit
+    assert(run(8L, Seq((3L, nearCopy, ts(4)))) == Set.empty[Long])
+  }
+
+  test("processBatch leaves no cached blocks behind") {
+    val store = java.nio.file.Files.createTempDirectory("neardedup-leak").toString + "/s"
+    // the test session is shared across concurrently-running suites, so
+    // assert on the DIFF of cached RDD ids, not global emptiness — and
+    // retry briefly: a concurrent suite may cache inside our window
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    StreamingNearDedup.processBatch(spark,
+      Seq((1L, base, ts(0)), (2L, distinct, ts(1))).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", store, horizonSec = 600, batchId = 0L)
+      .collect()
+    def leaked = spark.sparkContext.getPersistentRDDs -- before
+    var tries = 0
+    while (leaked.nonEmpty && tries < 20) { Thread.sleep(250); tries += 1 }
+    assert(leaked.isEmpty, s"leaked cached RDDs: ${leaked.values.map(_.name)}")
   }
 
   test("short docs with no shingles always pass; store compaction keeps live keys only") {
@@ -47,7 +81,7 @@ class StreamingNearDedupSpec extends SparkTestBase {
     val kept = StreamingNearDedup.processBatch(spark,
       Seq((1L, "too short", ts(0)), (2L, "too short", ts(1)), (3L, base, ts(2)))
         .toDF("doc_id", "text", "ts"),
-      "doc_id", "text", "ts", store, horizonSec = 600)
+      "doc_id", "text", "ts", store, horizonSec = 600, batchId = 0L)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L)) // no bands => exact-dup stage's job, not ours
 
@@ -55,7 +89,7 @@ class StreamingNearDedupSpec extends SparkTestBase {
     StreamingNearDedup.compactStore(spark, store, ts(20))
     val again = StreamingNearDedup.processBatch(spark,
       Seq((9L, base, ts(3))).toDF("doc_id", "text", "ts"),
-      "doc_id", "text", "ts", store, horizonSec = 600)
+      "doc_id", "text", "ts", store, horizonSec = 600, batchId = 1L)
       .select("doc_id").as[Long].collect().toSet
     assert(again == Set(9L))
   }
