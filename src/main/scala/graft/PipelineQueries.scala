@@ -36,6 +36,15 @@ object PipelineQueries {
       path
     })
 
+  /** Fit-once memo for the PQ codebooks (n7) — deterministic per
+   * (corpus, seed), so Verify's oracle generation refits identical
+   * codebooks in a fresh JVM. */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[(Int, Seq[Float])]]]()
+  private def pqCodebooks(s: SparkSession, d: String): Seq[Seq[(Int, Seq[Float])]] =
+    pqMemo.computeIfAbsent(d, _ =>
+      Similarity.fitPqCodebooks(Tables.embeddings(s, d), dim = 64, m = 8, ks = 16))
+
   // ---- shared oracle SQL fragments ---------------------------------------
 
   /** Tokens CTE fragment: whitespace-split, blanks dropped (mirrors
@@ -429,6 +438,24 @@ object PipelineQueries {
         col("doc_id"),
         length(col("text").cast("binary")).as("n_bytes"),
         md5(col("text").cast("binary")).as("digest"))
+    }),
+
+    // Gopher-style repetition signals: duplicated-token / duplicated-
+    // 5-gram fractions (map-only) + most-frequent-bigram share
+    // (explode → two-level hash agg) — the quality rules that catch
+    // boilerplate-stuffed pages
+    "t13_repetition" -> ((s, d) => {
+      TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+    }),
+
+    // PQ-ADC ANN: stage-1 candidate scan reads only m-byte PQ codes
+    // (32× smaller than float32), scored via per-query lookup tables;
+    // exact float rerank of survivors. Generated oracle (codebook
+    // literals), like n3/n6.
+    "n7_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
+        pqCodebooks(s, d), dim = 64)
     }),
 
     // J7: chunk merge — keep-latest per (user, minute) upsert semantics
@@ -855,6 +882,29 @@ object PipelineQueries {
          |WHERE $h < CASE WHEN n_chars < 200 THEN $tShort ELSE $tLong END""".stripMargin
     },
 
+    // bigram list comprehension is 1-based: range(1, len(t)) yields
+    // i = 1 .. len(t)-1, so t[i]||' '||t[i+1] never over-indexes
+    "t13_repetition" ->
+      s"""WITH $toksCte,
+         |bg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+         |    ELSE [ t[i]||' '||t[i+1] for i in range(1, len(t)) ] END) AS b
+         |  FROM toks),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM bc GROUP BY 1),
+         |g5 AS (
+         |  SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS dt,
+         |    CASE WHEN len(t) < 5 THEN 0 ELSE len(t) - 4 END AS tot5,
+         |    len(list_distinct(CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+         |      ELSE [ t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+         |             for i in range(1, len(t)-3) ] END)) AS d5
+         |  FROM toks)
+         |SELECT g5.doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE round(1 - dt::DOUBLE/n, 6) END AS dup_token_frac,
+         |  CASE WHEN tot5 = 0 THEN 0.0 ELSE round(1 - d5::DOUBLE/tot5, 6) END AS dup_5gram_frac,
+         |  COALESCE(round(top::DOUBLE/tot, 6), 0.0) AS top_bigram_frac
+         |FROM g5 LEFT JOIN bt ON g5.doc_id = bt.doc_id""".stripMargin,
+
     "j7_chunk_merge" -> (T +
       """SELECT machineId, (es // 60) * 60 AS chunk,
         |  status AS latest_status, event_id AS latest_event
@@ -876,7 +926,76 @@ object PipelineQueries {
     val centroids = Similarity.fitIvfCentroids(Tables.embeddings(spark, sfDir), nClusters = 16)
     Map(
       "n3_ann_ivf" -> ivfOracleSql(centroids, k = 10, nProbe = 4),
-      "n6_ann_ivf_sq8" -> ivfSq8OracleSql(centroids, k = 10, nProbe = 4, rerankFactor = 3))
+      "n6_ann_ivf_sq8" -> ivfSq8OracleSql(centroids, k = 10, nProbe = 4, rerankFactor = 3),
+      "n7_ann_pq" -> pqOracleSql(pqCodebooks(spark, sfDir), dim = 64, k = 10, rerankFactor = 3))
+  }
+
+  /**
+   * n7 generated oracle: codebooks as a literal VALUES table, corpus
+   * codes via the same `cc − 2·v·c` argmin arithmetic as
+   * Similarity.pqEncode (QUALIFY row_number mirrors the least-struct
+   * tie-break), codes pivoted to columns so the ADC sum is a FIXED
+   * left-associated expression — an aggregate SUM would add in
+   * engine-chosen order and could drift a ulp. Per-(query, code)
+   * lookup dots are CASE branches over the same literal centroids the
+   * Spark side embeds in its query-side lookup arrays.
+   */
+  private def pqOracleSql(codebooks: Seq[Seq[(Int, Seq[Float])]], dim: Int,
+      k: Int, rerankFactor: Int): String = {
+    val m = codebooks.size
+    val dsub = dim / m
+    def fmt(d: Double) = d.toString
+    def vecD(c: Seq[Float]) = c.map(x => fmt(x.toDouble)).mkString("[", ", ", "]")
+    val cbRows = codebooks.zipWithIndex.flatMap { case (cb, s0) =>
+      cb.map { case (i, c) => s"($s0, $i, ${vecD(c)}::DOUBLE[], ${fmt(Similarity.sqSum(c))})" }
+    }.mkString(",\n      ")
+    val pivotCols = (0 until m)
+      .map(s0 => s"max(CASE WHEN sub = $s0 THEN code END) AS c$s0").mkString(", ")
+    def dotQ(s0: Int, c: Seq[Float]) =
+      s"list_sum(list_transform(list_zip(list_slice(q.embedding, ${s0 * dsub + 1}, ${(s0 + 1) * dsub}), ${vecD(c)}::DOUBLE[]), p -> p[1]::DOUBLE * p[2]))"
+    val adcExpr = (0 until m).map { s0 =>
+      val whens = codebooks(s0).sortBy(_._1)
+        .map { case (i, c) => s"WHEN $i THEN ${dotQ(s0, c)}" }.mkString(" ")
+      s"(CASE p.c$s0 $whens END)"
+    }.mkString("(", " + ", ")")
+    val rn2Expr = (0 until m).map { s0 =>
+      val whens = codebooks(s0).sortBy(_._1)
+        .map { case (i, c) => s"WHEN $i THEN ${fmt(Similarity.sqSum(c))}" }.mkString(" ")
+      s"(CASE p.c$s0 $whens END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH cb(sub, code, cv, cc) AS (
+       |  SELECT * FROM (VALUES
+       |      $cbRows) t),
+       |dists AS (
+       |  SELECT e.vec_id, cb.sub, cb.code,
+       |    cb.cc - 2 * list_sum(list_transform(list_zip(
+       |      list_slice(e.embedding, cb.sub*$dsub + 1, (cb.sub+1)*$dsub), cb.cv),
+       |      p -> p[1]::DOUBLE * p[2])) AS dd
+       |  FROM embeddings e CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, code ASC) = 1),
+       |pc AS (SELECT vec_id, $pivotCols FROM codes GROUP BY vec_id),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+       |    $adcExpr AS adc,
+       |    $rn2Expr AS rn2,
+       |    sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) AS qn
+       |  FROM pc p CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q
+       |  WHERE q.vec_id <> p.vec_id),
+       |cands AS (
+       |  SELECT query_id, neighbor_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY
+       |    round(CASE WHEN qn * sqrt(rn2) = 0 THEN 0.0
+       |               ELSE adc/(qn*sqrt(rn2)) END, 6) DESC, neighbor_id) <= ${k * rerankFactor})
+       |SELECT c.query_id, c.neighbor_id,
+       |  ${cosSql("ec.embedding", "eq.embedding")} AS cosine,
+       |  CAST(row_number() OVER (PARTITION BY c.query_id
+       |    ORDER BY ${cosSql("ec.embedding", "eq.embedding")} DESC, c.neighbor_id) AS INTEGER) AS rank
+       |FROM cands c
+       |JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+       |JOIN embeddings eq ON eq.vec_id = c.query_id
+       |QUALIFY rank <= $k""".stripMargin
   }
 
   private def ivfOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int, nProbe: Int): String =

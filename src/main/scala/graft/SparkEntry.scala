@@ -289,6 +289,45 @@ object SparkEntry {
         "machineId", "ts_us", "sts", "status", asofCol = "status_asof")
     }),
 
+    // Beyond-reference: range (interval-containment) join — telemetry
+    // readings inside each DOWN segment, as a bucketized EQUI join
+    // (no nested-loop; see functions/RangeJoin.scala for the 100 TB
+    // rationale). Aggregated per segment so the contract row is the
+    // per-window rollup a maintenance report would show.
+    "x3_range_join" -> ((s, d) => {
+      val t = Tables.telemetry(s, d)
+      val series = t.select(col("machineId").as("id"), lit("status").as("tag"),
+        col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
+      val segs = Downtime.durations(series).filter(col("value") === "DOWN")
+        .select(col("id").as("seg_id"),
+          unix_timestamp(col("timestamp")).as("seg_start"),
+          (unix_timestamp(col("timestamp")) + col("duration_seconds").cast("long")).as("seg_end"))
+      val facts = t.select(col("event_id"), col("machineId"), col("es"), col("cnt"))
+      graft.functions.RangeJoin.bucketed(facts, "machineId", "es",
+          segs, "seg_id", "seg_start", "seg_end", bucketWidth = 3600L)
+        .groupBy(col("seg_id"), col("seg_start"), col("seg_end"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cnt")).as("cnt_sum"))
+    }),
+
+    // Beyond-reference: gap-based sessionization (5-minute gap) — one
+    // shuffle on the key for flag + running session number + rollup
+    "x4_sessionize" -> ((s, d) => {
+      graft.query.Sessions.sessionize(Tables.telemetry(s, d),
+        "machineId", "es", "event_id", gap = 300L)
+    }),
+
+    // Semi-join (EXISTS shape): orders with ≥1 lineitem shipped in
+    // 1995, counted by priority — left_semi never duplicates orders
+    "q4_semi_join" -> ((s, d) => {
+      Tables.orders(s, d).join(
+        Tables.lineitem(s, d).filter(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // A9: config census (machine / series counts)
     "a9_census" -> ((s, d) => {
       Tables.telemetry(s, d).agg(
@@ -515,6 +554,49 @@ object SparkEntry {
         |SELECT p.event_id, p.machineId, p.ts_us, p.cnt, s.status AS status_asof
         |FROM prod p ASOF LEFT JOIN sm s
         |  ON p.machineId = s.machineId AND p.ts_us >= s.sts""".stripMargin),
+
+    "x3_range_join" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, ts_us, status AS value, event_id,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
+        |  FROM telemetry),
+        |cp AS (
+        |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
+        |seg AS (
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us, value) AS next_es
+        |  FROM cp),
+        |dseg AS (
+        |  SELECT id, es AS seg_start, next_es AS seg_end FROM seg
+        |  WHERE value = 'DOWN' AND next_es IS NOT NULL)
+        |SELECT d.id AS seg_id, d.seg_start, d.seg_end,
+        |  count(*) AS n_events, CAST(sum(f.cnt) AS BIGINT) AS cnt_sum
+        |FROM dseg d JOIN telemetry f ON f.machineId = d.id
+        |  AND f.es >= d.seg_start AND f.es < d.seg_end
+        |GROUP BY 1, 2, 3""".stripMargin),
+
+    "x4_sessionize" -> (T +
+      """, seq AS (
+        |  SELECT machineId, es, event_id,
+        |    CASE WHEN lag(es) OVER (PARTITION BY machineId ORDER BY es, event_id) IS NULL
+        |           OR es - lag(es) OVER (PARTITION BY machineId ORDER BY es, event_id) > 300
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM telemetry),
+        |sess AS (
+        |  SELECT machineId, es,
+        |    CAST(sum(brk) OVER (PARTITION BY machineId ORDER BY es, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM seq)
+        |SELECT machineId, session_seq,
+        |  min(es) AS session_start, max(es) AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY 1, 2""".stripMargin),
+
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01')
+        |GROUP BY 1""".stripMargin,
 
     "a5_machines_by_line" -> (T +
       """, m AS (SELECT DISTINCT machineId AS id FROM telemetry)

@@ -26,11 +26,16 @@ object Dedup {
    * re-tokenizes the document once per shingle element (measured 25×
    * slower). [[shingleSets]] stages the projections correctly. */
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    array_distinct(
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))))
+    array_distinct(ngramsFromTokens(toks, n))
+
+  /** Non-distinct word n-grams in document order — the multiset form
+   * repetition metrics need (a shingle SET can't tell "once" from
+   * "fifty times"). */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
 
   /** Convenience single-expression form (tests / small data). Prefer
    * [[shingleSets]] on the hot path — see [[shinglesFromTokens]]. */

@@ -357,6 +357,118 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  // ---- Product quantization (PQ) ------------------------------------------
+
+  /**
+   * Fit PQ codebooks: the embedding space is cut into `m` contiguous
+   * subspaces of dim/m dims; each subspace gets its own `ks`-centroid
+   * KMeans codebook (fixed seed per subspace — deterministic for a
+   * given corpus, so the n7 oracle can refit identical codebooks and
+   * embed them as literals, the same contract as [[fitIvfCentroids]]).
+   * Returns codebooks(sub) = Seq((code, centroid float[dim/m])).
+   *
+   * Storage math at 100 TB: a 64-dim float vector is 256 B; its PQ
+   * code is m bytes (m=8 ⇒ 32× compression vs 4× for SQ8) — the
+   * candidate scan reads codes only.
+   */
+  def fitPqCodebooks(corpus: DataFrame, dim: Int, m: Int = 8, ks: Int = 16,
+      seed: Long = 42L, maxIter: Int = 8): Seq[Seq[(Int, Seq[Float])]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s0 =>
+      val sub = corpus.select(
+        array_to_vector(slice(col("embedding"), s0 * dsub + 1, dsub)).as("features"))
+      val model = new KMeans().setK(ks).setSeed(seed + s0).setMaxIter(maxIter)
+        .setFeaturesCol("features").fit(sub)
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
+    }
+  }
+
+  /**
+   * PQ-encode the corpus against fixed codebooks: per subspace, the
+   * nearest sub-centroid's code (euclidean argmin via the same
+   * `cc − 2·v·c` literal-expression trick as [[assignCells]] — map
+   * only, codegen'd, no shuffle). Also emits `_rn2`, the squared norm
+   * of the implicit reconstruction Σ‖c_code‖² (an `element_at` into a
+   * literal array — needed to turn ADC dots into cosines without
+   * touching the float vector). Output: (vec_id, _c0.._cm-1, _rn2).
+   */
+  def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[(Int, Seq[Float])]],
+      dim: Int): DataFrame = {
+    val m = codebooks.size
+    val dsub = dim / m
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s0) =>
+      val sl = slice(col("embedding"), s0 * dsub + 1, dsub)
+      val scored = cb.map { case (i, c) =>
+        struct((lit(sqSum(c)) - lit(2.0) * dot(sl, typedLit(c))).as("d"),
+          lit(i).as("code"))
+      }
+      least(scored: _*).getField("code").as(s"_c$s0")
+    }
+    val coded = corpus.select(col("vec_id") +: codeCols: _*)
+    val rn2 = (0 until m).map { s0 =>
+      val ccs: Seq[Double] = codebooks(s0).sortBy(_._1).map { case (_, c) => sqSum(c) }
+      element_at(typedLit(ccs), col(s"_c$s0") + 1)
+    }.reduce(_ + _)
+    coded.withColumn("_rn2", rn2)
+  }
+
+  /**
+   * PQ ANN with ADC (asymmetric distance computation): stage 1 scans
+   * ONLY the m-byte codes — each query precomputes a per-subspace
+   * lookup table of dot(query_sub, centroid) for all ks centroids
+   * (m·ks small dots, query-side, broadcast), so scoring a corpus row
+   * is m array lookups + m−1 adds, no float-vector arithmetic at all.
+   * Approximate cosine = ADC / (‖q‖·√rn2) ranks candidates; stage 2
+   * reranks the k·rerankFactor survivors per query with exact float
+   * cosine via an id join (the float corpus is never scanned).
+   * Output: (query_id, neighbor_id, cosine, rank) — exact cosines,
+   * the same contract as every other ANN path here.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Seq[Seq[(Int, Seq[Float])]], dim: Int,
+      rerankFactor: Int = 3): DataFrame = {
+    val m = codebooks.size
+    val dsub = dim / m
+    val encoded = pqEncode(corpus, codebooks, dim)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val qTableCols = codebooks.zipWithIndex.map { case (cb, s0) =>
+      val qsl = slice(col("embedding"), s0 * dsub + 1, dsub)
+      array(cb.sortBy(_._1).map { case (_, c) => dot(qsl, typedLit(c)) }: _*)
+        .as(s"_qt$s0")
+    }
+    val q = queries.select(
+      Seq(col("vec_id").as("query_id"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("_qn")) ++ qTableCols: _*)
+    val adc = (0 until m)
+      .map(s0 => element_at(col(s"_qt$s0"), col(s"_c$s0") + 1))
+      .reduce(_ + _)
+    val denom = col("_qn") * sqrt(col("_rn2"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    val cands = encoded.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cos",
+        round(when(denom === 0, lit(0.0)).otherwise(adc / denom), 6))
+      .withColumn("_ar", row_number().over(wA))
+      .filter(col("_ar") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(cands)
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))),
+        Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /**
    * LSH-bucketed ANN: corpus bucketed by hyperplane signature; each
    * query probes its own bucket only (single equi-join on the bucket

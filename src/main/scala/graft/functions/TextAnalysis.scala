@@ -243,6 +243,47 @@ object TextAnalysis {
       .select(col("digest"), col("keep_id"), col("dup_count"))
   }
 
+  /**
+   * Per-document repetition signals — the Gopher-style quality rules
+   * (Rae et al. 2021, §A1.1: fraction of duplicated n-grams and the
+   * share claimed by the single most frequent n-gram) that catch
+   * machine-generated / boilerplate-stuffed pages plain quality
+   * scores miss.
+   *
+   * Output per doc: (key, n_tokens, dup_token_frac, dup_5gram_frac,
+   * top_bigram_frac), all fractions rounded to 6 dp:
+   *  - dup_token_frac: 1 − distinct/total tokens (map-only);
+   *  - dup_5gram_frac: 1 − distinct/total word 5-grams (map-only);
+   *  - top_bigram_frac: occurrences of the most frequent bigram over
+   *    total bigrams — needs a per-(doc, bigram) count, done as
+   *    explode → two-level hash agg (partial combines map-side, so
+   *    shuffle volume is distinct bigrams, not corpus tokens).
+   * Docs with no bigrams (< 2 tokens) score 0 everywhere.
+   */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(keyCol), tokens(col(textCol)).as("_t"))
+    val mapSide = toks.select(col(keyCol), col("_t"), size(col("_t")).as("_n"),
+        Dedup.shinglesFromTokens(col("_t"), 5).as("_g5"))
+      .select(
+        col(keyCol),
+        col("_n").as("n_tokens"),
+        when(col("_n") === 0, 0.0).otherwise(round(
+          lit(1.0) - size(array_distinct(col("_t"))).cast("double") / col("_n"),
+          6)).as("dup_token_frac"),
+        when(col("_n") < 5, 0.0).otherwise(round(
+          lit(1.0) - size(col("_g5")).cast("double") / (col("_n") - 4), 6))
+          .as("dup_5gram_frac"))
+    val bigramTop = toks
+      .select(col(keyCol), explode(Dedup.ngramsFromTokens(col("_t"), 2)).as("_bg"))
+      .groupBy(col(keyCol), col("_bg")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(keyCol)).agg(max(col("_c")).as("_top"), sum(col("_c")).as("_tot"))
+    mapSide.join(bigramTop, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_tokens"), col("dup_token_frac"), col("dup_5gram_frac"),
+        coalesce(round(col("_top").cast("double") / col("_tot"), 6), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** Integer gate for md5-derived deterministic sampling: keep a key
    * iff md5_32(key) < floor(rate·2³²). The comparison stays in exact
    * integer space — no float rounding, identical in any engine with

@@ -170,4 +170,49 @@ class SimilaritySpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("qcorpus"), plan.take(1200))
   }
+
+  test("PQ-ADC: codes in range, exact rescored cosines, decent recall vs brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val codebooks = Similarity.fitPqCodebooks(emb, dim = 64, m = 8, ks = 16)
+    assert(codebooks.size == 8 && codebooks.forall(_.size == 16))
+    assert(codebooks.forall(_.forall(_._2.size == 8)))
+
+    // every corpus row gets one code per subspace, each in [0, 16)
+    val coded = Similarity.pqEncode(emb, codebooks, dim = 64)
+    val bad = (0 until 8).map(s0 =>
+      coded.filter(col(s"_c$s0") < 0 || col(s"_c$s0") >= 16).count()).sum
+    assert(bad == 0)
+
+    val pq = Similarity.pqTopK(emb, queries, k = 5, codebooks, dim = 64)
+      .as[(Long, Long, Double, Int)].collect()
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    // stage-2 rescoring is exact: any (query, neighbor) PQ returns must
+    // carry the identical cosine brute force computes
+    val bfCos = bf.map(r => (r._1, r._2) -> r._3).toMap
+    pq.foreach { case (q, n, c, _) =>
+      bfCos.get((q, n)).foreach(e => assert(e == c, s"cosine mismatch ($q,$n)")) }
+    // Recall scales with the rerank window — the ADC lever. The test
+    // corpus is unstructured (near-random cosines, the hardest case
+    // for a coarse 16-code quantizer), so assert the ordering: a wider
+    // window must recover materially more of the true top-5, and at 8×
+    // at least half of it.
+    val bfSet = bf.map(r => (r._1, r._2)).toSet
+    def recallAt(rf: Int): Double = {
+      val got = Similarity.pqTopK(emb, queries, k = 5, codebooks, dim = 64, rerankFactor = rf)
+        .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+      got.count(bfSet.contains) / got.length.toDouble
+    }
+    val (r3, r8) = (recallAt(3), recallAt(8))
+    assert(r8 >= r3, s"recall must not drop with a wider window: $r3 -> $r8")
+    assert(r8 >= 0.5, s"PQ recall at 8x rerank = $r8")
+
+    // per-query contract: ranks are 1..n, cosines non-increasing
+    pq.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._3).toSeq.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
 }

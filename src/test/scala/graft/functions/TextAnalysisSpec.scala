@@ -142,6 +142,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.head._1 == cleanedMd5)
   }
 
+  test("repetition signals: degenerate, clean, and short docs") {
+    val df = Seq(
+      (1L, "a a a a a a"), // 6 tokens, 1 distinct; 5 bigrams all "a a"; 2 5-grams, 1 distinct
+      (2L, "one two three four five six"), // no repetition at all
+      (3L, "solo"), // 1 token: no bigrams/5-grams
+      (4L, "") // empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .as[(Long, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((6, 0.833333, 0.5, 1.0)))
+    assert(out(2L) == ((6, 0.0, 0.0, 0.2))) // every bigram unique: top share = 1/5
+    assert(out(3L) == ((1, 0.0, 0.0, 0.0)))
+    assert(out(4L) == ((0, 0.0, 0.0, 0.0)))
+  }
+
   test("cross-corpus contamination: containment finds embedded eval docs, jaccard-blind") {
     val evalDoc = "alpha beta gamma delta epsilon zeta"
     val train = Seq(
