@@ -45,6 +45,14 @@ object PipelineQueries {
     pqMemo.computeIfAbsent(d, _ =>
       Similarity.fitPqCodebooks(Tables.embeddings(s, d), dim = 64, m = 8, ks = 16))
 
+  /** Fit-once memo for the raw IVF centroids (e2's assignment step and
+   * the n3/n6 generated oracles share one fit per sf dir). */
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Float])]]()
+  private def ivfCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Float])] =
+    centroidMemo.computeIfAbsent(d, _ =>
+      Similarity.fitIvfCentroids(Tables.embeddings(s, d), nClusters = 16))
+
   // ---- shared oracle SQL fragments ---------------------------------------
 
   /** Tokens CTE fragment: whitespace-split, blanks dropped (mirrors
@@ -456,6 +464,38 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
         pqCodebooks(s, d), dim = 64)
+    }),
+
+    // One distributed KMeans (Lloyd) iteration over the embedding
+    // corpus: cell assignment is a map-only literal-centroid argmin
+    // (no shuffle, no model inference), the mean update one hash agg
+    // in exact integer micro-units (e1's portability trick) — the
+    // training step a 100 TB clustering/curation pipeline repeats.
+    // Generated oracle (centroid literals), like n3.
+    "e2_kmeans_step" -> ((s, d) => {
+      Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("_micro", floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("_micro")).as("_sum"))
+        .select(col("cell"), col("pos"),
+          round(col("_sum").cast("double") / col("n") / 1e6, 6).as("new_centroid"),
+          col("n"))
+    }),
+
+    // Cross-document duplicated span detection (the n-gram
+    // approximation of suffix-array exact-substring dedup, Lee et al.
+    // 2021): any 8-token span appearing in ≥2 documents, with its
+    // incidence count and first carrier. One shuffle on the span hash;
+    // per-doc spans are pre-distinct'd so a span repeated inside one
+    // doc counts once.
+    "d10_dup_spans" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+      toks.select(col("doc_id"), explode(Dedup.shinglesFromTokens(col("_t"), 8)).as("_span"))
+        .groupBy(md5(col("_span")).as("span_md5"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
     }),
 
     // J7: chunk merge — keep-latest per (user, minute) upsert semantics
@@ -882,6 +922,18 @@ object PipelineQueries {
          |WHERE $h < CASE WHEN n_chars < 200 THEN $tShort ELSE $tLong END""".stripMargin
     },
 
+    "d10_dup_spans" ->
+      s"""WITH $toksCte,
+         |sh8 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+         |         ELSE [ t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+         |                ||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]
+         |                for i in range(1, len(t)-6) ] END)) AS span
+         |  FROM toks)
+         |SELECT md5(span) AS span_md5, count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM sh8 GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
     // bigram list comprehension is 1-based: range(1, len(t)) yields
     // i = 1 .. len(t)-1, so t[i]||' '||t[i+1] never over-indexes
     "t13_repetition" ->
@@ -923,12 +975,28 @@ object PipelineQueries {
    * arithmetic as the Spark expressions (see Similarity.ivfTopKWith).
    */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
-    val centroids = Similarity.fitIvfCentroids(Tables.embeddings(spark, sfDir), nClusters = 16)
+    val centroids = ivfCentroids(spark, sfDir)
     Map(
       "n3_ann_ivf" -> ivfOracleSql(centroids, k = 10, nProbe = 4),
       "n6_ann_ivf_sq8" -> ivfSq8OracleSql(centroids, k = 10, nProbe = 4, rerankFactor = 3),
-      "n7_ann_pq" -> pqOracleSql(pqCodebooks(spark, sfDir), dim = 64, k = 10, rerankFactor = 3))
+      "n7_ann_pq" -> pqOracleSql(pqCodebooks(spark, sfDir), dim = 64, k = 10, rerankFactor = 3),
+      "e2_kmeans_step" -> kmeansStepOracleSql(centroids))
   }
+
+  /** e2 generated oracle: the same literal-centroid assignment CTEs as
+   * n3 (ivfCtesSql), then e1's exact micro-integer mean per (cell,
+   * dim). The unreferenced `probes` CTE in ivfCtesSql is legal and
+   * unexecuted. */
+  private def kmeansStepOracleSql(centroids: Seq[(Int, Seq[Float])]): String =
+    s"""WITH ${ivfCtesSql(centroids, nProbe = 1)},
+       |ex AS (
+       |  SELECT cell, unnest(list_transform(embedding, (v, i) ->
+       |    {'pos': i - 1, 'micro': CAST(floor(v::DOUBLE * 1e6 + 0.5) AS BIGINT)})) AS u
+       |  FROM assigned)
+       |SELECT cell, CAST(u.pos AS INTEGER) AS pos,
+       |  round((sum(u.micro)::DOUBLE / count(*)) / 1e6, 6) AS new_centroid,
+       |  count(*) AS n
+       |FROM ex GROUP BY 1, 2""".stripMargin
 
   /**
    * n7 generated oracle: codebooks as a literal VALUES table, corpus
