@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST JSON line of this process's
+// output; sbt's default LoggedOutput prefixes every forked-stdout line
+// with "[info] ", which breaks a strict json.loads. Inherit stdout
+// instead so runMain output reaches the consumer byte-for-byte.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -62,8 +62,6 @@ object Bench {
     // this process's output, so the line must stay compact (≤ ~1.9 KB):
     // 3-decimal times, and the per-query noise map goes to a PREFIXED
     // diagnostic line above instead of inline.
-    val qs = ok.map { case (k, ts) => "\"" + k + "\":" + f3(ts.min) }
-      .mkString("{", ",", "}")
     // per-query relative spread (max-min)/min — a noise indicator the
     // reader can use to discount contaminated samples
     val spreads = ok.map { case (k, ts) =>
@@ -75,7 +73,15 @@ object Bench {
       if (spreads.isEmpty) ("", 0.0) else spreads.maxBy(_._2)
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2.min).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","samples":$samples,"queries":$qs,"spread_max":${f3(spreadMax)},"spread_argmax":"$spreadArgmax","failed":$failedJson,"sf":"$sfDir"}""")
+    def line(fmt: Double => String) =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","samples":$samples,"queries":${
+        ok.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min) }.mkString("{", ",", "}")
+      },"spread_max":${fmt(spreadMax)},"spread_argmax":"$spreadArgmax","failed":$failedJson,"sf":"$sfDir"}"""
+    val l3 = line(f3)
+    // consumer keeps the last 2000 bytes of output and the sbt success
+    // line (~85 B) follows: degrade to 2-decimal times rather than let
+    // a longer query list truncate the line's head out of the window
+    println(if (l3.length <= 1870) l3 else line(d => "%.2f".format(d)))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
