@@ -483,6 +483,39 @@ object PipelineQueries {
           col("n"))
     }),
 
+    // SemDeDup (semantic dedup): near-duplicate pruning bounded by
+    // KMeans cells — candidate pairs exist only WITHIN a cell, so the
+    // pair space is Σ|cell|² instead of N² (missing cross-cell
+    // near-dups is the algorithm's documented approximation; cells
+    // shard across executors at corpus scale). Verdict per vector:
+    // dropped iff some LOWER-id same-cell vector has cosine ≥ τ. The
+    // cell join is an equi-join — never CartesianProduct. Generated
+    // oracle (centroid literals), like n3/e2.
+    "e3_semdedup" -> ((s, d) => {
+      val assigned = Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d))
+      val l = assigned.select(col("cell"), col("vec_id").as("_ida"), col("embedding").as("_va"))
+      val r = assigned.select(col("cell"), col("vec_id").as("_idb"), col("embedding").as("_vb"))
+      val dropped = l.join(r, Seq("cell"))
+        .filter(col("_ida") < col("_idb") &&
+          round(Similarity.cosine(col("_va"), col("_vb")), 6) >= 0.35)
+        .select(col("_idb").as("vec_id")).distinct()
+      assigned.join(dropped.withColumn("_hit", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("_hit").isNotNull.as("dropped"))
+    }),
+
+    // d9's exact contract at the 100 TB shape: the benchmark side's
+    // shingles become a Bloom sketch that prunes the train side BEFORE
+    // the join's shuffle (equality join kills sketch false positives,
+    // so output is bit-identical to the unfiltered plan). Different
+    // eval slice (mod 89) so d9/d11 exercise different pair sets.
+    "d11_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairsBloom(
+        docs.filter(col("doc_id") % 89 =!= 0),
+        docs.filter(col("doc_id") % 89 === 0),
+        "doc_id", "text", n = 5, minContainment = 0.3)
+    }),
+
     // Cross-document duplicated span detection (the n-gram
     // approximation of suffix-array exact-substring dedup, Lee et al.
     // 2021): any 8-token span appearing in ≥2 documents, with its
@@ -496,6 +529,48 @@ object PipelineQueries {
         .groupBy(md5(col("_span")).as("span_md5"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") >= 2)
+    }),
+
+    // Document chunking for training: fixed 200-char windows with
+    // 50-char overlap (stride 150). The chunk count derives
+    // arithmetically from n_chars, so explode(sequence(...)) keeps the
+    // operator narrow — zero shuffles, stays in whole-stage codegen —
+    // and output rows carry only the chunk md5 + length, never a
+    // second copy of the text (the at-scale discipline: chunk rows
+    // are ~40 B regardless of document size).
+    "t14_chunk_docs" -> ((s, d) => {
+      val size = 200; val overlap = 50; val stride = size - overlap
+      Tables.documents(s, d)
+        .withColumn("_nc", greatest(lit(1L),
+          ceil((col("n_chars") - lit(overlap)).cast("double") / stride).cast("long")))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("_nc") - 1)).as("chunk_idx"))
+        .withColumn("_chunk",
+          expr(s"substring(text, cast(chunk_idx * $stride as int) + 1, $size)"))
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("_chunk")).as("chunk_md5"),
+          length(col("_chunk")).cast("integer").as("chunk_len"))
+    }),
+
+    // Sequence packing for training: concatenate documents in doc_id
+    // order per source stream and split at a 2048-token budget — each
+    // doc is assigned the (bin, offset) where it lands in the packed
+    // token stream. Packing state is a plain prefix sum, so the whole
+    // operator is ONE window (one shuffle on source); the partition
+    // key keeps streams independent at corpus scale, and a finer key
+    // (source, day) would bound any one partition's width.
+    "t15_pack_sequences" -> ((s, d) => {
+      val budget = 2048L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("seq_pos", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr(s"seq_pos div $budget").as("bin"),
+          (col("seq_pos") % budget).as("bin_offset"))
     }),
 
     // J7: chunk merge — keep-latest per (user, minute) upsert semantics
@@ -587,6 +662,19 @@ object PipelineQueries {
       s"""WITH $shingleCte,
          |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 97 <> 0),
          |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+         |esz AS (SELECT eval_id, count(*) AS ne FROM ev GROUP BY 1),
+         |com AS (
+         |  SELECT train_id, eval_id, count(*) AS common
+         |  FROM tr JOIN ev USING (shingle) GROUP BY 1, 2)
+         |SELECT train_id, eval_id, common,
+         |  round(common*1.0/ne, 6) AS containment
+         |FROM com JOIN esz USING (eval_id)
+         |WHERE round(common*1.0/ne, 6) >= 0.3""".stripMargin,
+
+    "d11_bloom_decontaminate" ->
+      s"""WITH $shingleCte,
+         |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 89 <> 0),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 89 = 0),
          |esz AS (SELECT eval_id, count(*) AS ne FROM ev GROUP BY 1),
          |com AS (
          |  SELECT train_id, eval_id, count(*) AS common
@@ -922,6 +1010,32 @@ object PipelineQueries {
          |WHERE $h < CASE WHEN n_chars < 200 THEN $tShort ELSE $tLong END""".stripMargin
     },
 
+    "t14_chunk_docs" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    greatest(1, CAST(ceil((n_chars - 50) / 150.0) AS BIGINT)) AS n_chunks
+        |  FROM documents),
+        |x AS (SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  md5(substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS chunk_md5,
+        |  CAST(length(substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS INTEGER) AS chunk_len
+        |FROM x""".stripMargin,
+
+    "t15_pack_sequences" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seq_pos
+        |  FROM tk)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(seq_pos // 2048 AS BIGINT) AS bin,
+        |  CAST(seq_pos % 2048 AS BIGINT) AS bin_offset
+        |FROM pos""".stripMargin,
+
     "d10_dup_spans" ->
       s"""WITH $toksCte,
          |sh8 AS (
@@ -980,8 +1094,25 @@ object PipelineQueries {
       "n3_ann_ivf" -> ivfOracleSql(centroids, k = 10, nProbe = 4),
       "n6_ann_ivf_sq8" -> ivfSq8OracleSql(centroids, k = 10, nProbe = 4, rerankFactor = 3),
       "n7_ann_pq" -> pqOracleSql(pqCodebooks(spark, sfDir), dim = 64, k = 10, rerankFactor = 3),
-      "e2_kmeans_step" -> kmeansStepOracleSql(centroids))
+      "e2_kmeans_step" -> kmeansStepOracleSql(centroids),
+      "e3_semdedup" -> semDedupOracleSql(centroids, threshold = 0.35))
   }
+
+  /** e3 generated oracle: n3's literal-centroid assignment CTEs, pair
+   * candidates bounded by cell, drop verdict via LEFT JOIN on
+   * lower-id hits. The unreferenced `probes` CTE is legal and
+   * unexecuted (same note as e2). */
+  private def semDedupOracleSql(centroids: Seq[(Int, Seq[Float])],
+      threshold: Double): String =
+    s"""WITH ${ivfCtesSql(centroids, nProbe = 1)},
+       |dropped AS (
+       |  SELECT DISTINCT b.neighbor_id AS vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold)
+       |SELECT a.neighbor_id AS vec_id, a.cell,
+       |  (d.vec_id IS NOT NULL) AS dropped
+       |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.neighbor_id""".stripMargin
 
   /** e2 generated oracle: the same literal-centroid assignment CTEs as
    * n3 (ivfCtesSql), then e1's exact micro-integer mean per (cell,

@@ -328,6 +328,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // Beyond-reference: multi-level CUBE (type × hour) — Spark expands
+    // all four grouping levels BEFORE the exchange, so one shuffle
+    // serves every level (no per-level re-scan). Sums carried in exact
+    // integer micro-units so the double arithmetic is engine-portable.
+    "x5_cube" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("hr", expr("(ts div 1000000000 div 3600) % 24"))
+        .withColumn("v_micro", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
+        .cube(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v_micro")).as("value_micro"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("hr"), lit(-1L)).as("hr"),
+          col("n_events"), col("value_micro"))
+    }),
+
+    // Beyond-reference: PIVOT (long→wide) with an EXPLICIT value list —
+    // skipping the distinct-discovery job pivot otherwise runs first,
+    // so the plan is one hash aggregate (the at-scale pivot form)
+    "x6_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("cohort", pmod(col("user_id"), lit(16L)))
+        .withColumn("v_micro", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
+        .groupBy(col("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("v_micro")))
+    }),
+
+    // Beyond-reference: time-RANGE window frame — trailing-10-minute
+    // event count / production sum per machine (RANGE, not ROWS: frame
+    // membership by timestamp distance, peers always included). One
+    // shuffle on the key; both aggregates share one Window node.
+    "x7_trailing_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("machineId")).orderBy(col("es"))
+        .rangeBetween(-600L, 0L)
+      Tables.telemetry(s, d).select(col("event_id"),
+        count(lit(1)).over(w).as("n_10min"),
+        sum(col("cnt")).over(w).as("cnt_10min"))
+    }),
+
     // A9: config census (machine / series counts)
     "a9_census" -> ((s, d) => {
       Tables.telemetry(s, d).agg(
@@ -597,6 +636,38 @@ object SparkEntry {
         |    AND l_shipdate >= TIMESTAMP '1995-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-01-01')
         |GROUP BY 1""".stripMargin,
+
+    "x5_cube" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_ns(ts) // 1000000000 // 3600) % 24 AS hr,
+        |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+        |  FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(hr, -1) AS hr,
+        |       count(*) AS n_events,
+        |       CAST(sum(v_micro) AS BIGINT) AS value_micro
+        |FROM e GROUP BY CUBE (event_type, hr)""".stripMargin,
+
+    "x6_pivot" ->
+      """WITH e AS (
+        |  SELECT user_id % 16 AS cohort, event_type,
+        |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+        |  FROM events)
+        |SELECT cohort,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN v_micro END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN v_micro END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN v_micro END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN v_micro END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN v_micro END) AS BIGINT) AS view
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "x7_trailing_window" -> (T +
+      """SELECT event_id,
+        |  count(*) OVER w AS n_10min,
+        |  CAST(sum(cnt) OVER w AS BIGINT) AS cnt_10min
+        |FROM telemetry
+        |WINDOW w AS (PARTITION BY machineId ORDER BY es
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin),
 
     "a5_machines_by_line" -> (T +
       """, m AS (SELECT DISTINCT machineId AS id FROM telemetry)

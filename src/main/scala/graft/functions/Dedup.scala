@@ -177,6 +177,72 @@ object Dedup {
       .select(col("train_id"), col("eval_id"), col("common"), col("containment"))
   }
 
+  /** Serialized Bloom filter over a column's xxhash64 values — Spark's
+   * own BloomFilterAggregate sketch (the runtime row-level-filter
+   * machinery), collected to the driver as one compact binary. Merge
+   * is a bitwise OR, so the result is partitioning-independent. */
+  def bloomOf(df: DataFrame, c: Column, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.GraftColumns
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      XxHash64(Seq(GraftColumns.toExpression(c)), 42L),
+      org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+    df.agg(GraftColumns.column(agg.toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd membership probe against a [[bloomOf]] sketch (false
+   * positives possible, false negatives not). The sketch rides to
+   * executors as a literal inside the task binary. */
+  def bloomMightContain(bloom: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftshim.GraftColumns
+    GraftColumns.column(BloomFilterMightContain(
+      Literal(bloom, org.apache.spark.sql.types.BinaryType),
+      XxHash64(Seq(GraftColumns.toExpression(c)), 42L)))
+  }
+
+  /**
+   * Bloom-prefiltered decontamination — [[contaminationPairs]]' exact
+   * contract at the 100 TB shape. The eval (benchmark) side's shingles
+   * fold into a Bloom filter (a few MB even for millions of benchmark
+   * shingles); the TRAIN side — the corpus-scale side — drops every
+   * shingle the sketch rejects BEFORE the inverted-index join's
+   * exchange. A false positive only re-admits a shingle into the join,
+   * where the exact equality condition eliminates it, so the output is
+   * bit-identical to the unfiltered plan while the train→shuffle
+   * volume falls to ~(true hit rate + fpp) of the corpus. The two
+   * extra jobs on the EVAL side (count + sketch build) are
+   * benchmark-sized by construction.
+   */
+  def contaminationPairsBloom(train: DataFrame, eval: DataFrame, keyCol: String,
+      textCol: String, n: Int = 5, minContainment: Double = 0.5,
+      fpp: Double = 0.01): DataFrame = {
+    val trainIdx = shingleIndex(train, keyCol, textCol, n)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val evalSets = shingleSets(eval, keyCol, textCol, n)
+    val evalIdx = evalSets
+      .select(col("doc_id").as("eval_id"), explode(col("sh_set")).as("shingle"))
+    val evalSizes = evalSets
+      .select(col("doc_id").as("eval_id"), size(col("sh_set")).as("_ne"))
+      .filter(col("_ne") > 0)
+    val expected = evalIdx.select(col("shingle")).distinct().count().max(1L)
+    val bloom = bloomOf(evalIdx, col("shingle"), expected)
+    trainIdx.filter(bloomMightContain(bloom, col("shingle")))
+      .join(evalIdx, Seq("shingle"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(evalSizes, "eval_id")
+      .withColumn("containment", round(col("common").cast("double") / col("_ne"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("train_id"), col("eval_id"), col("common"), col("containment"))
+  }
+
   /** Affine-permutation constants for MinHash (deterministic, shared
    * with the SQL oracle). Products stay < 2^63: base hash < 2^32,
    * multiplier < 2^17. */
