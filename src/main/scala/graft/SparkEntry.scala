@@ -343,16 +343,21 @@ object SparkEntry {
           col("n_events"), col("value_micro"))
     }),
 
-    // Beyond-reference: PIVOT (long→wide) with an EXPLICIT value list —
-    // skipping the distinct-discovery job pivot otherwise runs first,
-    // so the plan is one hash aggregate (the at-scale pivot form)
+    // Beyond-reference: PIVOT (long→wide) as conditional aggregation
+    // over an EXPLICIT value list. Spark's .pivot() — even with values
+    // given — plans TWO aggregate phases (pre-agg on (key, pivot col),
+    // then the pivot agg: two shuffles); the per-value sum(when(...))
+    // form is the single-shuffle, partial-agg-before-exchange plan,
+    // which is why it's the at-scale pivot discipline.
     "x6_pivot" -> ((s, d) => {
+      def slot(v: String) =
+        sum(when(col("event_type") === v, col("v_micro"))).as(v)
       Tables.events(s, d)
         .withColumn("cohort", pmod(col("user_id"), lit(16L)))
         .withColumn("v_micro", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
         .groupBy(col("cohort"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(sum(col("v_micro")))
+        .agg(slot("click"), slot("error"), slot("purchase"),
+          slot("signup"), slot("view"))
     }),
 
     // Beyond-reference: time-RANGE window frame — trailing-10-minute

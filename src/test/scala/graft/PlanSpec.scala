@@ -142,4 +142,55 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.contains("floatvecdot") || p.contains("FloatVecDot"), p.take(800))
     assert(!p.contains("aggregate(zip_with"))
   }
+
+  test("CUBE expands grouping sets before ONE exchange (X5)") {
+    val df = SparkEntry.queries("x5_cube")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), p.take(800))
+    assert(countShuffles(df) == 1, p.take(800))
+  }
+
+  test("explicit-list pivot is one aggregate pass, one exchange (X6)") {
+    val df = SparkEntry.queries("x6_pivot")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p.take(800))
+    assert(countShuffles(df) == 1, p.take(800))
+  }
+
+  test("RANGE-frame aggregates share one Window node, one exchange (X7)") {
+    val df = SparkEntry.queries("x7_trailing_window")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.trim.startsWith("+- Window")) +
+      p.linesIterator.count(_.trim.startsWith("Window")) == 1, p.take(1200))
+    assert(countShuffles(df) == 1, p.take(800))
+  }
+
+  test("document chunking is a zero-shuffle narrow pipeline (T14)") {
+    val df = SparkEntry.queries("t14_chunk_docs")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode"), p.take(800))
+    assert(countShuffles(df) == 0, p.take(800))
+  }
+
+  test("sequence packing is ONE window shuffle on the stream key (T15)") {
+    val df = SparkEntry.queries("t15_pack_sequences")(spark, sf)
+    assert(countShuffles(df) == 1, df.queryExecution.executedPlan.toString.take(800))
+  }
+
+  test("SemDeDup pairs join is cell-equi, never cartesian (E3)") {
+    val p = plan("e3_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("Bloom probe prunes the train side BEFORE the join (D11)") {
+    val p = plan("d11_bloom_decontaminate")
+    assert(p.contains("might_contain"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the probe must sit under a Filter feeding the join, not after it
+    val probeLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinLine = p.linesIterator.indexWhere(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(probeLine > joinLine, s"probe@$probeLine join@$joinLine\n" + p.take(1200))
+  }
 }
