@@ -342,6 +342,21 @@ object PipelineQueries {
         .select(col("doc_id"), col("stratum"))
     }),
 
+    // Temperature resampling (τ=0.5): flatten the domain mix toward
+    // uniform by subsampling at rate_s = √(min_n/n_s) — the data-mixing
+    // step before pretraining. The domain is a deterministically
+    // SKEWED synthetic stratum (counts 5…95 via floor(sqrt(doc_id%100))
+    // — the real `source` column is uniform at test SF, which would
+    // make every rate 1.0 and test nothing). sqrt, not pow: IEEE sqrt
+    // is correctly rounded → engine-exact integer thresholds.
+    "t16_temperature_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("domain",
+        concat(lit("dom"), floor(sqrt((col("doc_id") % 100).cast("double")))
+          .cast("long").cast("string")))
+      TextAnalysis.temperatureSample(docs, col("doc_id").cast("string"), "domain")
+        .select(col("doc_id"), col("domain"))
+    }),
+
     // Int8 scalar quantization of the embedding corpus (the 4x storage
     // compression pass; round-half-up, per-vector symmetric scale)
     // qvec is emitted comma-joined (not as array<int>): the driver's
@@ -1008,6 +1023,23 @@ object PipelineQueries {
          |  CASE WHEN n_chars < 200 THEN 'short' ELSE 'long' END AS stratum
          |FROM documents
          |WHERE $h < CASE WHEN n_chars < 200 THEN $tShort ELSE $tLong END""".stripMargin
+    },
+
+    "t16_temperature_sample" -> {
+      // mirrors Dedup.md5Hash32(CAST(doc_id AS VARCHAR)) < thr
+      val h = (1 to 8).map { kk =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $kk, 1)) - 1) * ${math.pow(16, 8 - kk).toLong}"
+      }.mkString("(", " + ", ")")
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    'dom' || CAST(CAST(floor(sqrt((doc_id % 100) * 1.0)) AS BIGINT) AS VARCHAR) AS domain
+        |  FROM documents),
+        |c AS (SELECT domain, count(*) AS n FROM docs GROUP BY 1),
+        |r AS (SELECT domain,
+        |  CAST(floor(sqrt((SELECT min(n) FROM c) * 1.0 / n) * 4294967296.0) AS BIGINT) AS thr
+        |  FROM c)
+        |SELECT d.doc_id, d.domain FROM docs d JOIN r USING (domain)
+        |""".stripMargin + s"WHERE $h < r.thr"
     },
 
     "t14_chunk_docs" ->

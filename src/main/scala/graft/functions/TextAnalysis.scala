@@ -310,4 +310,31 @@ object TextAnalysis {
     }
     df.filter(Dedup.md5Hash32(key) < threshold)
   }
+
+  /**
+   * Temperature resampling (τ = 0.5) — the data-mixing step that
+   * flattens domain proportions toward uniform before training:
+   * target mix ∝ n_s^τ, realized by PURE SUBSAMPLING with
+   * rate_s = √(min_n / n_s) (exactly 1 for the smallest domain, so no
+   * domain is upsampled). τ is pinned at 0.5 because IEEE-754 sqrt is
+   * correctly rounded — bit-identical across engines — where pow(x, τ)
+   * is not, and the acceptance test must compare integers exactly.
+   * Domain counts are dimension-sized, so the rate table broadcasts
+   * and acceptance is the same map-side integer-md5 threshold as
+   * [[deterministicSample]]: no per-row state, reproducible under
+   * task retry, one aggregation + one broadcast join at any corpus
+   * size.
+   */
+  def temperatureSample(df: org.apache.spark.sql.DataFrame, key: Column,
+      domainCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+    val minDf = counts.agg(min(col("_n")).as("_minn"))
+    val rates = counts.crossJoin(minDf)
+      .select(col(domainCol),
+        floor(sqrt(col("_minn").cast("double") / col("_n")) * lit(4294967296.0))
+          .cast("long").as("_thr"))
+    df.join(broadcast(rates), domainCol)
+      .filter(Dedup.md5Hash32(key) < col("_thr"))
+      .drop("_thr")
+  }
 }
