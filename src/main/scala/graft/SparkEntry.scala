@@ -328,6 +328,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
+    // Beyond-reference: correlated scalar subquery (TPC-H Q17 shape) —
+    // lineitems below 20% of their part's average quantity. Catalyst
+    // DECORRELATES this into an aggregate + equi-join (no per-row
+    // subquery execution — the plan shape that matters at scale).
+    // avg() is order-sensitive in floating point, so the threshold is
+    // carried as an exact 0.2·sum/count comparison in integer units:
+    // 5 · qty · count < sum  ⟺  qty < 0.2 · avg, all in longs.
+    "q7_correlated_subquery" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qty = col("l_quantity").cast("long") // generator emits integral qty
+      val perPart = li.groupBy(col("l_partkey").as("_pk"))
+        .agg(sum(qty).as("_sumq"), count(lit(1)).as("_nq"))
+      li.join(perPart, col("l_partkey") === col("_pk"))
+        .filter(qty * 5L * col("_nq") < col("_sumq"))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_small"), sum(qty).as("small_qty"))
+    }),
+
+    // Beyond-reference: INTERSECT (set semantics) — customers active
+    // in both 1995 and 1996. Plans as a distinct + left-semi: one
+    // shuffle per side, never a row-multiplying join.
+    "o6_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def active(yr: Int) = o.filter(
+        col("o_orderdate") >= lit(s"$yr-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      active(1995).intersect(active(1996)).orderBy(col("o_custkey"))
+    }),
+
+    // Beyond-reference: EXCEPT — customers active in 1995 but gone in
+    // 1996 (churn). Distinct + left-anti plan shape.
+    "o7_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def active(yr: Int) = o.filter(
+        col("o_orderdate") >= lit(s"$yr-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      active(1995).except(active(1996)).orderBy(col("o_custkey"))
+    }),
+
+    // Beyond-reference: FULL OUTER join — per-user error-day vs
+    // purchase-day tallies, keeping users who only ever did one of
+    // the two. Nullable sides surface as explicit 0 counts.
+    "q8_full_outer" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def days(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(expr("ts div 1000000000 div 86400")).as(s"${t}_days"))
+      days("error").withColumnRenamed("user_id", "_ue")
+        .join(days("purchase").withColumnRenamed("user_id", "_up"),
+          col("_ue") === col("_up"), "full_outer")
+        .select(coalesce(col("_ue"), col("_up")).as("user_id"),
+          coalesce(col("error_days"), lit(0L)).as("error_days"),
+          coalesce(col("purchase_days"), lit(0L)).as("purchase_days"))
+    }),
+
     // Beyond-reference: multi-level CUBE (type × hour) — Spark expands
     // all four grouping levels BEFORE the exchange, so one shuffle
     // serves every level (no per-level re-scan). Sums carried in exact
@@ -641,6 +698,41 @@ object SparkEntry {
         |    AND l_shipdate >= TIMESTAMP '1995-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-01-01')
         |GROUP BY 1""".stripMargin,
+
+    "q7_correlated_subquery" ->
+      """WITH q AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |p AS (SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS sumq, count(*) AS nq
+        |      FROM q GROUP BY 1)
+        |SELECT l_partkey, count(*) AS n_small, CAST(sum(qty) AS BIGINT) AS small_qty
+        |FROM q JOIN p ON l_partkey = pk
+        |WHERE qty * 5 * nq < sumq
+        |GROUP BY 1""".stripMargin,
+
+    "o6_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin,
+
+    "o7_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'""".stripMargin,
+
+    "q8_full_outer" ->
+      """WITH e AS (
+        |  SELECT user_id, count(DISTINCT epoch_ns(ts) // 1000000000 // 86400) AS error_days
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, count(DISTINCT epoch_ns(ts) // 1000000000 // 86400) AS purchase_days
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(e.user_id, p.user_id) AS user_id,
+        |  coalesce(error_days, 0) AS error_days,
+        |  coalesce(purchase_days, 0) AS purchase_days
+        |FROM e FULL OUTER JOIN p ON e.user_id = p.user_id""".stripMargin,
 
     "x5_cube" ->
       """WITH e AS (

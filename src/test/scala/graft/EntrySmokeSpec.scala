@@ -19,7 +19,8 @@ class EntrySmokeSpec extends SparkTestBase {
     // every query is oracle-backed except the generated-oracle set
     // (centroid-literal SQL produced by dynamicOracleSql at Verify time)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("n3_ann_ivf", "n6_ann_ivf_sq8", "n7_ann_pq", "e2_kmeans_step"),
+    assert(rowsOnly == Set("n3_ann_ivf", "n6_ann_ivf_sq8", "n7_ann_pq",
+      "e2_kmeans_step", "e3_semdedup"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }
