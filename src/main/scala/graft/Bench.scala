@@ -10,7 +10,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+    // 5 samples, not 3: the shared host's throughput swings 4-8× on
+    // minute timescales (BENCH_SPREAD routinely shows 10-30× on single
+    // queries), and the reported min only approximates steady-state if
+    // at least one sample lands in a quiet window
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
