@@ -98,9 +98,16 @@ object Bench {
     // rather than let a longer query list truncate the line's head out
     // of the window
     val f2 = (d: Double) => "%.2f".format(d)
+    // 2-significant-digit adaptive precision: "0.12" / "1.2" / "12" —
+    // keeps resolution on sub-second queries where a flat 1-decimal
+    // tier would round most of the suite to one step
+    val fsig = (d: Double) =>
+      if (d < 0.995) "%.2f".format(d)
+      else if (d < 9.95) "%.1f".format(d)
+      else "%.0f".format(d)
     println(Seq(line(f3, lean = false), line(f2, lean = false),
-        line(f2, lean = true), line((d: Double) => "%.1f".format(d), lean = true))
-      .find(_.length <= 1870).getOrElse(line(f2, lean = true)))
+        line(f2, lean = true), line(fsig, lean = true))
+      .find(_.length <= 1870).getOrElse(line(fsig, lean = true)))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -127,4 +127,39 @@ object Warehouse {
       } finally { normalized.unpersist(); () }
     }
   }
+
+  /**
+   * Small-file compaction for one day partition — the at-rest analogue
+   * of the reference's Glue `groupFiles: inPartition` read option
+   * (convert_parquet.py:163): streaming appends leave ~one file per
+   * micro-batch per day, and a year of minute-cadence batches is
+   * ~500k tiny files whose per-file open/footer cost dominates scans
+   * at warehouse scale. Rewrites the partition into
+   * ceil(bytes / targetFileBytes) files, RANGE-clustered and sorted on
+   * (id, timestamp) so each output file covers a contiguous series
+   * slice — parquet min/max stats then prune per-series range scans
+   * (the condensation query's access path) to a few files.
+   *
+   * The partition is materialized via localCheckpoint BEFORE the
+   * overwrite (Spark refuses to overwrite a path it is reading from;
+   * checkpointing also makes the delete safe against task re-runs).
+   * Dynamic partition overwrite keeps the rewrite atomic at partition
+   * granularity and idempotent under replay. Returns the file count.
+   */
+  def compactPartition(spark: SparkSession, path: String,
+      year: Int, month: Int, day: Int,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val part = spark.read.parquet(path)
+      .filter(col("year") === year && col("month") === month && col("day") === day)
+    val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).toInt.max(1)
+    part.localCheckpoint(true)
+      .repartitionByRange(nFiles, col("id"), col("timestamp"))
+      .sortWithinPartitions(col("id"), col("timestamp"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "month", "day")
+      .parquet(path)
+    nFiles
+  }
 }

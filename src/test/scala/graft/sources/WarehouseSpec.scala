@@ -72,4 +72,32 @@ class WarehouseSpec extends SparkTestBase {
     // 2021-03-06 12:00:00 UTC → yesterday = 2021-03-05
     assert(Warehouse.yesterdayPartition(1615032000L) == ((2021, 3, 5)))
   }
+
+  test("compaction collapses micro-batch files, preserves rows, clusters by series") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    // 8 appends ≈ 8 micro-batches → ≥8 files in the day partition
+    (1 to 8).foreach { i =>
+      Seq(("GOOD", s"$i", "2021/03/05 00:00:0$i.000000", "status", s"m${i % 3}", 2021, 3, 5))
+        .toDF("quality", "value", "timestamp", "tag", "id", "year", "month", "day")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("year", "month", "day").parquet(s"$tmp/wh")
+    }
+    def dataFiles() = new java.io.File(s"$tmp/wh/year=2021/month=3/day=5")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    val before = dataFiles().length
+    assert(before >= 8)
+    val rowsBefore = spark.read.parquet(s"$tmp/wh").orderBy("id", "timestamp")
+      .collect().map(_.toString).toSeq
+
+    val nFiles = Warehouse.compactPartition(spark, s"$tmp/wh", 2021, 3, 5)
+    assert(nFiles == 1) // tiny partition → single file
+    assert(dataFiles().length == 1, s"expected 1 data file, got ${dataFiles().length}")
+    val rowsAfter = spark.read.parquet(s"$tmp/wh").orderBy("id", "timestamp")
+      .collect().map(_.toString).toSeq
+    assert(rowsAfter == rowsBefore) // lossless rewrite
+
+    // idempotent: compacting again is a no-op rewrite
+    assert(Warehouse.compactPartition(spark, s"$tmp/wh", 2021, 3, 5) == 1)
+    assert(spark.read.parquet(s"$tmp/wh").count() == 8)
+  }
 }
