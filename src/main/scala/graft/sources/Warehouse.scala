@@ -146,6 +146,24 @@ object Warehouse {
    * Dynamic partition overwrite keeps the rewrite atomic at partition
    * granularity and idempotent under replay. Returns the file count.
    */
+  /**
+   * Bucketed managed table — the co-located-join layout: both sides
+   * of a recurring equi-join written with the SAME bucket count on
+   * the join key join with ZERO exchanges (each task reads matching
+   * bucket files from both sides), and bucket-key aggregations skip
+   * their shuffle too. At warehouse scale this converts every
+   * telemetry⋈telemetry / telemetry⋈rollup join from a 100 TB shuffle
+   * into a file-placement property paid once at write time. Sorted
+   * buckets additionally let the join sort-merge without sorting.
+   */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet").bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   def compactPartition(spark: SparkSession, path: String,
       year: Int, month: Int, day: Int,
       targetFileBytes: Long = 128L << 20): Int = {

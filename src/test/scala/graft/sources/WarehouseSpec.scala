@@ -100,4 +100,37 @@ class WarehouseSpec extends SparkTestBase {
     assert(Warehouse.compactPartition(spark, s"$tmp/wh", 2021, 3, 5) == 1)
     assert(spark.read.parquet(s"$tmp/wh").count() == 8)
   }
+
+  test("bucketed tables join and aggregate with ZERO exchanges") {
+    val facts = graft.sources.Tables.telemetry(spark, "/root/testdata/sf0.001")
+      .select($"machineId", $"es", $"status", $"cnt")
+    val rollup = facts.groupBy($"machineId").agg(org.apache.spark.sql.functions.max($"es").as("last_es"))
+    Warehouse.writeBucketed(facts, "wb_facts", "machineId", 4, Seq("machineId", "es"))
+    Warehouse.writeBucketed(rollup, "wb_rollup", "machineId", 4)
+    // disable auto-broadcast: the point is the SHUFFLE-join path —
+    // at warehouse scale neither side of facts⋈facts broadcasts, and
+    // bucketing is what removes both exchanges
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // note: an EQUALITY filter between the two sides would be folded
+      // into the join keys and (requireAllClusterKeysForCoPartition)
+      // defeat the bucket layout — the non-equi residual stays a join
+      // filter and the key remains exactly the bucket column
+      val joined = spark.table("wb_facts")
+        .join(spark.table("wb_rollup"), "machineId")
+        .filter($"es" >= $"last_es")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1200)) // co-located: no shuffle either side
+      assert(plan.contains("Bucketed: true"), plan.take(1200))
+      assert(joined.count() > 0)
+      // bucket-key aggregation also skips its exchange
+      val agg = spark.table("wb_facts").groupBy($"machineId").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS wb_facts")
+      spark.sql("DROP TABLE IF EXISTS wb_rollup")
+    }
+  }
 }
