@@ -518,6 +518,27 @@ object PipelineQueries {
         .select(col("vec_id"), col("cell"), col("_hit").isNotNull.as("dropped"))
     }),
 
+    // kNN-graph construction: for EVERY corpus vector, its k nearest
+    // same-cell neighbors by cosine — the all-vectors top-k JOIN
+    // (distinct from the query-probe ANN family: output is a graph,
+    // the substrate of graph-based curation/cluster pruning). Pair
+    // space is cell-bounded like e3 (Σ|cell|², equi-join, no
+    // cartesian); ranking is one window per src vector over its
+    // candidates. Ties break (cosine DESC, neighbor ASC) so the graph
+    // is deterministic. Generated oracle (centroid literals).
+    "e4_knn_graph" -> ((s, d) => {
+      val assigned = Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d))
+      val l = assigned.select(col("cell"), col("vec_id").as("src"), col("embedding").as("_va"))
+      val r = assigned.select(col("cell"), col("vec_id").as("dst"), col("embedding").as("_vb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      l.join(r, Seq("cell")).filter(col("src") =!= col("dst"))
+        .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("dst"), col("cosine"), col("rank").cast("int").as("rank"))
+    }),
+
     // d9's exact contract at the 100 TB shape: the benchmark side's
     // shingles become a Bloom sketch that prunes the train side BEFORE
     // the join's shuffle (equality join kills sketch false positives,
@@ -1127,8 +1148,22 @@ object PipelineQueries {
       "n6_ann_ivf_sq8" -> ivfSq8OracleSql(centroids, k = 10, nProbe = 4, rerankFactor = 3),
       "n7_ann_pq" -> pqOracleSql(pqCodebooks(spark, sfDir), dim = 64, k = 10, rerankFactor = 3),
       "e2_kmeans_step" -> kmeansStepOracleSql(centroids),
-      "e3_semdedup" -> semDedupOracleSql(centroids, threshold = 0.35))
+      "e3_semdedup" -> semDedupOracleSql(centroids, threshold = 0.35),
+      "e4_knn_graph" -> knnGraphOracleSql(centroids, k = 3))
   }
+
+  /** e4 generated oracle: cell-bounded pairs (n3's assignment CTEs),
+   * per-src rank via QUALIFY with the same (cosine DESC, dst ASC)
+   * tie-break as the Spark window. */
+  private def knnGraphOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int): String =
+    s"""WITH ${ivfCtesSql(centroids, nProbe = 1)}
+       |SELECT a.neighbor_id AS src, b.neighbor_id AS dst,
+       |  ${cosSql("a.embedding", "b.embedding")} AS cosine,
+       |  CAST(row_number() OVER (PARTITION BY a.neighbor_id
+       |    ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.neighbor_id) AS INTEGER) AS rank
+       |FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.neighbor_id <> b.neighbor_id
+       |QUALIFY rank <= $k""".stripMargin
 
   /** e3 generated oracle: n3's literal-centroid assignment CTEs, pair
    * candidates bounded by cell, drop verdict via LEFT JOIN on

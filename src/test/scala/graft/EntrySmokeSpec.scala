@@ -20,7 +20,7 @@ class EntrySmokeSpec extends SparkTestBase {
     // (centroid-literal SQL produced by dynamicOracleSql at Verify time)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("n3_ann_ivf", "n6_ann_ivf_sq8", "n7_ann_pq",
-      "e2_kmeans_step", "e3_semdedup"),
+      "e2_kmeans_step", "e3_semdedup", "e4_knn_graph"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

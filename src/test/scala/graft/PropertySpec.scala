@@ -254,4 +254,62 @@ class PropertySpec extends SparkTestBase {
       assert(hits.values.forall(c => c > 0.0 && c <= 1.0))
     }
   }
+
+  test("chunking invariant: stitching chunks (minus overlap) reconstructs the text") {
+    // mirrors t14's geometry: size 200, overlap 50, stride 150
+    val textGen = Gen.choose(1, 700).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    forAll(textGen, n = 12) { text =>
+      val df = Seq((1L, text, text.length.toLong)).toDF("doc_id", "text", "n_chars")
+      val chunks = df
+        .withColumn("_nc", greatest(lit(1L),
+          ceil((col("n_chars") - lit(50)).cast("double") / 150).cast("long")))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("_nc") - 1)).as("chunk_idx"))
+        .withColumn("chunk", expr("substring(text, cast(chunk_idx * 150 as int) + 1, 200)"))
+        .orderBy("chunk_idx").select("chunk").as[String].collect().toSeq
+      // every chunk ≤ size; all non-final chunks are FULL (size chars)
+      assert(chunks.forall(_.length <= 200))
+      assert(chunks.dropRight(1).forall(_.length == 200), chunks.map(_.length))
+      // consecutive chunks agree on the 50-char overlap (a non-final
+      // chunk exists only when n > 200, and then every later chunk is
+      // ≥ 51 chars by the stride geometry)
+      chunks.sliding(2).foreach {
+        case Seq(a, b) => assert(a.takeRight(50) == b.take(50))
+        case _ =>
+      }
+      // stitch: first chunk + each subsequent chunk minus its overlap prefix
+      val stitched = chunks.head + chunks.tail.map(_.drop(50)).mkString
+      assert(stitched == text, s"len ${text.length}: ${chunks.map(_.length)}")
+    }
+  }
+
+  test("packing invariant: (bin, offset) reconstructs the exact prefix-sum state") {
+    val docsGen = Gen.listOfN(25, for {
+      src <- Gen.oneOf("a", "b")
+      nt <- Gen.choose(1L, 180L)
+    } yield (src, nt))
+    forAll(docsGen, n = 10) { docs =>
+      val budget = 100L
+      val df = docs.zipWithIndex.map { case ((s, nt), i) => (i.toLong, s, nt) }
+        .toDF("doc_id", "source", "n_tokens")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val packed = df.withColumn("seq_pos", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .select($"source", $"doc_id", $"n_tokens",
+          ($"seq_pos" / budget).cast("long").as("bin"), ($"seq_pos" % budget).as("off"))
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      packed.groupBy(_._1).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._2)
+        // offset equals running total mod budget; bin equals div —
+        // the full packing state reconstructs from (bin, off) alone
+        var pos = 0L
+        sorted.foreach { case (_, _, nt, bin, off) =>
+          assert(bin == pos / budget && off == pos % budget)
+          pos += nt
+        }
+      }
+    }
+  }
 }
