@@ -105,9 +105,10 @@ object Bench {
       if (d < 0.995) "%.2f".format(d)
       else if (d < 9.95) "%.1f".format(d)
       else "%.0f".format(d)
+    val f1 = (d: Double) => "%.1f".format(d)
     println(Seq(line(f3, lean = false), line(f2, lean = false),
-        line(f2, lean = true), line(fsig, lean = true))
-      .find(_.length <= 1870).getOrElse(line(fsig, lean = true)))
+        line(f2, lean = true), line(fsig, lean = true), line(f1, lean = true))
+      .find(_.length <= 1870).getOrElse(line(f1, lean = true)))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
