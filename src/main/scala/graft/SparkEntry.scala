@@ -747,7 +747,7 @@ object SparkEntry {
 
     "x6_pivot" ->
       """WITH e AS (
-        |  SELECT user_id % 16 AS cohort, event_type,
+        |  SELECT ((user_id % 16) + 16) % 16 AS cohort, event_type,
         |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
         |  FROM events)
         |SELECT cohort,

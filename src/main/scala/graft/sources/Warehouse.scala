@@ -129,24 +129,6 @@ object Warehouse {
   }
 
   /**
-   * Small-file compaction for one day partition — the at-rest analogue
-   * of the reference's Glue `groupFiles: inPartition` read option
-   * (convert_parquet.py:163): streaming appends leave ~one file per
-   * micro-batch per day, and a year of minute-cadence batches is
-   * ~500k tiny files whose per-file open/footer cost dominates scans
-   * at warehouse scale. Rewrites the partition into
-   * ceil(bytes / targetFileBytes) files, RANGE-clustered and sorted on
-   * (id, timestamp) so each output file covers a contiguous series
-   * slice — parquet min/max stats then prune per-series range scans
-   * (the condensation query's access path) to a few files.
-   *
-   * The partition is materialized via localCheckpoint BEFORE the
-   * overwrite (Spark refuses to overwrite a path it is reading from;
-   * checkpointing also makes the delete safe against task re-runs).
-   * Dynamic partition overwrite keeps the rewrite atomic at partition
-   * granularity and idempotent under replay. Returns the file count.
-   */
-  /**
    * Bucketed managed table — the co-located-join layout: both sides
    * of a recurring equi-join written with the SAME bucket count on
    * the join key join with ZERO exchanges (each task reads matching
@@ -164,20 +146,52 @@ object Warehouse {
       .saveAsTable(table)
   }
 
+  /**
+   * Small-file compaction for one day partition — the at-rest analogue
+   * of the reference's Glue `groupFiles: inPartition` read option
+   * (convert_parquet.py:163): streaming appends leave ~one file per
+   * micro-batch per day, and a year of minute-cadence batches is
+   * ~500k tiny files whose per-file open/footer cost dominates scans
+   * at warehouse scale. Rewrites the partition into
+   * ceil(bytes / targetFileBytes) files, RANGE-clustered and sorted on
+   * (id, timestamp) so each output file covers a contiguous series
+   * slice — parquet min/max stats then prune per-series range scans
+   * (the condensation query's access path) to a few files.
+   *
+   * Write-then-swap: the compacted output is fully written to a hidden
+   * temp sibling directory (ignored by Spark scans), and only after
+   * that job succeeds is the old partition directory replaced by a
+   * rename. The source files are never deleted while any job might
+   * still recompute from them — safe against task retries AND executor
+   * loss, unlike a checkpoint-then-overwrite-in-place. A crash between
+   * delete and rename leaves the durable temp dir; re-running the
+   * compaction recovers. Returns the output file count (0 = empty
+   * partition, nothing to do).
+   */
   def compactPartition(spark: SparkSession, path: String,
       year: Int, month: Int, day: Int,
       targetFileBytes: Long = 128L << 20): Int = {
     val part = spark.read.parquet(path)
       .filter(col("year") === year && col("month") === month && col("day") === day)
+    val inputs = part.inputFiles
+    if (inputs.isEmpty) return 0
+    // the partition's actual directory (robust to value formatting)
+    val partDir = new org.apache.hadoop.fs.Path(inputs.head).getParent
+    val tmpDir = new org.apache.hadoop.fs.Path(
+      partDir.getParent, s".compact_tmp_${partDir.getName}")
+    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmpDir, true) // stale leftover from a previous crash
     val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).toInt.max(1)
-    part.localCheckpoint(true)
+    // partition values live in the directory name, not the files
+    part.drop("year", "month", "day")
       .repartitionByRange(nFiles, col("id"), col("timestamp"))
       .sortWithinPartitions(col("id"), col("timestamp"))
       .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("year", "month", "day")
-      .parquet(path)
+      .parquet(tmpDir.toString)
+    fs.delete(partDir, true)
+    if (!fs.rename(tmpDir, partDir))
+      throw new java.io.IOException(s"compaction swap failed: $tmpDir -> $partDir")
     nFiles
   }
 }
