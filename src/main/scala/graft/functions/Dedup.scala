@@ -54,12 +54,37 @@ object Dedup {
           sequence(lit(1), length(t) - (n - 1)),
           i => t.substr(i, lit(n)))))
 
-  /** (doc_id, char-shingle set), staged + persisted like [[shingleSets]]. */
+  /** (doc_id, char-shingle set), staged + persisted like [[shingleSets]].
+   * CALLER-owned cache: unpersist it when done (see [[ownStages]]). */
   def charShingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(keyCol).as("doc_id"),
       regexp_replace(col(textCol), "\\s+", " ").as("_t"))
       .select(col("doc_id"), charShinglesFromNormalized(col("_t"), n).as("sh_set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /**
+   * Cache-ownership discipline for the composed operators (the batch
+   * analogue of StreamingNearDedup.processBatch's finally block): an
+   * operator that PERSISTS a staging DataFrame internally must not
+   * leak it for the session. `ownStages` materializes the (small,
+   * post-threshold) result eagerly while the stages are cached, then
+   * releases every stage. The returned DataFrame is itself persisted
+   * and becomes the CALLER's to release — the operator retains
+   * nothing. On failure both the stages and the partial result are
+   * released before the error propagates.
+   */
+  private def ownStages(stages: DataFrame*)(result: DataFrame): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try out.count()
+    catch {
+      case t: Throwable =>
+        out.unpersist(false)
+        stages.foreach(_.unpersist(false))
+        throw t
+    }
+    stages.foreach(_.unpersist(false))
+    out
+  }
 
   /**
    * Exact dedup by content digest: one row per distinct text with the
@@ -70,18 +95,26 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(keyCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** The (doc_id, sh_set) projection WITHOUT a cache — for single-use
+   * consumers (an index that is streamed through one join). */
+  private def shingleSetsPlan(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(keyCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+      .select(col("doc_id"), shinglesFromTokens(col("_t"), n).as("sh_set"))
+
   /** (doc_id, shingle set) — MATERIALIZED once (persist; the cache
    * manager unifies the plan across jaccard/minhash so shingling runs a
    * single time per corpus). At warehouse scale this is the stage you'd
-   * checkpoint to storage instead. */
+   * checkpoint to storage instead. CALLER-owned cache: unpersist it
+   * when done (the composed operators do this via [[ownStages]]). */
   def shingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(keyCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
-      .select(col("doc_id"), shinglesFromTokens(col("_t"), n).as("sh_set"))
+    shingleSetsPlan(df, keyCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** Exploded inverted index: one row per (key, shingle). */
+  /** Exploded inverted index: one row per (key, shingle). Uncached —
+   * an index is consumed by exactly one join, so caching it would only
+   * add a second materialization of the corpus. */
   def shingleIndex(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
-    shingleSets(df, keyCol, textCol, n)
+    shingleSetsPlan(df, keyCol, textCol, n)
       .select(col("doc_id"), explode(col("sh_set")).as("shingle"))
 
   /**
@@ -92,8 +125,10 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, keyCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
-      maxShingleFreq: Option[Int] = None): DataFrame =
-    jaccardPairsFromSets(shingleSets(df, keyCol, textCol, n), threshold, maxShingleFreq)
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sets = shingleSets(df, keyCol, textCol, n)
+    ownStages(sets)(jaccardPairsFromSets(sets, threshold, maxShingleFreq))
+  }
 
   /** Generic Jaccard near-dup over ANY (doc_id, sh_set) table — word
    * shingles ([[shingleSets]]), char shingles ([[charShingleSets]]),
@@ -160,6 +195,9 @@ object Dedup {
    */
   def contaminationPairs(train: DataFrame, eval: DataFrame, keyCol: String,
       textCol: String, n: Int = 5, minContainment: Double = 0.5): DataFrame = {
+    // train side: UNCACHED index — the corpus-scale side streams
+    // through the one join exactly once; only the benchmark-sized eval
+    // sets are staged (and released by ownStages)
     val trainIdx = shingleIndex(train, keyCol, textCol, n)
       .select(col("doc_id").as("train_id"), col("shingle"))
     val evalSets = shingleSets(eval, keyCol, textCol, n)
@@ -168,13 +206,14 @@ object Dedup {
     val evalSizes = evalSets
       .select(col("doc_id").as("eval_id"), size(col("sh_set")).as("_ne"))
       .filter(col("_ne") > 0)
-    trainIdx.join(evalIdx, Seq("shingle"))
-      .groupBy(col("train_id"), col("eval_id"))
-      .agg(count(lit(1)).as("common"))
-      .join(evalSizes, "eval_id")
-      .withColumn("containment", round(col("common").cast("double") / col("_ne"), 6))
-      .filter(col("containment") >= minContainment)
-      .select(col("train_id"), col("eval_id"), col("common"), col("containment"))
+    ownStages(evalSets)(
+      trainIdx.join(evalIdx, Seq("shingle"))
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("common"))
+        .join(evalSizes, "eval_id")
+        .withColumn("containment", round(col("common").cast("double") / col("_ne"), 6))
+        .filter(col("containment") >= minContainment)
+        .select(col("train_id"), col("eval_id"), col("common"), col("containment")))
   }
 
   /** Serialized Bloom filter over a column's xxhash64 values — Spark's
@@ -233,14 +272,15 @@ object Dedup {
       .filter(col("_ne") > 0)
     val expected = evalIdx.select(col("shingle")).distinct().count().max(1L)
     val bloom = bloomOf(evalIdx, col("shingle"), expected)
-    trainIdx.filter(bloomMightContain(bloom, col("shingle")))
-      .join(evalIdx, Seq("shingle"))
-      .groupBy(col("train_id"), col("eval_id"))
-      .agg(count(lit(1)).as("common"))
-      .join(evalSizes, "eval_id")
-      .withColumn("containment", round(col("common").cast("double") / col("_ne"), 6))
-      .filter(col("containment") >= minContainment)
-      .select(col("train_id"), col("eval_id"), col("common"), col("containment"))
+    ownStages(evalSets)(
+      trainIdx.filter(bloomMightContain(bloom, col("shingle")))
+        .join(evalIdx, Seq("shingle"))
+        .groupBy(col("train_id"), col("eval_id"))
+        .agg(count(lit(1)).as("common"))
+        .join(evalSizes, "eval_id")
+        .withColumn("containment", round(col("common").cast("double") / col("_ne"), 6))
+        .filter(col("containment") >= minContainment)
+        .select(col("train_id"), col("eval_id"), col("common"), col("containment")))
   }
 
   /** Affine-permutation constants for MinHash (deterministic, shared
@@ -263,7 +303,7 @@ object Dedup {
    */
   def minhashSignatures(df: DataFrame, keyCol: String, textCol: String,
       n: Int = 5, k: Int = 16): DataFrame =
-    minhashSignaturesFromSets(shingleSets(df, keyCol, textCol, n), k)
+    minhashSignaturesFromSets(shingleSetsPlan(df, keyCol, textCol, n), k)
 
   /** Signatures over a caller-provided (doc_id, sh_set) table — lets
    * callers that also need the sets stage own (and unpersist) the
@@ -314,11 +354,18 @@ object Dedup {
    */
   def minhashDedupPairs(df: DataFrame, keyCol: String, textCol: String,
       n: Int = 5, k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(df, keyCol, textCol, n, k), k, bands)
+    val sets = shingleSets(df, keyCol, textCol, n)
+    ownStages(sets)(minhashDedupPairsFromSets(sets, k, bands, threshold))
+  }
+
+  /** LSH+verify over a caller-provided (and caller-owned) (doc_id,
+   * sh_set) table. */
+  def minhashDedupPairsFromSets(sets: DataFrame, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = lshCandidates(minhashSignaturesFromSets(sets, k), k, bands)
     // Verify CANDIDATES ONLY, from the (persisted) shingle sets — the
     // whole point of LSH: the full inverted-index join never runs; per
     // candidate pair the exact Jaccard is one set intersection.
-    val sets = shingleSets(df, keyCol, textCol, n)
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("_sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("_sb")), "doc_b")
@@ -345,7 +392,9 @@ object Dedup {
     val groups = df.select(md5(col(textCol)).as("_digest"), col(keyCol).as("_k"))
     val reps = df.groupBy(md5(col(textCol)).as("_digest"))
       .agg(min(col(keyCol)).as(keyCol), first(col(textCol)).as(textCol))
-    // near-dup pairs among representatives (distinct texts only)
+    // near-dup pairs among representatives (distinct texts only) —
+    // eager + cached (minhashDedupPairs materialized it); released by
+    // ownStages below once the expanded result is materialized
     val repPairs = minhashDedupPairs(reps.drop("_digest"), keyCol, textCol, n, k, bands, threshold)
     // expand: rep pair → all member pairs across the two groups
     val members = groups.join(
@@ -361,7 +410,7 @@ object Dedup {
       members.select(col("_rep"), col("_k").as("_k2")), "_rep")
       .filter(col("_k") < col("_k2"))
       .select(col("_k").as("doc_a"), col("_k2").as("doc_b"), lit(1.0).as("jaccard"))
-    expanded.unionByName(exactPairs).distinct()
+    ownStages(repPairs)(expanded.unionByName(exactPairs).distinct())
   }
 
   /** Hex nibble value of char at (1-based) `pos` of md5 hex digest. */
@@ -456,11 +505,12 @@ object Dedup {
       .agg(sum(col("wa") * col("wb")).as("dot"))
     val cosine = round(col("dot").cast("double") /
       (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
-    dots
-      .join(norms.select(col("doc_id").as("doc_a"), col("norm2").as("na")), Seq("doc_a"))
-      .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("nb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), cosine.as("cosine"))
-      .filter(col("cosine") >= threshold)
+    ownStages(weighted)(
+      dots
+        .join(norms.select(col("doc_id").as("doc_a"), col("norm2").as("na")), Seq("doc_a"))
+        .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), cosine.as("cosine"))
+        .filter(col("cosine") >= threshold))
   }
 
   /**
@@ -478,27 +528,31 @@ object Dedup {
    * (Kiveris et al., "Connected Components in MapReduce", 2014) with
    * its O(log n) round bound.
    *
-   * Each round the label frontier is CHECKPOINTED (localCheckpoint:
-   * materialize + truncate lineage) — iterative DataFrame algorithms
-   * otherwise grow the logical plan every round, and plan
-   * analysis/explain costs turn superlinear long before the data
-   * does. On a cluster, point `spark.sparkContext.setCheckpointDir`
-   * at durable storage and swap in `.checkpoint()` for executor-loss
-   * resilience; the algorithm is unchanged. Convergence is an exact
-   * changed-count per round.
+   * Each round the label frontier is CHECKPOINTED — iterative
+   * DataFrame algorithms otherwise grow the logical plan every round,
+   * and plan analysis/explain costs turn superlinear long before the
+   * data does. When the session has a RELIABLE checkpoint dir
+   * configured (`spark.sparkContext.setCheckpointDir` → durable
+   * storage), the frontier uses `.checkpoint()`: losing an executor
+   * mid-iteration recovers from storage instead of killing the job.
+   * Without one (local/test mode) it falls back to
+   * `localCheckpoint` — materialize + truncate on executor-local
+   * blocks. Convergence is an exact changed-count per round.
    *
    * Output: (id, component) — component = min id reachable.
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
       .unionByName(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("_src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+    var labels = materialize(edges.select(col("_src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -508,12 +562,11 @@ object Dedup {
       // plan (a label only changes when a strictly smaller neighbor
       // min arrives), so the convergence check below is a scan of the
       // materialized partitions — not a second shuffle join per round
-      val next = labels.select(col("id"), col("component").as("_old"))
+      val next = materialize(labels.select(col("id"), col("component").as("_old"))
         .join(nbrMin, col("id") === col("_src"), "left_outer")
         .select(col("id"),
           least(col("_old"), coalesce(col("_nmin"), col("_old"))).as("component"),
-          (col("_nmin").isNotNull && col("_nmin") < col("_old")).as("_changed"))
-        .localCheckpoint(true)
+          (col("_nmin").isNotNull && col("_nmin") < col("_old")).as("_changed")))
       changed = next.filter(col("_changed")).count()
       labels = next.select(col("id"), col("component"))
       iter += 1

@@ -123,6 +123,43 @@ class DedupSpec extends SparkTestBase {
       (20L, 20L), (21L, 20L), (22L, 20L)))
   }
 
+  test("composed dedup operators release their staged caches (ownership contract)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // every composed operator that stages an internal cache: after the
+    // call returns and the CALLER releases the returned result, the
+    // session retains nothing the operator created
+    val outs = Seq(
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.3),
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.3,
+        maxShingleFreq = Some(3)),
+      Dedup.minhashDedupPairs(docs, "doc_id", "text", n = 5, k = 16, bands = 4, threshold = 0.3),
+      Dedup.dedupPipeline(docs, "doc_id", "text", n = 5, threshold = 0.3),
+      Dedup.tfidfPairs(docs, "doc_id", "text", threshold = 0.1),
+      Dedup.contaminationPairs(docs, docs.limit(2), "doc_id", "text", n = 5),
+      Dedup.contaminationPairsBloom(docs, docs.limit(2), "doc_id", "text", n = 5))
+    outs.foreach(_.count()) // results are usable after the operator returned
+    outs.foreach(_.unpersist(true))
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"operator-staged caches leaked: $leaked")
+  }
+
+  test("connectedComponents checkpoints reliably when a checkpoint dir is configured") {
+    // NOTE: setCheckpointDir is sticky on the shared test session —
+    // later suites just gain reliable checkpointing too (correct, a
+    // touch slower). Dir lives under target/ so `clean` removes it.
+    val dir = new java.io.File("target/graft-test-ckpt").getAbsolutePath
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(cc == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // frontier files actually landed in the RELIABLE dir (not executor-local)
+    def countFiles(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles).map(_.map(countFiles).sum).getOrElse(0) else 1
+    assert(countFiles(new java.io.File(dir)) > 0, "no reliable checkpoint files written")
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
     val v2 = v1.map(x => x * 1.001f) // near-identical direction
