@@ -23,7 +23,7 @@ object PipelineQueries {
   private def ivfIndexPath(s: SparkSession, d: String): String =
     ivfIndexMemo.computeIfAbsent(d, _ => {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-${Integer.toHexString(d.hashCode)}"
-      Similarity.buildIvfIndex(Tables.embeddings(s, d), path, nClusters = 16)
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), path) // k derived from corpus size
       path
     })
 
@@ -32,7 +32,7 @@ object PipelineQueries {
   private def ivfSq8Path(s: SparkSession, d: String): String =
     ivfSq8Memo.computeIfAbsent(d, _ => {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivfsq8-${Integer.toHexString(d.hashCode)}"
-      Similarity.buildIvfSq8Index(Tables.embeddings(s, d), path, nClusters = 16)
+      Similarity.buildIvfSq8Index(Tables.embeddings(s, d), path) // k derived from corpus size
       path
     })
 
@@ -46,12 +46,15 @@ object PipelineQueries {
       Similarity.fitPqCodebooks(Tables.embeddings(s, d), dim = 64, m = 8, ks = 16))
 
   /** Fit-once memo for the raw IVF centroids (e2's assignment step and
-   * the n3/n6 generated oracles share one fit per sf dir). */
+   * the n3/n6 generated oracles share one fit per sf dir). k is
+   * DERIVED from the corpus size (Similarity.adaptiveCellCount) — the
+   * derivation is deterministic, so a fresh-JVM oracle refit lands on
+   * the same k and the same centroids. */
   private val centroidMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Float])]]()
   private def ivfCentroids(s: SparkSession, d: String): Seq[(Int, Seq[Float])] =
     centroidMemo.computeIfAbsent(d, _ =>
-      Similarity.fitIvfCentroids(Tables.embeddings(s, d), nClusters = 16))
+      Similarity.fitIvfCentroids(Tables.embeddings(s, d)))
 
   // ---- shared oracle SQL fragments ---------------------------------------
 
@@ -91,6 +94,12 @@ object PipelineQueries {
    * harness reports a phantom engine bug the first time a boilerplate
    * shingle crosses the cap. */
   private val ShingleFreqCap = 1000
+
+  /** Per-cell pair-cap shared by the e3/e4 engine queries and their
+   * generated oracles (Similarity.boundCells) — like ShingleFreqCap,
+   * both sides must split oversized cells identically or parity breaks
+   * the first time a cell crosses the cap. */
+  private val MaxCellPairSide = 1000
 
   /** Capped-candidate Jaccard pair SQL — mirrors the engine's
    * maxShingleFreq guard (Dedup.jaccardPairsFromSets, Some(cap) path):
@@ -507,10 +516,12 @@ object PipelineQueries {
     // cell join is an equi-join — never CartesianProduct. Generated
     // oracle (centroid literals), like n3/e2.
     "e3_semdedup" -> ((s, d) => {
-      val assigned = Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d))
-      val l = assigned.select(col("cell"), col("vec_id").as("_ida"), col("embedding").as("_va"))
-      val r = assigned.select(col("cell"), col("vec_id").as("_idb"), col("embedding").as("_vb"))
-      val dropped = l.join(r, Seq("cell"))
+      val assigned = Similarity.boundCells(
+        Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d)),
+        MaxCellPairSide)
+      val l = assigned.select(col("subcell"), col("vec_id").as("_ida"), col("embedding").as("_va"))
+      val r = assigned.select(col("subcell"), col("vec_id").as("_idb"), col("embedding").as("_vb"))
+      val dropped = l.join(r, Seq("subcell"))
         .filter(col("_ida") < col("_idb") &&
           round(Similarity.cosine(col("_va"), col("_vb")), 6) >= 0.35)
         .select(col("_idb").as("vec_id")).distinct()
@@ -527,12 +538,14 @@ object PipelineQueries {
     // candidates. Ties break (cosine DESC, neighbor ASC) so the graph
     // is deterministic. Generated oracle (centroid literals).
     "e4_knn_graph" -> ((s, d) => {
-      val assigned = Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d))
-      val l = assigned.select(col("cell"), col("vec_id").as("src"), col("embedding").as("_va"))
-      val r = assigned.select(col("cell"), col("vec_id").as("dst"), col("embedding").as("_vb"))
+      val assigned = Similarity.boundCells(
+        Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d)),
+        MaxCellPairSide)
+      val l = assigned.select(col("subcell"), col("vec_id").as("src"), col("embedding").as("_va"))
+      val r = assigned.select(col("subcell"), col("vec_id").as("dst"), col("embedding").as("_vb"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-      l.join(r, Seq("cell")).filter(col("src") =!= col("dst"))
+      l.join(r, Seq("subcell")).filter(col("src") =!= col("dst"))
         .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
@@ -591,19 +604,19 @@ object PipelineQueries {
     // Sequence packing for training: concatenate documents in doc_id
     // order per source stream and split at a 2048-token budget — each
     // doc is assigned the (bin, offset) where it lands in the packed
-    // token stream. Packing state is a plain prefix sum, so the whole
-    // operator is ONE window (one shuffle on source); the partition
-    // key keeps streams independent at corpus scale, and a finer key
-    // (source, day) would bound any one partition's width.
+    // token stream. Runs through TextAnalysis.packSequences: the
+    // prefix sum windows over (source, batch) — batch here is an
+    // id-range standing in for the ingestion day — so no window
+    // partition spans a whole source stream, while day-offset
+    // arithmetic keeps bin numbering globally consistent per source
+    // (identical output to the single-window form).
     "t15_pack_sequences" -> ((s, d) => {
       val budget = 2048L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("seq_pos", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      TextAnalysis.packSequences(docs, "doc_id", "source", "n_tokens",
+        batchCol = expr("doc_id div 100"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           expr(s"seq_pos div $budget").as("bin"),
           (col("seq_pos") % budget).as("bin_offset"))
@@ -1152,17 +1165,39 @@ object PipelineQueries {
       "e4_knn_graph" -> knnGraphOracleSql(centroids, k = 3))
   }
 
-  /** e4 generated oracle: cell-bounded pairs (n3's assignment CTEs),
-   * per-src rank via QUALIFY with the same (cosine DESC, dst ASC)
-   * tie-break as the Spark window. */
+  /** DuckDB mirror of Dedup.md5Hash32 (first 8 md5 hex chars as
+   * BIGINT) over an arbitrary SQL expression. */
+  private def md5Hash32Sql(e: String): String =
+    (1 to 8).map { kk =>
+      s"(strpos('0123456789abcdef', substr(md5($e), $kk, 1)) - 1) * ${math.pow(16, 8 - kk).toLong}"
+    }.mkString("(", " + ", ")")
+
+  /** `bounded` CTE mirroring Similarity.boundCells over the `assigned`
+   * CTE: cells above MaxCellPairSide split into ceil(cn/cap) sub-cells
+   * by md5-hash of the vector id — identical arithmetic on both sides
+   * so engine/oracle parity holds whether or not any cell crosses the
+   * cap. */
+  private def boundedCteSql: String =
+    s"""cellsizes AS (SELECT cell, count(*) AS cn FROM assigned GROUP BY 1),
+       |bounded AS (
+       |  SELECT a.neighbor_id, a.embedding, a.cell,
+       |    CAST(a.cell AS VARCHAR) || '_' ||
+       |    CAST(${md5Hash32Sql("CAST(a.neighbor_id AS VARCHAR)")} %
+       |         CAST(ceil(cn / $MaxCellPairSide.0) AS BIGINT) AS VARCHAR) AS subcell
+       |  FROM assigned a JOIN cellsizes USING (cell))""".stripMargin
+
+  /** e4 generated oracle: cell-bounded pairs (n3's assignment CTEs +
+   * the boundCells sub-cell split), per-src rank via QUALIFY with the
+   * same (cosine DESC, dst ASC) tie-break as the Spark window. */
   private def knnGraphOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int): String =
-    s"""WITH ${ivfCtesSql(centroids, nProbe = 1)}
+    s"""WITH ${ivfCtesSql(centroids, nProbe = 1)},
+       |$boundedCteSql
        |SELECT a.neighbor_id AS src, b.neighbor_id AS dst,
        |  ${cosSql("a.embedding", "b.embedding")} AS cosine,
        |  CAST(row_number() OVER (PARTITION BY a.neighbor_id
        |    ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.neighbor_id) AS INTEGER) AS rank
-       |FROM assigned a JOIN assigned b
-       |  ON a.cell = b.cell AND a.neighbor_id <> b.neighbor_id
+       |FROM bounded a JOIN bounded b
+       |  ON a.subcell = b.subcell AND a.neighbor_id <> b.neighbor_id
        |QUALIFY rank <= $k""".stripMargin
 
   /** e3 generated oracle: n3's literal-centroid assignment CTEs, pair
@@ -1172,10 +1207,11 @@ object PipelineQueries {
   private def semDedupOracleSql(centroids: Seq[(Int, Seq[Float])],
       threshold: Double): String =
     s"""WITH ${ivfCtesSql(centroids, nProbe = 1)},
+       |$boundedCteSql,
        |dropped AS (
        |  SELECT DISTINCT b.neighbor_id AS vec_id
-       |  FROM assigned a JOIN assigned b
-       |    ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+       |  FROM bounded a JOIN bounded b
+       |    ON a.subcell = b.subcell AND a.neighbor_id < b.neighbor_id
        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold)
        |SELECT a.neighbor_id AS vec_id, a.cell,
        |  (d.vec_id IS NOT NULL) AS dropped

@@ -148,19 +148,40 @@ object Similarity {
     c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
 
   /**
+   * Derived default cell count for the KMeans-cell family: k ≈
+   * N/targetCellSize, floored at 16. The Σ|cell|² pair bound of the
+   * cell-bounded joins (SemDeDup/kNN) and the nProbe/nClusters probe
+   * fraction only keep their meaning at growing corpus size if k GROWS
+   * with N — a fixed k=16 at 100× the corpus means ~6 M-vector cells.
+   * Capped at 1024 because [[assignCells]] encodes centroids as
+   * literal expressions (`least` over k structs); past ~1k cells the
+   * argmin should become a broadcast join against a centroid table
+   * instead (and [[boundCells]] still bounds the pair space if cells
+   * outgrow the cap).
+   */
+  def adaptiveCellCount(corpusSize: Long, targetCellSize: Long = 4096L,
+      floorCells: Int = 16, capCells: Int = 1024): Int =
+    math.min(capCells.toLong,
+      math.max(floorCells.toLong, (corpusSize + targetCellSize - 1) / targetCellSize)).toInt
+
+  /**
    * Fit the IVF coarse quantizer (KMeans, fixed seed/iterations) and
    * return the centroids as (cell, float vector). Deterministic for a
    * given corpus, so an external oracle generator can refit the SAME
    * centroids and embed them as literals (Verify does exactly this for
-   * the n3 DuckDB oracle).
+   * the n3 DuckDB oracle). `nClusters = 0` (the default) derives k
+   * from the corpus size via [[adaptiveCellCount]] — one count job,
+   * deterministic, so the derived fit is as oracle-reproducible as a
+   * fixed one.
    */
-  def fitIvfCentroids(corpus: DataFrame, nClusters: Int = 16,
+  def fitIvfCentroids(corpus: DataFrame, nClusters: Int = 0,
       seed: Long = 42L, maxIter: Int = 8): Seq[(Int, Seq[Float])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val k = if (nClusters > 0) nClusters else adaptiveCellCount(corpus.count())
     // coarse quantizer: cell boundaries don't need convergence, they
     // need stability — few iterations, fixed seed
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features")
       .fit(corpus.select(array_to_vector(col("embedding")).as("features")))
     model.clusterCenters.zipWithIndex
@@ -176,7 +197,7 @@ object Similarity {
    * probed cells. Output: (query_id, neighbor_id, cosine, rank).
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nClusters: Int = 16, nProbe: Int = 2): DataFrame =
+      nClusters: Int = 0, nProbe: Int = 2): DataFrame =
     ivfTopKWith(corpus, queries, k, fitIvfCentroids(corpus, nClusters), nProbe)
 
   /**
@@ -198,6 +219,31 @@ object Similarity {
     }
     corpus.select(col("vec_id"), col("embedding"),
       least(assignScore: _*).getField("cell").as("cell"))
+  }
+
+  /**
+   * Per-cell pair-cap guard for cell-bounded self-joins (SemDeDup /
+   * kNN-graph) — the cell family's analogue of the dedup stop-shingle
+   * cap: a cell of size f contributes f² candidate pairs, so one
+   * runaway cell (dense embedding mode, or a corpus that outgrew its
+   * k) can dominate the join. Cells larger than `maxCellSize` are
+   * deterministically SPLIT into ceil(|cell|/maxCellSize) sub-cells by
+   * an md5-derived hash of the vector id (hash, not raw id: id
+   * residues can be adversarially non-uniform; md5 spreads any id set
+   * evenly w.h.p., so sub-cell sizes concentrate near maxCellSize).
+   * Pairs are then generated within sub-cells only — a deterministic
+   * recall trade mirrored exactly by the generated oracles, never a
+   * score change (verification stays exact cosine).
+   * Output: input columns + `subcell` (string join key).
+   */
+  def boundCells(assigned: DataFrame, maxCellSize: Int): DataFrame = {
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("_cn"))
+    assigned.join(broadcast(counts), Seq("cell"))
+      .withColumn("_nsub",
+        ceil(col("_cn").cast("double") / maxCellSize).cast("long"))
+      .withColumn("subcell", concat_ws("_", col("cell"),
+        pmod(Dedup.md5Hash32(col("vec_id").cast("string")), col("_nsub"))))
+      .drop("_cn", "_nsub")
   }
 
   /** Query → nProbe nearest cells by cosine-to-centroid. Query side is
@@ -249,7 +295,7 @@ object Similarity {
    * Rebuild when the corpus drifts (centroids are deterministic for a
    * given corpus+seed, so rebuilds are reproducible).
    */
-  def buildIvfIndex(corpus: DataFrame, path: String, nClusters: Int = 16): Unit = {
+  def buildIvfIndex(corpus: DataFrame, path: String, nClusters: Int = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = fitIvfCentroids(corpus, nClusters)
@@ -299,7 +345,7 @@ object Similarity {
    * corpus, and full floats are fetched for k·rerankFactor rows per
    * query, never scanned.
    */
-  def buildIvfSq8Index(corpus: DataFrame, path: String, nClusters: Int = 16): Unit = {
+  def buildIvfSq8Index(corpus: DataFrame, path: String, nClusters: Int = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = fitIvfCentroids(corpus, nClusters)

@@ -337,4 +337,43 @@ object TextAnalysis {
       .filter(Dedup.md5Hash32(key) < col("_thr"))
       .drop("_thr")
   }
+
+  /**
+   * Sequence packing with a BOUNDED window key — concatenate documents
+   * in `idCol` order per `sourceCol` stream and assign each the
+   * position where it lands in the packed token stream
+   * (`seq_pos`; bin = seq_pos div budget, offset = seq_pos mod
+   * budget). A single per-source prefix-sum window is the obvious
+   * plan, but with few sources its partition width is the whole
+   * corpus. Instead the prefix sum runs per (source, `batchCol`) —
+   * any coarse split key, e.g. the ingestion day — and per-batch
+   * token totals (a #batches-row aggregate) are turned into batch
+   * BASE offsets by a second, tiny window over batches. seq_pos =
+   * batch base + local prefix — arithmetically IDENTICAL to the
+   * global prefix sum whenever `batchCol` is non-decreasing in
+   * `idCol` within each source (an ingestion-day key is), so bin
+   * numbering stays globally consistent per source while no window
+   * partition exceeds one batch.
+   * Output: input columns + seq_pos.
+   */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      sourceCol: String, nTokensCol: String,
+      batchCol: Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLocal = Window.partitionBy(col(sourceCol), col("_batch"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = df.withColumn("_batch", batchCol)
+      .withColumn("_local", coalesce(sum(col(nTokensCol)).over(wLocal), lit(0L)))
+    val wBase = Window.partitionBy(col(sourceCol)).orderBy(col("_batch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = df.withColumn("_batch", batchCol)
+      .groupBy(col(sourceCol), col("_batch"))
+      .agg(sum(col(nTokensCol)).as("_btot"))
+      .withColumn("_base", coalesce(sum(col("_btot")).over(wBase), lit(0L)))
+      .select(col(sourceCol), col("_batch"), col("_base"))
+    staged.join(broadcast(bases), Seq(sourceCol, "_batch"))
+      .withColumn("seq_pos", col("_base") + col("_local"))
+      .drop("_batch", "_local", "_base")
+  }
 }

@@ -312,4 +312,26 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("bounded-key packing == global single-window prefix sum for any monotone batch key") {
+    val docsGen = Gen.listOfN(40, for {
+      src <- Gen.oneOf("a", "b", "c")
+      nt <- Gen.choose(1L, 180L)
+    } yield (src, nt))
+    val batchWidthGen = Gen.oneOf(1L, 3L, 7L, 1000L) // 1000 ⇒ one batch (degenerate)
+    forAll(Gen.zip(docsGen, batchWidthGen), n = 10) { case (docs, width) =>
+      val df = docs.zipWithIndex.map { case ((s, nt), i) => (i.toLong, s, nt) }
+        .toDF("doc_id", "source", "n_tokens")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val global = df.withColumn("seq_pos", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .select($"doc_id", $"seq_pos").as[(Long, Long)].collect().toMap
+      val bounded = graft.functions.TextAnalysis
+        .packSequences(df, "doc_id", "source", "n_tokens",
+          batchCol = expr(s"doc_id div $width"))
+        .select($"doc_id", $"seq_pos").as[(Long, Long)].collect().toMap
+      assert(bounded == global, s"width=$width")
+    }
+  }
 }

@@ -75,6 +75,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.4, s"IVF recall $recall") // random vectors: probing half the cells
   }
 
+  test("adaptiveCellCount: floor 16, grows ~N/target, capped at 1024") {
+    assert(Similarity.adaptiveCellCount(0L) == 16)
+    assert(Similarity.adaptiveCellCount(500L) == 16)
+    assert(Similarity.adaptiveCellCount(65536L) == 16)
+    assert(Similarity.adaptiveCellCount(100L * 4096L) == 100)
+    assert(Similarity.adaptiveCellCount(100_000_000L) == 1024) // literal-argmin cap
+  }
+
+  test("boundCells bounds the per-cell pair space; inert below the cap") {
+    // adversarial: ALL vectors in one KMeans cell (identical embedding),
+    // ids all even so a raw-id modulus would NOT split them — the md5
+    // hash must
+    val one = Seq(1f, 0f)
+    val df = (0L until 500L).map(i => (i * 2, one)).toDF("vec_id", "embedding")
+      .withColumn("cell", lit(0))
+    val cap = 50
+    val sizes = Similarity.boundCells(df, cap)
+      .groupBy("subcell").count().as[(String, Long)].collect()
+    assert(sizes.length == 10) // ceil(500/50) sub-cells, all non-empty
+    val maxSub = sizes.map(_._2).max
+    assert(maxSub <= 2L * cap, s"hash split left a $maxSub-row sub-cell")
+    // pair space: Σ|subcell|² vs the unguarded 500²
+    val pairSpace = sizes.map(s => s._2 * s._2).sum
+    assert(pairSpace <= 500L * 500L / 5, s"pair space $pairSpace not bounded")
+    // inert below the cap: subcell degenerates to the cell itself
+    val inert = Similarity.boundCells(df, 1000)
+      .select("subcell").distinct().as[String].collect().toSeq
+    assert(inert == Seq("0_0"))
+  }
+
   test("int8 quantization: values bounded, reconstruction preserves direction") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Similarity.quantizeInt8(emb, "embedding")
