@@ -45,6 +45,18 @@ object PipelineQueries {
     pqMemo.computeIfAbsent(d, _ =>
       Similarity.fitPqCodebooks(Tables.embeddings(s, d), dim = 64, m = 8, ks = 16))
 
+  /** Fit-once memo for the IVF-PQ serving index (n8) — built from the
+   * SAME memoized centroid + codebook fits as n3/n6/n7, so no extra
+   * KMeans runs at bench time. */
+  private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqPath(s: SparkSession, d: String): String =
+    ivfPqMemo.computeIfAbsent(d, _ => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${Integer.toHexString(d.hashCode)}"
+      Similarity.buildIvfPqIndexWith(Tables.embeddings(s, d), path, dim = 64,
+        ivfCentroids(s, d), pqCodebooks(s, d))
+      path
+    })
+
   /** Fit-once memo for the raw IVF centroids (e2's assignment step and
    * the n3/n6 generated oracles share one fit per sf dir). k is
    * DERIVED from the corpus size (Similarity.adaptiveCellCount) — the
@@ -488,6 +500,16 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20), k = 10,
         pqCodebooks(s, d), dim = 64)
+    }),
+
+    // IVF-PQ: the composed 100 TB serving shape — stage-1 reads m-byte
+    // PQ codes AND only the probed cell partitions (compression ×
+    // pruning), ADC lookup-table scoring, exact float rerank of
+    // survivors. Generated oracle (centroid + codebook literals).
+    "n8_ann_ivf_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(s, ivfPqPath(s, d),
+        emb.filter(col("vec_id") < 20), k = 10, nProbe = 4)
     }),
 
     // One distributed KMeans (Lloyd) iteration over the embedding
@@ -1160,6 +1182,8 @@ object PipelineQueries {
       "n3_ann_ivf" -> ivfOracleSql(centroids, k = 10, nProbe = 4),
       "n6_ann_ivf_sq8" -> ivfSq8OracleSql(centroids, k = 10, nProbe = 4, rerankFactor = 3),
       "n7_ann_pq" -> pqOracleSql(pqCodebooks(spark, sfDir), dim = 64, k = 10, rerankFactor = 3),
+      "n8_ann_ivf_pq" -> ivfPqOracleSql(centroids, pqCodebooks(spark, sfDir),
+        dim = 64, k = 10, nProbe = 4, rerankFactor = 3),
       "e2_kmeans_step" -> kmeansStepOracleSql(centroids),
       "e3_semdedup" -> semDedupOracleSql(centroids, threshold = 0.35),
       "e4_knn_graph" -> knnGraphOracleSql(centroids, k = 3))
@@ -1285,6 +1309,75 @@ object PipelineQueries {
        |    sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) AS qn
        |  FROM pc p CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q
        |  WHERE q.vec_id <> p.vec_id),
+       |cands AS (
+       |  SELECT query_id, neighbor_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY
+       |    round(CASE WHEN qn * sqrt(rn2) = 0 THEN 0.0
+       |               ELSE adc/(qn*sqrt(rn2)) END, 6) DESC, neighbor_id) <= ${k * rerankFactor})
+       |SELECT c.query_id, c.neighbor_id,
+       |  ${cosSql("ec.embedding", "eq.embedding")} AS cosine,
+       |  CAST(row_number() OVER (PARTITION BY c.query_id
+       |    ORDER BY ${cosSql("ec.embedding", "eq.embedding")} DESC, c.neighbor_id) AS INTEGER) AS rank
+       |FROM cands c
+       |JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+       |JOIN embeddings eq ON eq.vec_id = c.query_id
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
+  /**
+   * n8 generated oracle: n7's codebook machinery (codes via the same
+   * `cc − 2·v·c` argmin, ADC as a fixed left-associated CASE-lookup
+   * sum) composed with n3's centroid-literal cell CTEs — stage-1
+   * candidates come only from (assigned ⋈ probes) cells, mirroring
+   * the partition-pruned scan, then the exact rerank tail.
+   */
+  private def ivfPqOracleSql(centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]], dim: Int,
+      k: Int, nProbe: Int, rerankFactor: Int): String = {
+    val m = codebooks.size
+    val dsub = dim / m
+    def fmt(d: Double) = d.toString
+    def vecD(c: Seq[Float]) = c.map(x => fmt(x.toDouble)).mkString("[", ", ", "]")
+    val cbRows = codebooks.zipWithIndex.flatMap { case (cb, s0) =>
+      cb.map { case (i, c) => s"($s0, $i, ${vecD(c)}::DOUBLE[], ${fmt(Similarity.sqSum(c))})" }
+    }.mkString(",\n      ")
+    val pivotCols = (0 until m)
+      .map(s0 => s"max(CASE WHEN sub = $s0 THEN code END) AS c$s0").mkString(", ")
+    def dotQ(s0: Int, c: Seq[Float]) =
+      s"list_sum(list_transform(list_zip(list_slice(pr.qv, ${s0 * dsub + 1}, ${(s0 + 1) * dsub}), ${vecD(c)}::DOUBLE[]), p -> p[1]::DOUBLE * p[2]))"
+    val adcExpr = (0 until m).map { s0 =>
+      val whens = codebooks(s0).sortBy(_._1)
+        .map { case (i, c) => s"WHEN $i THEN ${dotQ(s0, c)}" }.mkString(" ")
+      s"(CASE p.c$s0 $whens END)"
+    }.mkString("(", " + ", ")")
+    val rn2Expr = (0 until m).map { s0 =>
+      val whens = codebooks(s0).sortBy(_._1)
+        .map { case (i, c) => s"WHEN $i THEN ${fmt(Similarity.sqSum(c))}" }.mkString(" ")
+      s"(CASE p.c$s0 $whens END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH ${ivfCtesSql(centroids, nProbe)},
+       |cb(sub, code, cv, cc) AS (
+       |  SELECT * FROM (VALUES
+       |      $cbRows) t),
+       |dists AS (
+       |  SELECT e.vec_id, cb.sub, cb.code,
+       |    cb.cc - 2 * list_sum(list_transform(list_zip(
+       |      list_slice(e.embedding, cb.sub*$dsub + 1, (cb.sub+1)*$dsub), cb.cv),
+       |      p -> p[1]::DOUBLE * p[2])) AS dd
+       |  FROM embeddings e CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, code ASC) = 1),
+       |pc AS (SELECT vec_id, $pivotCols FROM codes GROUP BY vec_id),
+       |adc AS (
+       |  SELECT pr.query_id, p.vec_id AS neighbor_id,
+       |    $adcExpr AS adc,
+       |    $rn2Expr AS rn2,
+       |    sqrt(list_sum(list_transform(pr.qv, x -> x::DOUBLE * x::DOUBLE))) AS qn
+       |  FROM pc p
+       |  JOIN assigned a ON a.neighbor_id = p.vec_id
+       |  JOIN probes pr ON pr.cell = a.cell
+       |  WHERE pr.query_id <> p.vec_id),
        |cands AS (
        |  SELECT query_id, neighbor_id FROM adc
        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY

@@ -443,7 +443,7 @@ object Similarity {
    * touching the float vector). Output: (vec_id, _c0.._cm-1, _rn2).
    */
   def pqEncode(corpus: DataFrame, codebooks: Seq[Seq[(Int, Seq[Float])]],
-      dim: Int): DataFrame = {
+      dim: Int, keep: Seq[String] = Nil): DataFrame = {
     val m = codebooks.size
     val dsub = dim / m
     val codeCols = codebooks.zipWithIndex.map { case (cb, s0) =>
@@ -454,7 +454,7 @@ object Similarity {
       }
       least(scored: _*).getField("code").as(s"_c$s0")
     }
-    val coded = corpus.select(col("vec_id") +: codeCols: _*)
+    val coded = corpus.select((col("vec_id") +: keep.map(col)) ++ codeCols: _*)
     val rn2 = (0 until m).map { s0 =>
       val ccs: Seq[Double] = codebooks(s0).sortBy(_._1).map { case (_, c) => sqSum(c) }
       element_at(typedLit(ccs), col(s"_c$s0") + 1)
@@ -506,6 +506,112 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(cands)
       .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))),
+        Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  // ---- IVF-PQ (probe-pruned product quantization) --------------------------
+
+  /**
+   * Build the IVF-PQ index — the 100 TB ANN serving shape: BOTH
+   * compression and pruning. Stage-1 scans read m-byte PQ codes (32×
+   * compression at m=8) AND only nProbe/nClusters of them (cell
+   * partition pruning). Four tables under `path`:
+   *  - `centroids`: (cell, center float[]) — the coarse quantizer
+   *  - `codebooks`: (sub, code, center float[dim/m]) — PQ codebooks
+   *  - `codes`: (vec_id, _c0.._cm-1, _rn2) PARTITIONED BY cell
+   *  - `fcorpus`: (vec_id, embedding) — full precision, id-join only
+   * Both fits are deterministic (fixed seeds), so a rebuild — or an
+   * external oracle refit — reproduces the identical index.
+   */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, dim: Int,
+      nClusters: Int = 0, m: Int = 8, ks: Int = 16): Unit =
+    buildIvfPqIndexWith(corpus, path, dim,
+      fitIvfCentroids(corpus, nClusters), fitPqCodebooks(corpus, dim, m, ks))
+
+  /** Index build against caller-provided fits (reuse fits shared with
+   * other indexes instead of re-running KMeans). */
+  def buildIvfPqIndexWith(corpus: DataFrame, path: String, dim: Int,
+      centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]]): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.toDF("cell", "center")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.zipWithIndex
+      .flatMap { case (cb, s0) => cb.map { case (i, c) => (s0, i, c) } }
+      .toDF("sub", "code", "center")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncode(assignCells(corpus, centroids), codebooks, dim, keep = Seq("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    corpus.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/fcorpus")
+  }
+
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[(Int, Seq[Float])]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/codebooks")
+      .select(col("sub"), col("code"), col("center"))
+      .as[(Int, Int, Seq[Float])].collect().toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(r => (r._2, r._3)).sortBy(_._1) }
+  }
+
+  /**
+   * Serve top-k from a persisted IVF-PQ index: probe `nProbe` cells
+   * (partition-pruned scan of the CODES table — m bytes per corpus
+   * row), score candidates with ADC lookup tables exactly as
+   * [[pqTopK]] (per-query m·ks dots, broadcast; scoring a row is m
+   * array lookups + m−1 adds), then rerank the k·rerankFactor
+   * survivors per query with exact float cosine via an id join
+   * against `fcorpus`. Output: (query_id, neighbor_id, cosine, rank)
+   * — exact cosines, the same contract as every other ANN path.
+   */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int, rerankFactor: Int = 3): DataFrame = {
+    val centroids = loadIvfCentroids(spark, path)
+    val codebooks = loadPqCodebooks(spark, path)
+    val m = codebooks.size
+    val dsub = codebooks.head.head._2.size
+    val qcells = probeCells(queries, centroids, nProbe)
+    val probedCells = qcells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val qTableCols = codebooks.zipWithIndex.map { case (cb, s0) =>
+      val qsl = slice(col("embedding"), s0 * dsub + 1, dsub)
+      array(cb.sortBy(_._1).map { case (_, c) => dot(qsl, typedLit(c)) }: _*)
+        .as(s"_qt$s0")
+    }
+    val q = queries.select(
+      Seq(col("vec_id").as("query_id"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("_qn")) ++ qTableCols: _*)
+    val probes = qcells.select(col("query_id"), col("cell")).join(q, Seq("query_id"))
+    val adc = (0 until m)
+      .map(s0 => element_at(col(s"_qt$s0"), col(s"_c$s0") + 1))
+      .reduce(_ + _)
+    val denom = col("_qn") * sqrt(col("_rn2"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    val cands = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells: _*))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cos",
+        round(when(denom === 0, lit(0.0)).otherwise(adc / denom), 6))
+      .withColumn("_ar", row_number().over(wA))
+      .filter(col("_ar") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(cands)
+      .join(spark.read.parquet(s"$path/fcorpus")
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv")),
         Seq("neighbor_id"))
       .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))),
         Seq("query_id"))

@@ -201,6 +201,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("qcorpus"), plan.take(1200))
   }
 
+  test("IVF-PQ: probe-pruned code scan, exact rerank, codes partitioned by cell") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.buildIvfPqIndex(emb, path, dim = 64, nClusters = 8)
+
+    val served = Similarity.ivfPqTopK(spark, path, queries, k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(served.map(_._1).distinct.length == 5)
+    assert(served.groupBy(_._1).forall(_._2.length == 5)) // k filled per query
+
+    // exact-rerank contract: reported cosines equal brute-force cosines
+    val bfCos = Similarity.bruteForceTopK(emb, queries, k = 50)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    served.foreach { case (q, n, c) =>
+      bfCos.get((q, n)).foreach(e => assert(e == c, s"cosine mismatch ($q,$n)")) }
+
+    // neighbors come only from probed cells: every result pair shares a
+    // probed cell with its query
+    val centroids = Similarity.loadIvfCentroids(spark, path)
+    val probed = Similarity.probeCells(queries, centroids, nProbe = 3)
+      .select("query_id", "cell").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    val cellOf = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    served.foreach { case (q, n, _) =>
+      assert(probed(q).contains(cellOf(n)), s"neighbor $n of $q outside probed cells") }
+
+    // stage-1 scans the CODES table partition-pruned on cell
+    val plan = Similarity.ivfPqTopK(spark, path, queries, k = 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("codes"), plan.take(1200))
+  }
+
   test("PQ-ADC: codes in range, exact rescored cosines, decent recall vs brute force") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 10)
