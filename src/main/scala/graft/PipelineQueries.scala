@@ -602,6 +602,15 @@ object PipelineQueries {
         .filter(col("n_docs") >= 2)
     }),
 
+    // Variable-length duplicated-span merge (d10 → maximal regions):
+    // overlapping/adjacent duplicated 8-token spans merge into each
+    // doc's maximal duplicated substrings via one gaps-and-islands
+    // window per doc — the unit actual span-removal operates on.
+    "d12_dup_span_regions" -> ((s, d) => {
+      Dedup.duplicatedSpanRegions(Tables.documents(s, d), "doc_id", "text",
+        n = 8, minDocs = 2)
+    }),
+
     // Document chunking for training: fixed 200-char windows with
     // 50-char overlap (stride 150). The chunk count derives
     // arithmetically from n_chars, so explode(sequence(...)) keeps the
@@ -1135,6 +1144,34 @@ object PipelineQueries {
          |  FROM toks)
          |SELECT md5(span) AS span_md5, count(*) AS n_docs, min(doc_id) AS first_doc
          |FROM sh8 GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // position-carrying 8-gram comprehension is 1-based like d10's;
+    // islands: pos - row_number() per doc, then min/count per island
+    "d12_dup_span_regions" ->
+      s"""WITH $toksCte,
+         |occ AS (
+         |  SELECT doc_id, u.pos AS pos, md5(u.span) AS span_md5 FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(t) < 8
+         |      THEN []::STRUCT(pos BIGINT, span VARCHAR)[]
+         |      ELSE [ {'pos': i, 'span': t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]
+         |              ||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]}
+         |             for i in range(1, len(t)-6) ] END) AS u
+         |    FROM toks) s),
+         |dup AS (
+         |  SELECT span_md5 FROM (SELECT DISTINCT doc_id, span_md5 FROM occ)
+         |  GROUP BY span_md5 HAVING count(*) >= 2),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM occ JOIN dup USING (span_md5)),
+         |regions AS (
+         |  SELECT doc_id, min(pos) AS start_pos, count(*) AS n_grams,
+         |         count(*) + 7 AS n_tokens
+         |  FROM isl GROUP BY doc_id, island)
+         |SELECT r.doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens, n_grams,
+         |  md5(array_to_string(list_slice(t.t, start_pos, start_pos + n_tokens - 1), ' ')) AS region_md5
+         |FROM regions r JOIN toks t USING (doc_id)""".stripMargin,
 
     // bigram list comprehension is 1-based: range(1, len(t)) yields
     // i = 1 .. len(t)-1, so t[i]||' '||t[i+1] never over-indexes

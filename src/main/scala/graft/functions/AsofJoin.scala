@@ -14,18 +14,26 @@ import org.apache.spark.sql.functions._
  * Spark-first formulation: instead of a per-row range probe (which
  * plans as a broadcast-nested-loop or range join and dies at scale),
  * UNION the two sides, sort within each key partition by (ts, side),
- * and carry the last non-null right value forward with an ordered
- * window (`last(_, ignoreNulls)` over unboundedPreceding..current).
+ * and carry the last right ROW forward with an ordered window
+ * (`last(_, ignoreNulls)` over unboundedPreceding..current).
  * Cost: ONE shuffle on the key — the same partitioning both inputs
  * would need anyway — and a per-partition sort; no row explosion at
  * any skew. Right rows sort BEFORE left rows at equal timestamps, so
  * the match is inclusive (`right.ts <= left.ts`), exactly DuckDB's
  * `ASOF JOIN ... ON l.ts >= r.ts` semantics (the x2 oracle).
  *
+ * NULL contract: what is carried is a (marker, value) STRUCT, not the
+ * bare value — `ignoreNulls` then skips only the union's left-row
+ * placeholders, never a right row whose VALUE is legitimately NULL.
+ * A NULL right value therefore propagates as NULL until the next
+ * right row, exactly like DuckDB's ASOF join (which matches the row
+ * and returns its NULL), instead of silently reading as "no update".
+ *
  * Determinism: callers should ensure at most one right row per
  * (key, ts) — dedupe with a keep-latest agg first (the j7 shape). If
- * duplicates remain, the greatest value at equal ts wins (the `_rv`
- * ordering term), which is still deterministic.
+ * duplicates remain, the greatest (value NULLs first) at equal ts
+ * wins (the `_rv` struct ordering term), which is still
+ * deterministic.
  */
 object AsofJoin {
 
@@ -42,22 +50,27 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, valueCol: String,
       asofCol: String = "asof_value"): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
     val valueType = right.schema(valueCol).dataType
+    val carryType = StructType(Seq(
+      StructField("m", BooleanType, nullable = false),
+      StructField("v", valueType)))
     val l = left
       .withColumn("_asof_ts", col(leftTs))
       .withColumn("_asof_side", lit(1))
-      .withColumn("_asof_rv", lit(null).cast(valueType))
+      .withColumn("_asof_rv", lit(null).cast(carryType))
     val r = right.select(
       col(keyCol),
       col(rightTs).as("_asof_ts"),
       lit(0).as("_asof_side"),
-      col(valueCol).as("_asof_rv"))
+      struct(lit(true).as("m"), col(valueCol).as("v")).as("_asof_rv"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_asof_ts"), col("_asof_side"), col("_asof_rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(asofCol, last(col("_asof_rv"), ignoreNulls = true).over(w))
+      .withColumn(asofCol,
+        last(col("_asof_rv"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_asof_side") === 1)
       .drop("_asof_ts", "_asof_side", "_asof_rv")
   }

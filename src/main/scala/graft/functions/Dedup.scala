@@ -413,6 +413,58 @@ object Dedup {
     ownStages(repPairs)(expanded.unionByName(exactPairs).distinct())
   }
 
+  /**
+   * Variable-length duplicated-span merge — the d10 follow-up that
+   * turns fixed n-token duplicated spans into the unit span-removal
+   * actually needs: MAXIMAL duplicated substrings. A token position is
+   * "duplicated" when the n-gram starting there appears in ≥ minDocs
+   * documents (d10's corpus-level test); consecutive duplicated start
+   * positions overlap by construction, so merging them (classic
+   * gaps-and-islands: island = pos − row_number per doc — ONE window
+   * per doc) yields each document's maximal duplicated regions, with
+   * the region text recovered by slicing the token array.
+   *
+   * Plan shape at scale: occurrence stream joins the (distinct,
+   * thresholded) duplicated-span set on the span digest — one shuffle
+   * keyed by digest, map-side distinct; the island window is one
+   * shuffle on doc_id; region slicing joins back to the cached token
+   * projection on doc_id. No pairwise doc joins anywhere.
+   * Output: (doc_id, start_pos [1-based], n_tokens, n_grams,
+   * region_md5).
+   */
+  def duplicatedSpanRegions(df: DataFrame, keyCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(keyCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = toks.select(col("doc_id"), explode(
+      when(size(col("_t")) < n, array().cast("array<struct<pos:int,span:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("_t")) - (n - 1)),
+          i => struct(i.as("pos"),
+            concat_ws(" ", (0 until n).map(j => element_at(col("_t"), i + lit(j))): _*)
+              .as("span"))))).as("u"))
+      .select(col("doc_id"), col("u.pos").as("pos"), md5(col("u.span")).as("span_md5"))
+    val dup = occ.select(col("doc_id"), col("span_md5")).distinct()
+      .groupBy(col("span_md5")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("span_md5"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val regions = occ.join(dup, Seq("span_md5"))
+      .withColumn("_island", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("_island"))
+      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("n_grams"))
+      .withColumn("n_tokens", col("n_grams") + (n - 1))
+    val out = regions.join(toks, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("start_pos").cast("long").as("start_pos"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_grams"),
+        md5(concat_ws(" ",
+          slice(col("_t"), col("start_pos"), col("n_tokens")))).as("region_md5"))
+    ownStages(toks)(out)
+  }
+
   /** Hex nibble value of char at (1-based) `pos` of md5 hex digest. */
   private def nibble(digest: Column, pos: Int): Column =
     instr(lit("0123456789abcdef"), substring(digest, pos, 1)) - 1

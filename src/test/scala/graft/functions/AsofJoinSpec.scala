@@ -30,6 +30,23 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out.filter(col("k") === 2 && col("asof_value").isNotNull).count() == 0)
   }
 
+  test("asof NULL contract: a NULL right value propagates, not skipped (DuckDB ASOF parity)") {
+    // DuckDB: SELECT l.*, r.s FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.rts
+    // matches the LATEST at-or-before right ROW and returns its value —
+    // including when that value is NULL. ts=4 must see the ts=3 NULL,
+    // not carry "a" forward; ts=6 picks up "b" again.
+    val left = Seq((1, 0L), (1, 2L), (1, 4L), (1, 6L)).toDF("k", "ts")
+    val right = Seq((1, 1L, Some("a")), (1, 3L, None), (1, 5L, Some("b")))
+      .toDF("k", "rts", "s")
+    val out = AsofJoin.asof(left, right, "k", "ts", "rts", "s", "s_asof")
+      .select("ts", "s_asof").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      0L -> None,      // no match yet (ASOF would emit no row; outer form: NULL)
+      2L -> Some("a"),
+      4L -> None,      // matched row EXISTS, its value is NULL — must propagate
+      6L -> Some("b")))
+  }
+
   test("plan: no range probe — single hash partitioning on the key for the window") {
     val left = Seq((1, 5L, 50)).toDF("k", "ts", "v")
     val right = Seq((1, 10L, "a")).toDF("k", "rts", "s")

@@ -123,6 +123,29 @@ class DedupSpec extends SparkTestBase {
       (20L, 20L), (21L, 20L), (22L, 20L)))
   }
 
+  test("duplicatedSpanRegions merges overlapping spans into maximal regions") {
+    // docs 0/1 share tokens 3..12 of doc 0 ("d e f g h i j k l m"):
+    // three overlapping duplicated 8-gram starts (pos 3, 4, 5 in doc
+    // 0) must merge into ONE region of 10 tokens; doc 2 contributes
+    // nothing (no shared 8-gram)
+    val shared = "d e f g h i j k l m"
+    val df = Seq(
+      (0L, s"a b c $shared x0 y0"),
+      (1L, s"zz $shared qq rr"),
+      (2L, "totally different words with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanRegions(df, "doc_id", "text", n = 8, minDocs = 2)
+      .select("doc_id", "start_pos", "n_tokens", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 4L, 10L, 3L), // tokens 4..13 (1-based) = the shared run
+      (1L, 2L, 10L, 3L)))
+    // region text is identical across the pair (same md5)
+    val md5s = Dedup.duplicatedSpanRegions(df, "doc_id", "text", n = 8, minDocs = 2)
+      .select("region_md5").as[String].collect().toSet
+    assert(md5s.size == 1)
+  }
+
   test("composed dedup operators release their staged caches (ownership contract)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
