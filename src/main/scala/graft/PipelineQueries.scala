@@ -113,6 +113,13 @@ object PipelineQueries {
    * the first time a cell crosses the cap. */
   private val MaxCellPairSide = 1000
 
+  /** Boundary margin for the e5/e6 cross-cell ghost probe — assignment-
+   * score units (squared-euclidean gap between the two nearest cells).
+   * 0.05 ≈ the 25th percentile of observed gaps on the test corpus, so
+   * roughly the nearest-to-boundary quarter of vectors probe their
+   * second cell. Shared with the generated oracles. */
+  private val XcellMargin = 0.05
+
   /** Capped-candidate Jaccard pair SQL — mirrors the engine's
    * maxShingleFreq guard (Dedup.jaccardPairsFromSets, Some(cap) path):
    * candidate pairs come only from shingles appearing in ≤ cap docs;
@@ -568,6 +575,49 @@ object PipelineQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
       l.join(r, Seq("subcell")).filter(col("src") =!= col("dst"))
+        .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("dst"), col("cosine"), col("rank").cast("int").as("rank"))
+    }),
+
+    // e3 with the cross-cell recall lever: near-boundary vectors also
+    // probe their second-nearest cell (margin-based ghost rows), so
+    // near-dup pairs straddling a cell boundary are no longer missed.
+    // Pair space grows only by the boundary fraction; verdicts still
+    // keyed to each vector's HOME cell. Generated oracle mirrors the
+    // expansion rule exactly.
+    "e5_semdedup_xcell" -> ((s, d) => {
+      val exp = Similarity.assignCellsWithMargin(
+        Tables.embeddings(s, d), ivfCentroids(s, d), XcellMargin)
+      val l = exp.select(col("cell"), col("vec_id").as("_ida"), col("embedding").as("_va"))
+      val r = exp.select(col("cell"), col("vec_id").as("_idb"), col("embedding").as("_vb"))
+      val dropped = l.join(r, Seq("cell"))
+        .filter(col("_ida") < col("_idb") &&
+          round(Similarity.cosine(col("_va"), col("_vb")), 6) >= 0.35)
+        .select(col("_idb").as("vec_id")).distinct()
+      exp.filter(col("cell") === col("home_cell"))
+        .join(dropped.withColumn("_hit", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("home_cell").as("cell"),
+          col("_hit").isNotNull.as("dropped"))
+    }),
+
+    // e4 with the same cross-cell ghost probe: candidate (src, dst)
+    // pairs from any shared probed cell, deduped before the one rank
+    // window per src — boundary vectors recover their true cross-cell
+    // neighbors.
+    "e6_knn_graph_xcell" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exp = Similarity.assignCellsWithMargin(emb, ivfCentroids(s, d), XcellMargin)
+      val cand = exp.select(col("cell"), col("vec_id").as("src"))
+        .join(exp.select(col("cell"), col("vec_id").as("dst")), Seq("cell"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      cand
+        .join(emb.select(col("vec_id").as("src"), col("embedding").as("_va")), Seq("src"))
+        .join(emb.select(col("vec_id").as("dst"), col("embedding").as("_vb")), Seq("dst"))
         .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
@@ -1223,8 +1273,68 @@ object PipelineQueries {
         dim = 64, k = 10, nProbe = 4, rerankFactor = 3),
       "e2_kmeans_step" -> kmeansStepOracleSql(centroids),
       "e3_semdedup" -> semDedupOracleSql(centroids, threshold = 0.35),
-      "e4_knn_graph" -> knnGraphOracleSql(centroids, k = 3))
+      "e4_knn_graph" -> knnGraphOracleSql(centroids, k = 3),
+      "e5_semdedup_xcell" -> semDedupXcellOracleSql(centroids, XcellMargin, threshold = 0.35),
+      "e6_knn_graph_xcell" -> knnGraphXcellOracleSql(centroids, XcellMargin, k = 3))
   }
+
+  /** Centroid-literal CTEs for the e5/e6 margin-probe oracles:
+   * per-vector ranked assignment scores, the nearest cell carried as
+   * home_cell, and `expanded` = home rows plus rank-2 rows within
+   * `margin` of the minimum — Similarity.assignCellsWithMargin's
+   * exact rule. */
+  private def xcellCtesSql(centroids: Seq[(Int, Seq[Float])], margin: Double): String = {
+    def fmt(d: Double) = d.toString
+    def vec(c: Seq[Float]) = c.map(x => fmt(x.toDouble)).mkString("[", ", ", "]")
+    val rows = centroids.map { case (i, c) =>
+      s"($i, ${vec(c)}::DOUBLE[], ${fmt(Similarity.sqSum(c))})"
+    }.mkString(",\n      ")
+    val d = s"(c.cc - 2 * list_sum(list_transform(list_zip(e.embedding, c.cv), p -> p[1]::DOUBLE * p[2])))"
+    s"""centroids(cell, cv, cc) AS (
+       |  SELECT * FROM (VALUES
+       |      $rows) t),
+       |assigned2 AS (
+       |  SELECT e.vec_id AS neighbor_id, e.embedding, c.cell,
+       |    $d AS dd,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $d ASC, c.cell ASC) AS rnk,
+       |    min($d) OVER (PARTITION BY e.vec_id) AS dmin,
+       |    first_value(c.cell) OVER (PARTITION BY e.vec_id
+       |      ORDER BY $d ASC, c.cell ASC) AS home_cell
+       |  FROM embeddings e CROSS JOIN centroids c),
+       |expanded AS (
+       |  SELECT neighbor_id, embedding, cell, home_cell FROM assigned2
+       |  WHERE rnk = 1 OR (rnk = 2 AND dd - dmin <= $margin))""".stripMargin
+  }
+
+  private def semDedupXcellOracleSql(centroids: Seq[(Int, Seq[Float])],
+      margin: Double, threshold: Double): String =
+    s"""WITH ${xcellCtesSql(centroids, margin)},
+       |dropped AS (
+       |  SELECT DISTINCT b.neighbor_id AS vec_id
+       |  FROM expanded a JOIN expanded b
+       |    ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold)
+       |SELECT h.neighbor_id AS vec_id, h.home_cell AS cell,
+       |  (d.vec_id IS NOT NULL) AS dropped
+       |FROM (SELECT neighbor_id, home_cell FROM expanded WHERE cell = home_cell) h
+       |LEFT JOIN dropped d ON d.vec_id = h.neighbor_id""".stripMargin
+
+  private def knnGraphXcellOracleSql(centroids: Seq[(Int, Seq[Float])],
+      margin: Double, k: Int): String =
+    s"""WITH ${xcellCtesSql(centroids, margin)},
+       |cand AS (
+       |  SELECT DISTINCT a.neighbor_id AS src, b.neighbor_id AS dst
+       |  FROM expanded a JOIN expanded b
+       |    ON a.cell = b.cell AND a.neighbor_id <> b.neighbor_id)
+       |SELECT c.src, c.dst,
+       |  ${cosSql("ea.embedding", "eb.embedding")} AS cosine,
+       |  CAST(row_number() OVER (PARTITION BY c.src
+       |    ORDER BY ${cosSql("ea.embedding", "eb.embedding")} DESC, c.dst) AS INTEGER) AS rank
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.src
+       |JOIN embeddings eb ON eb.vec_id = c.dst
+       |QUALIFY rank <= $k""".stripMargin
 
   /** DuckDB mirror of Dedup.md5Hash32 (first 8 md5 hex chars as
    * BIGINT) over an arbitrary SQL expression. */

@@ -222,6 +222,41 @@ object Similarity {
   }
 
   /**
+   * Cell assignment with a BOUNDARY-MARGIN ghost probe — the
+   * cross-cell recall lever for the cell-bounded pair family
+   * (SemDeDup / kNN-graph): a vector whose second-nearest cell is
+   * within `margin` of its nearest (assignment score `cc − 2·v·c`,
+   * i.e. squared euclidean minus the per-row constant ‖v‖²) is ALSO
+   * placed in that second cell. Near-boundary vectors then meet their
+   * across-the-boundary neighbors in one of the two cells, closing
+   * the documented cross-cell miss at a bounded cost: pair space grows
+   * by at most the boundary fraction — never all-pairs. Deterministic
+   * (same literal-centroid arithmetic as [[assignCells]], ties on the
+   * lower cell), so generated oracles reproduce the expansion exactly.
+   * Output: one row per (vector, probed cell): (vec_id, embedding,
+   * home_cell, cell); `cell == home_cell` marks the primary row.
+   */
+  def assignCellsWithMargin(corpus: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      margin: Double): DataFrame = {
+    require(centroids.size >= 2, "margin probe needs at least two cells")
+    val cc: Map[Int, Double] = centroids.map { case (i, c) => i -> sqSum(c) }.toMap
+    val scored = array(centroids.map { case (i, c) =>
+      struct((lit(cc(i)) - lit(2.0) * dot(col("embedding"), typedLit(c))).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    def nth(k: Int) = element_at(col("_sorted"), k)
+    corpus
+      .withColumn("_sorted", array_sort(scored)) // (d asc, cell asc) — least()'s order
+      .withColumn("home_cell", nth(1).getField("cell"))
+      .withColumn("_cells",
+        when(nth(2).getField("d") - nth(1).getField("d") <= margin,
+          array(nth(1).getField("cell"), nth(2).getField("cell")))
+          .otherwise(array(nth(1).getField("cell"))))
+      .select(col("vec_id"), col("embedding"), col("home_cell"),
+        explode(col("_cells")).as("cell"))
+  }
+
+  /**
    * Per-cell pair-cap guard for cell-bounded self-joins (SemDeDup /
    * kNN-graph) — the cell family's analogue of the dedup stop-shingle
    * cap: a cell of size f contributes f² candidate pairs, so one

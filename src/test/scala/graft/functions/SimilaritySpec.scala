@@ -83,6 +83,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.adaptiveCellCount(100_000_000L) == 1024) // literal-argmin cap
   }
 
+  test("margin probe: home rows match assignCells, ghosts only near boundaries") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.fitIvfCentroids(emb, nClusters = 8)
+    val plain = Similarity.assignCells(emb, cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val exp = Similarity.assignCellsWithMargin(emb, cents, margin = 0.05)
+      .select("vec_id", "home_cell", "cell").as[(Long, Int, Int)].collect()
+    // home rows reproduce the plain assignment exactly
+    val homes = exp.filter(r => r._3 == r._2).map(r => r._1 -> r._2).toMap
+    assert(homes == plain)
+    // ghosts exist but only for a strict subset (boundary fraction)
+    val ghosts = exp.filter(r => r._3 != r._2)
+    assert(ghosts.nonEmpty, "margin 0.05 should ghost some boundary vectors")
+    assert(ghosts.length < plain.size, "not every vector may ghost")
+    assert(ghosts.forall(g => g._3 != plain(g._1))) // ghost cell differs from home
+    // at most one ghost per vector (top-2 probe)
+    assert(ghosts.groupBy(_._1).forall(_._2.length == 1))
+    // a negative margin disables ghosting entirely
+    val none = Similarity.assignCellsWithMargin(emb, cents, margin = -1.0)
+    assert(none.count() == plain.size)
+  }
+
   test("boundCells bounds the per-cell pair space; inert below the cap") {
     // adversarial: ALL vectors in one KMeans cell (identical embedding),
     // ids all even so a raw-id modulus would NOT split them — the md5
