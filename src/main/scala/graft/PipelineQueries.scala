@@ -661,6 +661,17 @@ object PipelineQueries {
         n = 8, minDocs = 2)
     }),
 
+    // Boilerplate removal (paragraph-dedup semantics on untagged
+    // text): non-overlapping 8-token segments repeated verbatim in ≥2
+    // distinct documents are cut from every carrier and the cleaned
+    // text reassembled in order — the corpus-frequency complement of
+    // d12's per-pair span regions. One digest-keyed shuffle + one
+    // doc-keyed reassembly agg; no pairwise joins.
+    "d13_boilerplate_removal" -> ((s, d) => {
+      Dedup.boilerplateSegmentRemoval(Tables.documents(s, d), "doc_id", "text",
+        w = 8, minDocs = 2)
+    }),
+
     // Document chunking for training: fixed 200-char windows with
     // 50-char overlap (stride 150). The chunk count derives
     // arithmetically from n_chars, so explode(sequence(...)) keeps the
@@ -1222,6 +1233,27 @@ object PipelineQueries {
          |  CAST(n_tokens AS BIGINT) AS n_tokens, n_grams,
          |  md5(array_to_string(list_slice(t.t, start_pos, start_pos + n_tokens - 1), ' ')) AS region_md5
          |FROM regions r JOIN toks t USING (doc_id)""".stripMargin,
+
+    // non-overlapping w-token segments (0-based seg index, 1-based
+    // list_slice); string_agg skips the NULLed dropped segments and
+    // COALESCE restores all-dropped docs as ''
+    "d13_boilerplate_removal" ->
+      s"""WITH $toksCte,
+         |seg AS (
+         |  SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+         |    SELECT doc_id, unnest([ {'pos': i,
+         |        'seg': array_to_string(list_slice(t, i*8+1, i*8+8), ' ')}
+         |      for i in range(0, CAST(greatest(1, ceil(len(t)/8.0)) AS BIGINT)) ]) AS u
+         |    FROM toks) s),
+         |boiler AS (
+         |  SELECT h FROM (SELECT DISTINCT doc_id, md5(seg) AS h FROM seg)
+         |  GROUP BY h HAVING count(*) >= 2)
+         |SELECT s.doc_id,
+         |  COALESCE(string_agg(CASE WHEN b.h IS NULL THEN s.seg END, ' ' ORDER BY s.pos), '') AS clean_text,
+         |  CAST(count(*) AS INTEGER) AS n_segments,
+         |  CAST(count(b.h) AS INTEGER) AS n_dropped
+         |FROM seg s LEFT JOIN boiler b ON md5(s.seg) = b.h
+         |GROUP BY 1""".stripMargin,
 
     // bigram list comprehension is 1-based: range(1, len(t)) yields
     // i = 1 .. len(t)-1, so t[i]||' '||t[i+1] never over-indexes

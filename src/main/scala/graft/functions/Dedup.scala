@@ -465,6 +465,52 @@ object Dedup {
     ownStages(toks)(out)
   }
 
+  /**
+   * Cross-document boilerplate segment removal — the fixed-window form
+   * of paragraph-level dedup (RefinedWeb/CCNet remove paragraphs
+   * repeated across many pages; untagged text has no paragraph marks,
+   * so the unit here is a NON-overlapping `w`-token segment, last one
+   * short). A segment whose exact content occurs in ≥ `minDocs`
+   * DISTINCT documents is boilerplate: it is removed from every
+   * carrier, and the surviving segments rejoin in order (all-dropped
+   * documents come back as the empty string, never vanish).
+   *
+   * Plan shape at scale: segments shuffle once keyed by their md5
+   * digest (never the text) for the distinct-doc count; the
+   * thresholded digest set — tiny after the ≥ minDocs filter — joins
+   * back to the segment stream (AQE broadcasts it when it fits);
+   * reassembly is one hash aggregation on doc id whose collect_list
+   * holds only KEPT segments (`collect_list` skips the NULLs the
+   * drop-branch produces), so state per doc never exceeds the
+   * surviving text. No pairwise doc joins anywhere.
+   * Output: (doc_id, clean_text, n_segments, n_dropped).
+   */
+  def boilerplateSegmentRemoval(df: DataFrame, keyCol: String, textCol: String,
+      w: Int = 8, minDocs: Int = 3): DataFrame = {
+    val segs = df.select(col(keyCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("_t"))
+      .withColumn("_n", greatest(lit(1L),
+        ceil(size(col("_t")) / lit(w.toDouble)).cast("long")))
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0L), col("_n") - 1),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("_t"), (i * w + 1).cast("int"), lit(w))).as("seg")))).as("u"))
+      .select(col("doc_id"), col("u.pos").as("pos"), col("u.seg").as("seg"))
+    val boiler = segs.select(col("doc_id"), md5(col("seg")).as("_h")).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_h"))
+    segs.join(boiler, md5(col("seg")) === col("_h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("_h").isNull,
+            struct(col("pos").as("p"), col("seg").as("s"))))),
+          x => x.getField("s")), " ").as("clean_text"),
+        count(lit(1)).cast("integer").as("n_segments"),
+        count(col("_h")).cast("integer").as("n_dropped"))
+  }
+
   /** Hex nibble value of char at (1-based) `pos` of md5 hex digest. */
   private def nibble(digest: Column, pos: Int): Column =
     instr(lit("0123456789abcdef"), substring(digest, pos, 1)) - 1

@@ -172,9 +172,32 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(countShuffles(df) == 0, p.take(800))
   }
 
-  test("sequence packing is ONE window shuffle on the stream key (T15)") {
+  test("sequence packing: per-doc rows shuffle ONCE on (source, batch); offsets broadcast (T15)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     val df = SparkEntry.queries("t15_pack_sequences")(spark, sf)
-    assert(countShuffles(df) == 1, df.queryExecution.executedPlan.toString.take(800))
+    val plan = df.queryExecution.executedPlan
+    val shuffles = collect(plan) { case s: ShuffleExchangeExec => s }
+    // exactly ONE exchange carries per-document rows (no aggregate
+    // below it); it must be keyed by BOTH source and _batch so no
+    // partition spans a whole source stream
+    val factShuffles = shuffles.filter(s =>
+      collect(s.child) { case a: BaseAggregateExec => a }.isEmpty)
+    assert(factShuffles.size == 1, plan.toString.take(1200))
+    factShuffles.head.outputPartitioning match {
+      case h: HashPartitioning =>
+        val keys = h.expressions.map(_.toString).mkString(",")
+        assert(keys.contains("source") && keys.contains("_batch"), keys)
+      case other => fail(s"fact shuffle not hash-partitioned: $other")
+    }
+    // every other exchange sits above a partial aggregate — it moves
+    // one row per (source, batch), never per document
+    assert(shuffles.size <= 3, plan.toString.take(1200))
+    // the tiny base-offset side comes back via broadcast, so the fact
+    // stream is not re-shuffled for the join
+    val p = plan.toString
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p.take(1200))
   }
 
   test("SemDeDup pairs join is cell-equi, never cartesian (E3)") {

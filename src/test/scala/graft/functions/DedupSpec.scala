@@ -146,6 +146,28 @@ class DedupSpec extends SparkTestBase {
     assert(md5s.size == 1)
   }
 
+  test("boilerplateSegmentRemoval cuts corpus-repeated segments, keeps order, never drops docs") {
+    // w=4 segments; "p q r s" is segment 0 of docs 0 and 1 → boilerplate
+    // at minDocs=2; every other segment is unique. Doc 2 is ALL
+    // boilerplate (identical to doc 3) → returns as empty string.
+    val df = Seq(
+      (0L, "p q r s a b c d e"), // segs: [p q r s][a b c d][e]
+      (1L, "p q r s f g h i"), // segs: [p q r s][f g h i]
+      (2L, "w x y z"),
+      (3L, "w x y z"),
+      (4L, "unique words only here nothing shared"))
+      .toDF("doc_id", "text")
+    val m = Dedup.boilerplateSegmentRemoval(df, "doc_id", "text", w = 4, minDocs = 2)
+      .select("doc_id", "clean_text", "n_segments", "n_dropped")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(m(0L) == (("a b c d e", 3, 1))) // order preserved across the cut
+    assert(m(1L) == (("f g h i", 2, 1)))
+    assert(m(2L) == (("", 1, 1))) // all-boilerplate doc survives as ''
+    assert(m(3L) == (("", 1, 1)))
+    assert(m(4L) == (("unique words only here nothing shared", 2, 0)))
+    assert(m.size == 5)
+  }
+
   test("composed dedup operators release their staged caches (ownership contract)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
