@@ -403,6 +403,16 @@ object PipelineQueries {
       Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
     }),
 
+    // Two-stage random-projection ANN (Achlioptas ±1 JL): candidates
+    // ranked in the 16-dim projected space (4x fewer multiply-adds
+    // per pair), exact 64-dim rerank of survivors. The projection
+    // matrix is a deterministic md5-seeded literal, so the oracle is
+    // STATIC SQL with the same matrix inlined.
+    "n9_ann_randproj" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.projectedTopK(emb, emb.filter(col("vec_id") < 20), k = 10)
+    }),
+
     // IVF-SQ8: cell-pruned probe over the persisted QUANTIZED corpus,
     // exact float rerank of survivors by id join — the serving shape
     // when the float corpus is too big to scan (n3's pruning × n5's
@@ -1129,6 +1139,36 @@ object PipelineQueries {
          |JOIN embeddings ec ON ec.vec_id = c.neighbor_id
          |JOIN embeddings eq ON eq.vec_id = c.query_id
          |QUALIFY rank <= 10""".stripMargin,
+
+    // projected CTE mirrors Similarity.randomProject term-for-term:
+    // per output dim a fixed left-associated double sum over the
+    // md5-seeded ±1 literals, cast to FLOAT so both engines round
+    // identically before the (all-double) cosine
+    "n9_ann_randproj" -> {
+      val exprs = (0 until 16).map { j =>
+        (0 until 64).map { i =>
+          s"(${Similarity.rademacherSign(j, i)}.0) * (embedding[${i + 1}]::DOUBLE)"
+        }.mkString(" + ")
+      }.map(e => s"CAST(($e) AS FLOAT)").mkString("[", ",\n      ", "]")
+      s"""WITH pc AS (
+         |  SELECT vec_id, embedding,
+         |    $exprs AS pvec
+         |  FROM embeddings),
+         |cands AS (
+         |  SELECT qq.vec_id AS query_id, qc.vec_id AS neighbor_id
+         |  FROM pc qc CROSS JOIN (SELECT * FROM pc WHERE vec_id < 20) qq
+         |  WHERE qq.vec_id <> qc.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY qq.vec_id
+         |    ORDER BY ${cosSql("qc.pvec", "qq.pvec")} DESC, qc.vec_id) <= 30)
+         |SELECT c.query_id, c.neighbor_id,
+         |  ${cosSql("ec.embedding", "eq.embedding")} AS cosine,
+         |  CAST(row_number() OVER (PARTITION BY c.query_id
+         |    ORDER BY ${cosSql("ec.embedding", "eq.embedding")} DESC, c.neighbor_id) AS INTEGER) AS rank
+         |FROM cands c
+         |JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+         |JOIN embeddings eq ON eq.vec_id = c.query_id
+         |QUALIFY rank <= 10""".stripMargin
+    },
 
     "t6_length_quantiles" ->
       """SELECT CASE WHEN n_chars < 200 THEN 'short' ELSE 'long' END AS stratum,

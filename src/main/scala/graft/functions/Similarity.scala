@@ -113,6 +113,70 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Deterministic Rademacher sign for (outDim j, inDim i): ±1 from
+   * the parity of the first md5 hex nibble of "rp:j|i" — the seeded,
+   * engine-reproducible stand-in for a sampled ±1 projection matrix
+   * (no RNG to synchronize across executors). */
+  def rademacherSign(j: Int, i: Int): Int = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (("0123456789abcdef".indexOf(digest.charAt(0)) & 1) == 0) 1 else -1
+  }
+
+  /**
+   * ±1 random projection (Achlioptas 2003 / sparse JL): out[j] =
+   * Σ_i sign(j,i)·v[i] over the deterministic [[rademacherSign]]
+   * matrix — a dimIn→dimOut reduction that preserves pairwise angles
+   * within JL distortion at 4× less data scanned per distance. The
+   * sum is a FIXED left-associated double expression per output dim
+   * (codegen'd constant folding, no aggregate whose order the engine
+   * picks), then cast to float so both engines round identically.
+   */
+  def randomProject(vec: Column, dimIn: Int, dimOut: Int): Column =
+    array((0 until dimOut).map { j =>
+      (0 until dimIn).map { i =>
+        lit(rademacherSign(j, i).toDouble) * element_at(vec, i + 1).cast("double")
+      }.reduceLeft(_ + _).cast("float")
+    }: _*)
+
+  /**
+   * Two-stage random-projection ANN — the JL companion to
+   * [[quantizedTopK]]: stage 1 ranks candidates by cosine in the
+   * dimOut-dim projected space (4× fewer multiply-adds per pair at
+   * 64→16, and the projected corpus is the only thing the candidate
+   * scan touches); stage 2 fetches full-precision vectors for the
+   * k·rerankFactor survivors and reranks exactly. Queries broadcast
+   * in both stages; the corpus is never shuffled. Output: (query_id,
+   * neighbor_id, cosine, rank) — exact cosines.
+   */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dimIn: Int = 64, dimOut: Int = 16, rerankFactor: Int = 3): DataFrame = {
+    val pCorpus = corpus.select(col("vec_id").as("neighbor_id"),
+      randomProject(col("embedding"), dimIn, dimOut).as("_cp"))
+    val pQueries = queries.select(col("vec_id").as("query_id"),
+      randomProject(col("embedding"), dimIn, dimOut).as("_qp"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val cands = pCorpus.crossJoin(broadcast(pQueries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("pcos", round(cosine(col("_cp"), col("_qp")), 6))
+      .withColumn("_ar", row_number().over(wA))
+      .filter(col("_ar") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(cands)
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))),
+        Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Deterministic hyperplane weight for (plane, dim): md5-derived
    * integer in [-7.5, 7.5] — reproducible in any engine with md5. */
   def planeWeight(plane: Int, dim: Int): Double = {

@@ -258,6 +258,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("codes"), plan.take(1200))
   }
 
+  test("random projection: balanced seeded signs, exact rescore, recall grows with rerank window") {
+    val signs = for (j <- 0 until 16; i <- 0 until 64)
+      yield Similarity.rademacherSign(j, i)
+    assert(signs.forall(s => s == 1 || s == -1))
+    val pos = signs.count(_ == 1)
+    assert(pos > 384 && pos < 640, s"seeded signs badly unbalanced: $pos/1024 positive")
+
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    // projected vectors have dimOut entries, all finite
+    val p0 = emb.select(Similarity.randomProject(col("embedding"), 64, 16).as("p"))
+      .select(size(col("p"))).as[Int].collect()
+    assert(p0.forall(_ == 16))
+
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val bfCos = bf.map(r => (r._1, r._2) -> r._3).toMap
+    val pj = Similarity.projectedTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    // stage-2 rescoring is exact full-dimension cosine
+    pj.foreach { case (q, n, c, _) =>
+      bfCos.get((q, n)).foreach(e => assert(e == c, s"cosine mismatch ($q,$n)")) }
+    // unstructured corpus is the JL worst case; assert the lever works:
+    // wider rerank window ⇒ recall must not drop, and 8× recovers half
+    val bfSet = bf.map(r => (r._1, r._2)).toSet
+    def recallAt(rf: Int): Double = {
+      val got = Similarity.projectedTopK(emb, queries, k = 5, rerankFactor = rf)
+        .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect()
+      got.count(bfSet.contains) / got.length.toDouble
+    }
+    val (r3, r8) = (recallAt(3), recallAt(8))
+    assert(r8 >= r3, s"recall must not drop with a wider window: $r3 -> $r8")
+    assert(r8 >= 0.5, s"projected recall at 8x rerank = $r8")
+  }
+
   test("PQ-ADC: codes in range, exact rescored cosines, decent recall vs brute force") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 10)
