@@ -366,7 +366,7 @@ object Similarity {
 
   /** Exact-cosine ranking of probed candidates (shared tail of every
    * IVF path). `assigned` = (vec_id, embedding, cell). */
-  private def rankProbed(assigned: DataFrame, qcells: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankProbed(assigned: DataFrame, qcells: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"), col("cell"))

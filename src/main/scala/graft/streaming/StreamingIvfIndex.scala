@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.functions.Similarity
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming maintenance of the persisted IVF ANN index
+ * ([[Similarity.buildIvfIndex]]'s layout) — the missing link between
+ * the batch-built serving index and a live embedding firehose: new
+ * vectors arriving on a stream are assigned to the FIXED fitted
+ * centroids and appended to the cell-partitioned corpus table, so
+ * probe-pruned serving sees them at the next micro-batch with no
+ * refit and no rebuild. Centroids are refit offline when drift
+ * warrants (the standard inverted-file discipline); between rebuilds
+ * inserts land in their nearest existing cell.
+ *
+ * Contract: the stream carries NEW vec_ids (an upstream exact-dedup
+ * stage guarantees uniqueness — [[StreamingDedup]]). Re-ingesting an
+ * id with a changed embedding requires a rebuild/compaction: a moved
+ * vector would leave its stale copy in the old cell partition, which
+ * probe pruning could still serve.
+ *
+ * Replay idempotency: appends are stamped with the micro-batch id and
+ * cell assignment is deterministic, so an at-least-once replay
+ * appends bit-identical rows; the serving read collapses them with a
+ * keep-one window per (cell, vec_id) — within the same partition the
+ * replay wrote, so collapsing survives partition pruning. State per
+ * micro-batch is zero (no store read on the write path — unlike
+ * [[StreamingNearDedup]] the append needs no membership check).
+ *
+ * Scale: each micro-batch writes only its own rows, partitioned by
+ * cell (≤ nClusters files per batch); serving scans nProbe/nClusters
+ * of the corpus via partition pruning exactly as the batch index
+ * does. [[compact]] folds accumulated per-batch files back into one
+ * clean copy per cell with the write-then-swap discipline.
+ */
+object StreamingIvfIndex {
+
+  /** Batch-id stamped on bootstrap/compacted rows — live micro-batch
+   * ids are non-negative, so it never collides. */
+  val PreHistoryBatchId: Long = -1L
+
+  /** Bootstrap the index from a seed corpus: fit centroids (derived
+   * cell count, [[Similarity.fitIvfCentroids]]) and write the layout
+   * [[processBatch]] appends to and [[topKIndexed]] serves from. */
+  def bootstrap(corpus: DataFrame, path: String, nClusters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = Similarity.fitIvfCentroids(corpus, nClusters)
+    centroids.toDF("cell", "center")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    Similarity.assignCells(corpus.select(col("vec_id"), col("embedding")), centroids)
+      .withColumn("batch_id", lit(PreHistoryBatchId))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** One micro-batch: assign `batch` (vec_id, embedding) to the fixed
+   * `centroids` and append, stamped with `batchId`. Pass the centroids
+   * loaded ONCE at stream start ([[attach]] does) — they are immutable
+   * between rebuilds, so per-batch reloads would be waste. */
+  def processBatch(batch: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      path: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    Similarity.assignCells(batch.select(col("vec_id"), col("embedding")), centroids)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** Attach to a streaming DataFrame of (vec_id, embedding). The
+   * index must be [[bootstrap]]ped first. */
+  def attach(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val centroids = Similarity.loadIvfCentroids(stream.sparkSession, path)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, centroids, path, batchId)
+      }
+      .start()
+  }
+
+  /** The index corpus as serving sees it: replayed duplicates
+   * collapsed to one row per (cell, vec_id), keeping the highest
+   * batch stamp (replay copies are bit-identical, so the pick is
+   * value-deterministic). `cells` prunes partitions BEFORE the
+   * collapse window — safe because duplicates share their cell. */
+  def servingCorpus(spark: SparkSession, path: String,
+      cells: Option[Seq[Int]] = None): DataFrame = {
+    val raw = spark.read.parquet(s"$path/corpus")
+    val pruned = cells.map(cs => raw.filter(col("cell").isin(cs: _*))).getOrElse(raw)
+    val w = Window.partitionBy(col("cell"), col("vec_id"))
+      .orderBy(col("batch_id").desc)
+    pruned
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Probe-pruned top-k over the live index — identical semantics to
+   * [[Similarity.ivfTopKIndexed]], over bootstrap AND streamed rows. */
+  def topKIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val centroids = Similarity.loadIvfCentroids(spark, path)
+    val qcells = Similarity.probeCells(queries, centroids, nProbe)
+    val probedCells = qcells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    Similarity.rankProbed(
+      servingCorpus(spark, path, Some(probedCells)), qcells, k)
+  }
+
+  /** Fold accumulated per-batch appends (and replay duplicates) into
+   * one clean copy. Staged like [[StreamingNearDedup.compactStore]]:
+   * the collapsed corpus is fully materialized to a staging dir
+   * first, so the overwrite of the live dir never recomputes lineage
+   * from files it is itself deleting. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val staged = s"$path/corpus-staged"
+    servingCorpus(spark, path)
+      .withColumn("batch_id", lit(PreHistoryBatchId))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(staged)
+    spark.read.parquet(staged)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/corpus")
+  }
+}
