@@ -385,6 +385,12 @@ object PipelineQueries {
         .select(col("doc_id"), col("domain"))
     }),
 
+    // Hashed linear quality classifier (fastText-shape filter): one
+    // narrow codegen pass; logit from an exact integer weight sum so
+    // the keep verdict never depends on float rounding
+    "t17_quality_classifier" -> ((s, d) =>
+      TextAnalysis.linearQualityScore(Tables.documents(s, d), "doc_id", "text")),
+
     // Int8 scalar quantization of the embedding corpus (the 4x storage
     // compression pass; round-half-up, per-vector symmetric scale)
     // qvec is emitted comma-joined (not as array<int>): the driver's
@@ -1273,6 +1279,23 @@ object PipelineQueries {
          |  CAST(n_tokens AS BIGINT) AS n_tokens, n_grams,
          |  md5(array_to_string(list_slice(t.t, start_pos, start_pos + n_tokens - 1), ' ')) AS region_md5
          |FROM regions r JOIN toks t USING (doc_id)""".stripMargin,
+
+    // weight literals from TextAnalysis.linearWeights (shared seeded
+    // definition); list_sum of an empty list is NULL in DuckDB, so
+    // COALESCE matches Spark's 0-seeded fold
+    "t17_quality_classifier" -> {
+      val w = graft.functions.TextAnalysis.linearWeights(64).mkString("[", ", ", "]")
+      val hb = md5Hash32Sql("tok")
+      s"""WITH $toksCte,
+         |rawsum AS (
+         |  SELECT doc_id, t,
+         |    COALESCE(list_sum(list_transform(t, tok -> $w[CAST($hb % 64 AS INTEGER) + 1])), 0) AS raw
+         |  FROM toks)
+         |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+         |  CASE WHEN len(t) = 0 THEN 0.0 ELSE round(raw / (16.0 * len(t)), 6) END AS logit,
+         |  raw > 0 AS keep
+         |FROM rawsum""".stripMargin
+    },
 
     // non-overlapping w-token segments (0-based seg index, 1-based
     // list_slice); string_agg skips the NULLed dropped segments and

@@ -59,6 +59,41 @@ object TextAnalysis {
   def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column =
     stopwordRatioOf(tokens(text), stopwords)
 
+  /** Seeded integer weights of the hashed linear classifier: bucket b
+   * weighs (first md5 hex nibble of "qw:b") − 8 ∈ [−8, 7]. A
+   * deterministic, engine-reproducible stand-in for trained weights —
+   * swap in a real model's vector without touching the plumbing. */
+  def linearWeights(buckets: Int): Seq[Int] = (0 until buckets).map { b =>
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"qw:$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    "0123456789abcdef".indexOf(digest.charAt(0)) - 8
+  }
+
+  /**
+   * Hashed linear text classifier — the fastText-style quality-filter
+   * shape (hashed bag-of-words → mean-pooled linear logit →
+   * threshold) as ONE narrow codegen'd pass: no explode, no shuffle,
+   * no UDF. Each token hashes to a bucket (md5 mod `buckets`) whose
+   * integer weight joins an exact integer sum (order-independent, so
+   * engine parity is exact); the only float op is the final
+   * mean-scaling division, rounded to 6 decimals. keep = raw > 0 is
+   * decided in integer space — never on the rounded float.
+   * Output: (doc_id, n_tokens, logit, keep).
+   */
+  def linearQualityScore(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      textCol: String, buckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    val w = linearWeights(buckets)
+    val t = tokens(col(textCol))
+    val raw = aggregate(t, lit(0L), (acc, tok) => acc +
+      element_at(typedLit(w), (Dedup.md5Hash32(tok) % buckets).cast("int") + 1))
+    df.select(col(keyCol).as("doc_id"), t.as("_t"), raw.as("_raw"))
+      .select(col("doc_id"),
+        size(col("_t")).cast("integer").as("n_tokens"),
+        when(size(col("_t")) === 0, lit(0.0))
+          .otherwise(round(col("_raw") / (lit(16.0) * size(col("_t"))), 6)).as("logit"),
+        (col("_raw") > 0).as("keep"))
+  }
+
   /** Stopword ratio from an already-materialized token array. */
   def stopwordRatioOf(t: Column, stopwords: Seq[String] = stopwordsEn): Column =
     when(size(t) === 0, lit(0.0))

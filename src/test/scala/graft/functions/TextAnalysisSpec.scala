@@ -158,6 +158,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(4L) == ((0, 0.0, 0.0, 0.0)))
   }
 
+  test("linear quality classifier: integer-exact logits, scale invariance, empty docs kept out") {
+    val w = TextAnalysis.linearWeights(64)
+    assert(w.size == 64 && w.forall(x => x >= -8 && x <= 7))
+    assert(w.distinct.size > 4, "seeded weights should spread over the range")
+
+    val df = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma alpha beta gamma"), // doubled doc: same mean logit
+      (2L, ""), // empty: logit 0, never kept
+      (3L, "alpha")).toDF("doc_id", "text")
+    val out = TextAnalysis.linearQualityScore(df, "doc_id", "text")
+      .as[(Long, Int, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(2L) == ((0, 0.0, false)))
+    // mean pooling: repeating the whole doc leaves the logit unchanged
+    assert(out(0L)._2 == out(1L)._2)
+    assert(out(0L)._1 == 3 && out(1L)._1 == 6)
+    // keep verdict is the integer sign, consistent with the logit sign
+    out.values.foreach { case (n, logit, keep) =>
+      if (n > 0) assert(keep == (logit > 0.0) || logit == 0.0) }
+    // hand-check doc 3: one token, logit = w[bucket]/16
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bucket = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 64).toInt
+    assert(out(3L)._2 == math.rint(w(bucket) / 16.0 * 1e6) / 1e6)
+  }
+
   test("cross-corpus contamination: containment finds embedded eval docs, jaccard-blind") {
     val evalDoc = "alpha beta gamma delta epsilon zeta"
     val train = Seq(
