@@ -44,8 +44,10 @@ object Bench {
     // no IO, so its time moves only with host contention.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
+      // modulo keeps the 200M-term sum ≤ 2e17 — ANSI mode makes a
+      // long overflow an error, not a wrap
       spark.range(0L, 200000000L, 1L, cpus.toInt)
-        .selectExpr("sum(id * 2654435761)").collect()
+        .selectExpr("sum((id * 2654435761) % 1000000007)").collect()
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // untimed: JIT + plan warmup for the probe itself

@@ -70,6 +70,9 @@ object GraftExtensions {
     fn1("graft_nfkc")(TextAnalysis.nfkc),
     fn1("graft_dedup_lines")(TextAnalysis.dedupLines(_)),
     fn1("graft_hash32")(Dedup.md5Hash32),
+    fn1("graft_quality_logit")(TextAnalysis.qualityLogit(_)),
+    // graft_rand_proj(vec): the seeded 64→16 ±1 JL projection n9 uses
+    fn1("graft_rand_proj")(Similarity.randomProject(_, 64, 16)),
     fn2("graft_cosine")(Similarity.cosine),
     // graft_shingles(text, n): n must be a literal — it fixes the
     // shape of the generated expression tree at plan time

@@ -80,13 +80,27 @@ object TextAnalysis {
    * decided in integer space — never on the rounded float.
    * Output: (doc_id, n_tokens, logit, keep).
    */
+  /** The classifier's exact-integer weight sum over a text column —
+   * the quantity both the logit and the keep verdict derive from. */
+  def qualityRawSum(text: Column, buckets: Int = 64): Column = {
+    val w = linearWeights(buckets)
+    aggregate(tokens(text), lit(0L), (acc, tok) => acc +
+      element_at(typedLit(w), (Dedup.md5Hash32(tok) % buckets).cast("int") + 1))
+  }
+
+  /** Mean-pooled linear logit of [[linearQualityScore]] as a scalar
+   * Column (the SQL-surface form, `graft_quality_logit`). */
+  def qualityLogit(text: Column, buckets: Int = 64): Column = {
+    val n = size(tokens(text))
+    when(n === 0, lit(0.0))
+      .otherwise(round(qualityRawSum(text, buckets) / (lit(16.0) * n), 6))
+  }
+
   def linearQualityScore(df: org.apache.spark.sql.DataFrame, keyCol: String,
       textCol: String, buckets: Int = 64): org.apache.spark.sql.DataFrame = {
-    val w = linearWeights(buckets)
     val t = tokens(col(textCol))
-    val raw = aggregate(t, lit(0L), (acc, tok) => acc +
-      element_at(typedLit(w), (Dedup.md5Hash32(tok) % buckets).cast("int") + 1))
-    df.select(col(keyCol).as("doc_id"), t.as("_t"), raw.as("_raw"))
+    df.select(col(keyCol).as("doc_id"), t.as("_t"),
+        qualityRawSum(col(textCol), buckets).as("_raw"))
       .select(col("doc_id"),
         size(col("_t")).cast("integer").as("n_tokens"),
         when(size(col("_t")) === 0, lit(0.0))

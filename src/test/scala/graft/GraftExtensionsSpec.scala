@@ -41,6 +41,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sqlRow.getAs[String]("red") == "mail <EMAIL> or <PHONE>")
   }
 
+  test("graft_quality_logit and graft_rand_proj are SQL-callable and match the Column API") {
+    GraftExtensions.registerTemp(spark)
+    val text = "the quick brown fox jumps over the lazy dog"
+    val sqlRow = spark.sql(
+      s"""SELECT graft_quality_logit('$text') AS logit,
+         |  graft_rand_proj(array(${(1 to 64).map(i => s"cast(0.$i as float)").mkString(", ")})) AS p
+         |""".stripMargin).head()
+    val colRow = spark.range(1).select(
+      TextAnalysis.qualityLogit(lit(text)),
+      graft.functions.Similarity.randomProject(
+        typedLit((1 to 64).map(i => s"0.$i".toFloat)), 64, 16)).head()
+    assert(sqlRow.toSeq == colRow.toSeq)
+    assert(sqlRow.getSeq[Float](1).size == 16)
+  }
+
   test("graft_cosine in SQL over a real table matches Similarity.cosine") {
     GraftExtensions.registerTemp(spark)
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(8)
