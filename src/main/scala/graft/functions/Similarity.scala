@@ -128,17 +128,17 @@ object Similarity {
    * ±1 random projection (Achlioptas 2003 / sparse JL): out[j] =
    * Σ_i sign(j,i)·v[i] over the deterministic [[rademacherSign]]
    * matrix — a dimIn→dimOut reduction that preserves pairwise angles
-   * within JL distortion at 4× less data scanned per distance. The
-   * sum is a FIXED left-associated double expression per output dim
-   * (codegen'd constant folding, no aggregate whose order the engine
-   * picks), then cast to float so both engines round identically.
+   * within JL distortion at 4× less data scanned per distance. Backed
+   * by the codegen'd [[graft.functions.expressions.FloatRandProject]]
+   * (a 1024-node composed expression tree fell out of efficient
+   * codegen); per output dim the sum is a fixed left-associated
+   * double accumulation, then cast to float, so both engines round
+   * identically.
    */
   def randomProject(vec: Column, dimIn: Int, dimOut: Int): Column =
-    array((0 until dimOut).map { j =>
-      (0 until dimIn).map { i =>
-        lit(rademacherSign(j, i).toDouble) * element_at(vec, i + 1).cast("double")
-      }.reduceLeft(_ + _).cast("float")
-    }: _*)
+    org.apache.spark.sql.graftshim.GraftColumns.column(
+      graft.functions.expressions.FloatRandProject(
+        org.apache.spark.sql.graftshim.GraftColumns.expression(vec), dimIn, dimOut))
 
   /**
    * Two-stage random-projection ANN — the JL companion to
