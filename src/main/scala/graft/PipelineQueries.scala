@@ -279,6 +279,18 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
     }),
 
+    // Canonical selection per duplicate cluster: d7's clusters +
+    // t17's quality logit → keep the best-scored doc of each cluster
+    // (the kept/dropped decision real dedup pipelines ship). Every
+    // doc appears; singletons are their own canonical.
+    "d14_canonical_docs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.5, maxShingleFreq = Some(ShingleFreqCap))
+      Dedup.canonicalRepresentatives(docs, "doc_id", pairs, "doc_a", "doc_b",
+        TextAnalysis.linearQualityScore(docs, "doc_id", "text"), "logit")
+    }),
+
     // Benchmark decontamination: directional n-gram containment of a
     // held-out eval slice (doc_id % 97 == 0 stands in for the
     // benchmark) inside the train split — inverted-index equi-join,
@@ -969,6 +981,35 @@ object PipelineQueries {
          |  UNION
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+
+    // d7's recursive-CTE clusters + t17's logit; LEFT JOIN restores
+    // singleton docs as their own cluster before the per-cluster
+    // argmax window (score DESC, id ASC — Spark's exact tie-break)
+    "d14_canonical_docs" -> {
+      val w = graft.functions.TextAnalysis.linearWeights(64).mkString("[", ", ", "]")
+      val hb = md5Hash32Sql("tok")
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardCappedSql(0.5, ShingleFreqCap)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |  UNION
+         |  SELECT doc_b, doc_a FROM jac),
+         |reach AS (
+         |  SELECT DISTINCT src AS a, src AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |clus AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) = 0 THEN 0.0 ELSE round(
+         |      COALESCE(list_sum(list_transform(t, tok -> $w[CAST($hb % 64 AS INTEGER) + 1])), 0)
+         |        / (16.0 * len(t)), 6) END AS score
+         |  FROM toks)
+         |SELECT s.doc_id, COALESCE(c.cluster_id, s.doc_id) AS cluster_id, s.score,
+         |  row_number() OVER (PARTITION BY COALESCE(c.cluster_id, s.doc_id)
+         |    ORDER BY s.score DESC, s.doc_id) = 1 AS canonical
+         |FROM sc s LEFT JOIN clus c USING (doc_id)""".stripMargin
+    },
 
     "d3_minhash_lsh" -> {
       // 32-bit base hash from the first 8 md5 hex chars (mirrors Dedup.md5Hash32)

@@ -511,6 +511,38 @@ object Dedup {
         count(col("_h")).cast("integer").as("n_dropped"))
   }
 
+  /**
+   * Canonical-representative selection — the step that turns detected
+   * duplicate CLUSTERS into a kept/dropped decision (the real dedup
+   * pipelines keep the best page of a near-dup cluster, not an
+   * arbitrary one): label clusters over the near-dup `pairs` via
+   * [[connectedComponents]], attach a per-doc score, and mark the
+   * best-scored doc of each cluster canonical (score DESC, id ASC
+   * tie-break). Docs in no pair are their own singleton cluster and
+   * always canonical — no document is silently lost.
+   *
+   * `scores`: (keyCol, score double) — typically
+   * `TextAnalysis.linearQualityScore`'s logit, but any ranking works.
+   * One window per cluster + two equi-joins beyond the component
+   * labeling; nothing pairwise.
+   * Output: (doc_id, cluster_id, score, canonical).
+   */
+  def canonicalRepresentatives(docs: DataFrame, keyCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      scores: DataFrame, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    docs.select(col(keyCol).as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(scores.select(col(keyCol).as("doc_id"), col(scoreCol).as("score")),
+        Seq("doc_id"))
+      .withColumn("canonical", row_number().over(w) === 1)
+  }
+
   /** Hex nibble value of char at (1-based) `pos` of md5 hex digest. */
   private def nibble(digest: Column, pos: Int): Column =
     instr(lit("0123456789abcdef"), substring(digest, pos, 1)) - 1

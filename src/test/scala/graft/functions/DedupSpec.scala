@@ -168,6 +168,23 @@ class DedupSpec extends SparkTestBase {
     assert(m.size == 5)
   }
 
+  test("canonicalRepresentatives: best score wins per cluster, singletons kept, no doc lost") {
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b") // cluster {0,1,2}
+    val docs = Seq(0L, 1L, 2L, 9L).toDF("doc_id") // 9 is a singleton
+    val scores = Seq((0L, 0.1), (1L, 0.9), (2L, 0.9), (9L, -5.0))
+      .toDF("doc_id", "s")
+    val out = Dedup.canonicalRepresentatives(docs, "doc_id",
+        pairs, "doc_a", "doc_b", scores, "s")
+      .select("doc_id", "cluster_id", "canonical")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 4)
+    assert(out(0L) == ((0L, false))) // lowest score in its cluster
+    assert(out(1L) == ((0L, true))) // 0.9 tie broken by lower id
+    assert(out(2L) == ((0L, false)))
+    assert(out(9L) == ((9L, true))) // singleton is canonical even at a bad score
+  }
+
   test("composed dedup operators release their staged caches (ownership contract)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
