@@ -115,6 +115,30 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("quality classifier is a zero-shuffle codegen pass (T17)") {
+    val df = SparkEntry.queries("t17_quality_classifier")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(countShuffles(df) == 0, p.take(800))
+    assert(p.contains("*("), p.take(800)) // whole-stage-codegen'd stages
+  }
+
+  test("boilerplate removal joins on the segment digest, never pairwise (D13)") {
+    val p = plan("d13_boilerplate_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+  }
+
+  test("random-projection ANN: queries broadcast both stages, corpus never shuffled pre-rank (N9)") {
+    val p = plan("n9_ann_randproj")
+    // the projection runs as the codegen'd expression, not a 1024-node tree
+    assert(p.contains("floatrandproject"), p.take(1200))
+    assert(p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("canonical selection: cluster labeling + one rank window, nothing pairwise (D14)") {
+    val p = plan("d14_canonical_docs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(800))
+  }
+
   test("PII redaction is a pure map pipeline: zero shuffles (T8)") {
     val df = SparkEntry.queries("t8_pii_redact")(spark, sf)
     assert(countShuffles(df) == 0, df.queryExecution.executedPlan.toString.take(800))
