@@ -1001,9 +1001,9 @@ object PipelineQueries {
          |clus AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
          |sc AS (
          |  SELECT doc_id,
-         |    CASE WHEN len(t) = 0 THEN 0.0 ELSE round(
+         |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
          |      COALESCE(list_sum(list_transform(t, tok -> $w[CAST($hb % 64 AS INTEGER) + 1])), 0)
-         |        / (16.0 * len(t)), 6) END AS score
+         |        / (16.0 * len(t)) END AS score
          |  FROM toks)
          |SELECT s.doc_id, COALESCE(c.cluster_id, s.doc_id) AS cluster_id, s.score,
          |  row_number() OVER (PARTITION BY COALESCE(c.cluster_id, s.doc_id)
@@ -1323,7 +1323,10 @@ object PipelineQueries {
 
     // weight literals from TextAnalysis.linearWeights (shared seeded
     // definition); list_sum of an empty list is NULL in DuckDB, so
-    // COALESCE matches Spark's 0-seeded fold
+    // COALESCE matches Spark's 0-seeded fold. The logit is UNROUNDED
+    // (exact-integer / integer double division is IEEE-identical in
+    // both engines; round(,6) would diverge on decimal half-cases —
+    // caught at sf1 on raw/(16n) = −82/1280)
     "t17_quality_classifier" -> {
       val w = graft.functions.TextAnalysis.linearWeights(64).mkString("[", ", ", "]")
       val hb = md5Hash32Sql("tok")
@@ -1333,7 +1336,7 @@ object PipelineQueries {
          |    COALESCE(list_sum(list_transform(t, tok -> $w[CAST($hb % 64 AS INTEGER) + 1])), 0) AS raw
          |  FROM toks)
          |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
-         |  CASE WHEN len(t) = 0 THEN 0.0 ELSE round(raw / (16.0 * len(t)), 6) END AS logit,
+         |  CASE WHEN len(t) = 0 THEN 0.0 ELSE raw / (16.0 * len(t)) END AS logit,
          |  raw > 0 AS keep
          |FROM rawsum""".stripMargin
     },

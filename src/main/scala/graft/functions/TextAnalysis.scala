@@ -89,11 +89,16 @@ object TextAnalysis {
   }
 
   /** Mean-pooled linear logit of [[linearQualityScore]] as a scalar
-   * Column (the SQL-surface form, `graft_quality_logit`). */
+   * Column (the SQL-surface form, `graft_quality_logit`). UNROUNDED:
+   * integer/integer double division is correctly-rounded IEEE in any
+   * engine, so the raw double is exactly reproducible — a round(,6)
+   * here would BREAK parity on decimal half-cases (raw/(16n) hits
+   * them: Spark rounds the shortest decimal repr HALF_UP, DuckDB
+   * rounds the binary value — they disagree at e.g. −82/1280). */
   def qualityLogit(text: Column, buckets: Int = 64): Column = {
     val n = size(tokens(text))
     when(n === 0, lit(0.0))
-      .otherwise(round(qualityRawSum(text, buckets) / (lit(16.0) * n), 6))
+      .otherwise(qualityRawSum(text, buckets) / (lit(16.0) * n))
   }
 
   def linearQualityScore(df: org.apache.spark.sql.DataFrame, keyCol: String,
@@ -103,8 +108,9 @@ object TextAnalysis {
         qualityRawSum(col(textCol), buckets).as("_raw"))
       .select(col("doc_id"),
         size(col("_t")).cast("integer").as("n_tokens"),
+        // unrounded on purpose — see qualityLogit's half-case note
         when(size(col("_t")) === 0, lit(0.0))
-          .otherwise(round(col("_raw") / (lit(16.0) * size(col("_t"))), 6)).as("logit"),
+          .otherwise(col("_raw") / (lit(16.0) * size(col("_t")))).as("logit"),
         (col("_raw") > 0).as("keep"))
   }
 

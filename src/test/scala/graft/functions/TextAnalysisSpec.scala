@@ -178,11 +178,12 @@ class TextAnalysisSpec extends SparkTestBase {
     // keep verdict is the integer sign, consistent with the logit sign
     out.values.foreach { case (n, logit, keep) =>
       if (n > 0) assert(keep == (logit > 0.0) || logit == 0.0) }
-    // hand-check doc 3: one token, logit = w[bucket]/16
+    // hand-check doc 3: one token, logit = w[bucket]/16 (unrounded —
+    // exact-integer division reproduces bit-identically everywhere)
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest("alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString
     val bucket = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 64).toInt
-    assert(out(3L)._2 == math.rint(w(bucket) / 16.0 * 1e6) / 1e6)
+    assert(out(3L)._2 == w(bucket) / 16.0)
   }
 
   test("cross-corpus contamination: containment finds embedded eval docs, jaccard-blind") {

@@ -15,9 +15,11 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+_only_arg = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")), None)
 if "--skip-verify" not in sys.argv:
+    _filter = f" {_only_arg}" if _only_arg else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{_filter}'],
         cwd="/root/repo", capture_output=True, text=True)
     tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
     if r.returncode != 0:
@@ -102,8 +104,18 @@ def duckdb_bag_compare(name, pdir, sql, n_spark):
     return True
 
 
+# --only a,b,c: compare just the named queries (targeted re-validation
+# after a fix — the full sf1 sweep pays ~1h of DuckDB on the heaviest
+# generated oracles, pointless when one query changed)
+only = None
+for arg in sys.argv:
+    if arg.startswith("--only="):
+        only = set(arg.split("=", 1)[1].split(","))
+
 fails = 0
 for name in sorted(oracle):
+    if only is not None and name not in only:
+        continue
     pdir = Path(OUT) / name
     if not pdir.exists():
         print(f"FAIL {name}: no spark output")
