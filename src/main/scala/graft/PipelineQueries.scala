@@ -630,6 +630,20 @@ object PipelineQueries {
           col("_hit").isNotNull.as("dropped"))
     }),
 
+    // Cluster-balanced (diversity) sampling: flatten the SEMANTIC
+    // cluster distribution — KMeans-cell assignment composed with the
+    // same √-rate deterministic subsample t16 applies to metadata
+    // domains. The data-curation move when one semantic mode dominates
+    // a crawl; pure composition of assignCells + temperatureSample
+    // (map-side accept against a broadcast rate table, no new
+    // machinery). Generated oracle (centroid literals).
+    "e7_cell_balanced_sample" -> ((s, d) => {
+      val assigned = Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d))
+        .select(col("vec_id"), col("cell"))
+      TextAnalysis.temperatureSample(assigned, col("vec_id").cast("string"), "cell")
+        .select(col("vec_id"), col("cell"))
+    }),
+
     // e4 with the same cross-cell ghost probe: candidate (src, dst)
     // pairs from any shared probed cell, deduped before the one rank
     // window per src — boundary vectors recover their true cross-cell
@@ -1414,7 +1428,23 @@ object PipelineQueries {
       "e3_semdedup" -> semDedupOracleSql(centroids, threshold = 0.35),
       "e4_knn_graph" -> knnGraphOracleSql(centroids, k = 3),
       "e5_semdedup_xcell" -> semDedupXcellOracleSql(centroids, XcellMargin, threshold = 0.35),
-      "e6_knn_graph_xcell" -> knnGraphXcellOracleSql(centroids, XcellMargin, k = 3))
+      "e6_knn_graph_xcell" -> knnGraphXcellOracleSql(centroids, XcellMargin, k = 3),
+      "e7_cell_balanced_sample" -> cellBalancedSampleOracleSql(centroids))
+  }
+
+  /** e7 generated oracle: n3's literal-centroid assignment CTEs +
+   * t16's √-rate thresholds computed per CELL instead of per metadata
+   * domain; the md5 gate mirrors Dedup.md5Hash32 exactly. */
+  private def cellBalancedSampleOracleSql(centroids: Seq[(Int, Seq[Float])]): String = {
+    val h = md5Hash32Sql("CAST(a.neighbor_id AS VARCHAR)")
+    s"""WITH ${ivfCtesSql(centroids, nProbe = 1)},
+       |cc7 AS (SELECT cell, count(*) AS n FROM assigned GROUP BY 1),
+       |rr7 AS (SELECT cell,
+       |  CAST(floor(sqrt((SELECT min(n) FROM cc7) * 1.0 / n) * 4294967296.0) AS BIGINT) AS thr
+       |  FROM cc7)
+       |SELECT a.neighbor_id AS vec_id, a.cell
+       |FROM assigned a JOIN rr7 USING (cell)
+       |WHERE $h < rr7.thr""".stripMargin
   }
 
   /** Centroid-literal CTEs for the e5/e6 margin-probe oracles:

@@ -293,6 +293,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(r8 >= 0.5, s"projected recall at 8x rerank = $r8")
   }
 
+  test("cell-balanced sampling flattens the cluster distribution deterministically") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.fitIvfCentroids(emb, nClusters = 8)
+    val assigned = Similarity.assignCells(emb, cents).select(col("vec_id"), col("cell"))
+    val before = assigned.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    val sampled = graft.functions.TextAnalysis.temperatureSample(
+      assigned, col("vec_id").cast("string"), "cell")
+    val after = sampled.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    // deterministic: same call, same rows
+    val again = graft.functions.TextAnalysis.temperatureSample(
+        assigned, col("vec_id").cast("string"), "cell")
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == sampled.select("vec_id").as[Long].collect().toSet)
+    // flattening: the max/min cell-count imbalance must shrink
+    def imbalance(m: Map[Int, Long]) = m.values.max.toDouble / m.values.min.max(1L)
+    assert(imbalance(after) <= imbalance(before))
+    // every cell retains at least one vector under the sqrt schedule
+    assert(after.keySet == before.keySet)
+    // nothing sampled IN that wasn't there
+    assert(after.forall { case (c, n) => n <= before(c) })
+  }
+
   test("PQ-ADC: codes in range, exact rescored cosines, decent recall vs brute force") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 10)
