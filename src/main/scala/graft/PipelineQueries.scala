@@ -57,6 +57,26 @@ object PipelineQueries {
       path
     })
 
+  /** Fit-once memo for the RESIDUAL PQ codebooks (n10) — trained on
+   * v − c(cell) over the shared centroid fit; deterministic, so
+   * Verify's oracle refit reproduces them. */
+  private val rpqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[(Int, Seq[Float])]]]()
+  private def rpqCodebooks(s: SparkSession, d: String): Seq[Seq[(Int, Seq[Float])]] =
+    rpqMemo.computeIfAbsent(d, _ =>
+      Similarity.fitResidualPqCodebooks(Tables.embeddings(s, d), dim = 64,
+        ivfCentroids(s, d)))
+
+  /** Fit-once memo for the residual IVF-PQ serving index (n10). */
+  private val ivfRpqMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfRpqPath(s: SparkSession, d: String): String =
+    ivfRpqMemo.computeIfAbsent(d, _ => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfrpq-${Integer.toHexString(d.hashCode)}"
+      Similarity.buildIvfRpqIndexWith(Tables.embeddings(s, d), path, dim = 64,
+        ivfCentroids(s, d), rpqCodebooks(s, d))
+      path
+    })
+
   /** Fit-once memo for the raw IVF centroids (e2's assignment step and
    * the n3/n6 generated oracles share one fit per sf dir). k is
    * DERIVED from the corpus size (Similarity.adaptiveCellCount) — the
@@ -544,6 +564,16 @@ object PipelineQueries {
     "n8_ann_ivf_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfPqTopK(s, ivfPqPath(s, d),
+        emb.filter(col("vec_id") < 20), k = 10, nProbe = 4)
+    }),
+
+    // Residual IVF-PQ (FAISS's actual IVFPQ): codes quantize
+    // v − c(cell), the ADC dot re-adds dot(q, c_cell) — tighter code
+    // resolution where the vectors are, same probe-pruned m-byte scan.
+    // Generated oracle (centroid + residual-codebook literals).
+    "n10_ann_ivf_rpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfRpqTopK(s, ivfRpqPath(s, d),
         emb.filter(col("vec_id") < 20), k = 10, nProbe = 4)
     }),
 
@@ -1424,6 +1454,8 @@ object PipelineQueries {
       "n7_ann_pq" -> pqOracleSql(pqCodebooks(spark, sfDir), dim = 64, k = 10, rerankFactor = 3),
       "n8_ann_ivf_pq" -> ivfPqOracleSql(centroids, pqCodebooks(spark, sfDir),
         dim = 64, k = 10, nProbe = 4, rerankFactor = 3),
+      "n10_ann_ivf_rpq" -> ivfRpqOracleSql(centroids, rpqCodebooks(spark, sfDir),
+        dim = 64, k = 10, nProbe = 4, rerankFactor = 3),
       "e2_kmeans_step" -> kmeansStepOracleSql(centroids),
       "e3_semdedup" -> semDedupOracleSql(centroids, threshold = 0.35),
       "e4_knn_graph" -> knnGraphOracleSql(centroids, k = 3),
@@ -1647,6 +1679,78 @@ object PipelineQueries {
    * candidates come only from (assigned ⋈ probes) cells, mirroring
    * the partition-pruned scan, then the exact rerank tail.
    */
+  /** n10 generated oracle — ivfPqOracleSql with the residual twist:
+   * codes argmin over RESIDUAL vectors (exact-diff-cast-to-float, one
+   * IEEE rounding — Similarity.cellResiduals' arithmetic), the ADC
+   * numerator led by the per-(query, cell) centroid dot in the same
+   * left-associated order as the Spark expression, and the cosine
+   * denominator using the TRUE ‖v‖² the codes table carries. */
+  private def ivfRpqOracleSql(centroids: Seq[(Int, Seq[Float])],
+      codebooks: Seq[Seq[(Int, Seq[Float])]], dim: Int,
+      k: Int, nProbe: Int, rerankFactor: Int): String = {
+    val m = codebooks.size
+    val dsub = dim / m
+    def fmt(d: Double) = d.toString
+    def vecD(c: Seq[Float]) = c.map(x => fmt(x.toDouble)).mkString("[", ", ", "]")
+    val cbRows = codebooks.zipWithIndex.flatMap { case (cb, s0) =>
+      cb.map { case (i, c) => s"($s0, $i, ${vecD(c)}::DOUBLE[], ${fmt(Similarity.sqSum(c))})" }
+    }.mkString(",\n      ")
+    val pivotCols = (0 until m)
+      .map(s0 => s"max(CASE WHEN sub = $s0 THEN code END) AS c$s0").mkString(", ")
+    def dotQ(s0: Int, c: Seq[Float]) =
+      s"list_sum(list_transform(list_zip(list_slice(pr.qv, ${s0 * dsub + 1}, ${(s0 + 1) * dsub}), ${vecD(c)}::DOUBLE[]), p -> p[1]::DOUBLE * p[2]))"
+    val qcExpr =
+      "list_sum(list_transform(list_zip(pr.qv, ct.cv), p -> p[1]::DOUBLE * p[2]))"
+    val adcExpr = (qcExpr +: (0 until m).map { s0 =>
+      val whens = codebooks(s0).sortBy(_._1)
+        .map { case (i, c) => s"WHEN $i THEN ${dotQ(s0, c)}" }.mkString(" ")
+      s"(CASE p.c$s0 $whens END)"
+    }).mkString("(", " + ", ")")
+    s"""WITH ${ivfCtesSql(centroids, nProbe)},
+       |cb(sub, code, cv, cc) AS (
+       |  SELECT * FROM (VALUES
+       |      $cbRows) t),
+       |resid AS (
+       |  SELECT a.neighbor_id AS vec_id, a.cell,
+       |    list_transform(list_zip(a.embedding, ct.cv),
+       |      p -> CAST(p[1]::DOUBLE - p[2] AS FLOAT)) AS r,
+       |    list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)) AS vn2
+       |  FROM assigned a JOIN centroids ct ON ct.cell = a.cell),
+       |dists AS (
+       |  SELECT rr.vec_id, cb.sub, cb.code,
+       |    cb.cc - 2 * list_sum(list_transform(list_zip(
+       |      list_slice(rr.r, cb.sub*$dsub + 1, (cb.sub+1)*$dsub), cb.cv),
+       |      p -> p[1]::DOUBLE * p[2])) AS dd
+       |  FROM resid rr CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, code ASC) = 1),
+       |pc AS (SELECT vec_id, $pivotCols FROM codes GROUP BY vec_id),
+       |adc AS (
+       |  SELECT pr.query_id, p.vec_id AS neighbor_id,
+       |    $adcExpr AS adc,
+       |    rr.vn2 AS rn2,
+       |    sqrt(list_sum(list_transform(pr.qv, x -> x::DOUBLE * x::DOUBLE))) AS qn
+       |  FROM pc p
+       |  JOIN resid rr ON rr.vec_id = p.vec_id
+       |  JOIN probes pr ON pr.cell = rr.cell
+       |  JOIN centroids ct ON ct.cell = pr.cell
+       |  WHERE pr.query_id <> p.vec_id),
+       |cands AS (
+       |  SELECT query_id, neighbor_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY
+       |    round(CASE WHEN qn * sqrt(rn2) = 0 THEN 0.0
+       |               ELSE adc/(qn*sqrt(rn2)) END, 6) DESC, neighbor_id) <= ${k * rerankFactor})
+       |SELECT c.query_id, c.neighbor_id,
+       |  ${cosSql("ec.embedding", "eq.embedding")} AS cosine,
+       |  CAST(row_number() OVER (PARTITION BY c.query_id
+       |    ORDER BY ${cosSql("ec.embedding", "eq.embedding")} DESC, c.neighbor_id) AS INTEGER) AS rank
+       |FROM cands c
+       |JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+       |JOIN embeddings eq ON eq.vec_id = c.query_id
+       |QUALIFY rank <= $k""".stripMargin
+  }
+
   private def ivfPqOracleSql(centroids: Seq[(Int, Seq[Float])],
       codebooks: Seq[Seq[(Int, Seq[Float])]], dim: Int,
       k: Int, nProbe: Int, rerankFactor: Int): String = {

@@ -633,6 +633,117 @@ object Similarity {
     buildIvfPqIndexWith(corpus, path, dim,
       fitIvfCentroids(corpus, nClusters), fitPqCodebooks(corpus, dim, m, ks))
 
+  /** Per-row residual against the assigned cell centroid (`_resid`,
+   * float): the exact-diff-then-round-to-float arithmetic is a single
+   * IEEE rounding, identical in any engine, so residual codes are
+   * oracle-reproducible. `assigned` = assignCells output; centroids
+   * must be the dense 0..k-1 fit the assignment used. */
+  def cellResiduals(assigned: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    val cents: Seq[Seq[Float]] = centroids.sortBy(_._1).map(_._2)
+    assigned.withColumn("_resid",
+      zip_with(col("embedding"), element_at(typedLit(cents), col("cell") + 1),
+        (a, b) => a - b))
+  }
+
+  /**
+   * Residual IVF-PQ — the index FAISS actually ships as IVFPQ: PQ
+   * codes quantize the RESIDUAL v − c(cell), not the raw vector.
+   * Residuals concentrate near zero once the coarse quantizer has
+   * soaked up the between-cell variance, so the same m×ks code budget
+   * spends its resolution where the vectors actually are — tighter
+   * ADC approximations than n8's raw-vector codes at identical scan
+   * cost. Layout = n8's (centroids / codebooks / cell-partitioned
+   * codes / float rerank table); codes rows carry the TRUE ‖v‖² so
+   * the ADC cosine's denominator is exact rather than reconstructed.
+   */
+  def buildIvfRpqIndexWith(corpus: DataFrame, path: String, dim: Int,
+      centroids: Seq[(Int, Seq[Float])],
+      rcodebooks: Seq[Seq[(Int, Seq[Float])]]): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.toDF("cell", "center")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    rcodebooks.zipWithIndex
+      .flatMap { case (cb, s0) => cb.map { case (i, c) => (s0, i, c) } }
+      .toDF("sub", "code", "center")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    val resid = cellResiduals(assignCells(corpus, centroids), centroids)
+      .select(col("vec_id"), col("_resid").as("embedding"), col("cell"),
+        dot(col("embedding"), col("embedding")).as("_vn2"))
+    pqEncode(resid, rcodebooks, dim, keep = Seq("cell", "_vn2"))
+      .drop("_rn2").withColumnRenamed("_vn2", "_rn2")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    corpus.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$path/fcorpus")
+  }
+
+  /** The residual fit: codebooks trained on v − c(cell) (deterministic
+   * given corpus + seed, like every other fit here). */
+  def fitResidualPqCodebooks(corpus: DataFrame, dim: Int,
+      centroids: Seq[(Int, Seq[Float])], m: Int = 8, ks: Int = 16)
+      : Seq[Seq[(Int, Seq[Float])]] =
+    fitPqCodebooks(
+      cellResiduals(assignCells(corpus, centroids), centroids)
+        .select(col("vec_id"), col("_resid").as("embedding")),
+      dim, m, ks)
+
+  /**
+   * Probe-pruned residual-ADC serving: per probed (query, cell) the
+   * ADC dot is dot(q, c_cell) + Σ_sub table[code] — the cell term
+   * re-adds what the residual encoding subtracted — over the same
+   * partition-pruned m-byte code scan as [[ivfPqTopK]], then the
+   * exact float rerank of k·rerankFactor survivors per query.
+   */
+  def ivfRpqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int, rerankFactor: Int = 3): DataFrame = {
+    val centroids = loadIvfCentroids(spark, path)
+    val codebooks = loadPqCodebooks(spark, path)
+    val m = codebooks.size
+    val dsub = codebooks.head.head._2.size
+    val cents: Seq[Seq[Float]] = centroids.sortBy(_._1).map(_._2)
+    val qcells = probeCells(queries, centroids, nProbe)
+    val probedCells = qcells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val qTableCols = codebooks.zipWithIndex.map { case (cb, s0) =>
+      val qsl = slice(col("embedding"), s0 * dsub + 1, dsub)
+      array(cb.sortBy(_._1).map { case (_, c) => dot(qsl, typedLit(c)) }: _*)
+        .as(s"_qt$s0")
+    }
+    val probes = qcells.select(col("query_id"), col("cell"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding"))),
+        Seq("query_id"))
+      .select(Seq(col("query_id"), col("cell"),
+        dot(col("embedding"), element_at(typedLit(cents), col("cell") + 1)).as("_qc"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("_qn")) ++ qTableCols: _*)
+    val adc = (col("_qc") +: (0 until m)
+      .map(s0 => element_at(col(s"_qt$s0"), col(s"_c$s0") + 1))).reduce(_ + _)
+    val denom = col("_qn") * sqrt(col("_rn2"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id"))
+    val cands = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells: _*))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cos",
+        round(when(denom === 0, lit(0.0)).otherwise(adc / denom), 6))
+      .withColumn("_ar", row_number().over(wA))
+      .filter(col("_ar") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(cands)
+      .join(spark.read.parquet(s"$path/fcorpus")
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))),
+        Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Index build against caller-provided fits (reuse fits shared with
    * other indexes instead of re-running KMeans). */
   def buildIvfPqIndexWith(corpus: DataFrame, path: String, dim: Int,

@@ -258,6 +258,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("codes"), plan.take(1200))
   }
 
+  test("residual IVF-PQ: residuals centered, exact rescore, probed-cell containment, pruning") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = java.nio.file.Files.createTempDirectory("ivfrpq").toString + "/ix"
+    val cents = Similarity.fitIvfCentroids(emb, nClusters = 8)
+    val rcbs = Similarity.fitResidualPqCodebooks(emb, dim = 64, cents)
+    Similarity.buildIvfRpqIndexWith(emb, path, dim = 64, cents, rcbs)
+
+    // residuals really are the centered vectors: per-cell residual mean
+    // is ~0 in every dimension (that's the whole point of the encoding)
+    val resid = Similarity.cellResiduals(Similarity.assignCells(emb, cents), cents)
+    val meanAbs = resid.select(explode(col("_resid")).as("x"))
+      .agg(avg(abs(col("x")))).head().getDouble(0)
+    val rawMeanAbs = emb.select(explode(col("embedding")).as("x"))
+      .agg(avg(abs(col("x")))).head().getDouble(0)
+    assert(meanAbs < rawMeanAbs, s"residuals ($meanAbs) should be tighter than raw ($rawMeanAbs)")
+
+    val served = Similarity.ivfRpqTopK(spark, path, queries, k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(served.map(_._1).distinct.length == 10)
+    assert(served.groupBy(_._1).forall(_._2.length == 5))
+
+    // exact-rerank contract
+    val bfCos = Similarity.bruteForceTopK(emb, queries, k = 50)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    served.foreach { case (q, n, c) =>
+      bfCos.get((q, n)).foreach(e => assert(e == c, s"cosine mismatch ($q,$n)")) }
+
+    // containment in probed cells + partition pruning, like n8
+    val probed = Similarity.probeCells(queries, cents, nProbe = 3)
+      .select("query_id", "cell").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (q, r) => q -> r.map(_._2).toSet }
+    val cellOf = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    served.foreach { case (q, n, _) =>
+      assert(probed(q).contains(cellOf(n)), s"neighbor $n of $q outside probed cells") }
+    val plan = Similarity.ivfRpqTopK(spark, path, queries, k = 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("codes"), plan.take(1200))
+  }
+
   test("random projection: balanced seeded signs, exact rescore, recall grows with rerank window") {
     val signs = for (j <- 0 until 16; i <- 0 until 64)
       yield Similarity.rademacherSign(j, i)
