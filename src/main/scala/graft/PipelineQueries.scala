@@ -423,6 +423,12 @@ object PipelineQueries {
     "t17_quality_classifier" -> ((s, d) =>
       TextAnalysis.linearQualityScore(Tables.documents(s, d), "doc_id", "text")),
 
+    // Per-doc n-gram novelty: fraction of distinct 3-grams occurring
+    // in no other doc — the scalar curation signal complementing
+    // d10/d12's span locations. One digest shuffle.
+    "t18_ngram_novelty" -> ((s, d) =>
+      Dedup.ngramNovelty(Tables.documents(s, d), "doc_id", "text", n = 3)),
+
     // Int8 scalar quantization of the embedding corpus (the 4x storage
     // compression pass; round-half-up, per-vector symmetric scale)
     // qvec is emitted comma-joined (not as array<int>): the driver's
@@ -1384,6 +1390,27 @@ object PipelineQueries {
          |  raw > 0 AS keep
          |FROM rawsum""".stripMargin
     },
+
+    // 1-based trigram comprehension (i = 1 .. len-2); LEFT JOIN
+    // restores gram-less docs at novelty 0.0; the fraction is an
+    // UNROUNDED int/int double division (t17 half-case note)
+    "t18_ngram_novelty" ->
+      s"""WITH $toksCte,
+         |g AS (
+         |  SELECT doc_id, md5(gg) AS h FROM (
+         |    SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+         |      ELSE [ t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1) ] END)) AS gg
+         |    FROM toks) s),
+         |f AS (SELECT h, count(*) AS nd FROM g GROUP BY 1),
+         |pd AS (
+         |  SELECT g.doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+         |    CAST(sum(CASE WHEN f.nd = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_novel
+         |  FROM g JOIN f USING (h) GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(pd.n_grams, 0) AS n_grams,
+         |  COALESCE(pd.n_novel, 0) AS n_novel,
+         |  CASE WHEN COALESCE(pd.n_grams, 0) = 0 THEN 0.0
+         |       ELSE pd.n_novel / CAST(pd.n_grams AS DOUBLE) END AS novelty
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     // non-overlapping w-token segments (0-based seg index, 1-based
     // list_slice); string_agg skips the NULLed dropped segments and

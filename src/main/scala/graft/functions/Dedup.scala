@@ -543,6 +543,38 @@ object Dedup {
       .withColumn("canonical", row_number().over(w) === 1)
   }
 
+  /**
+   * Per-document n-gram novelty — the scalar complement of the span
+   * detectors (d10/d12 find WHERE duplicated text is; this scores HOW
+   * MUCH of each document is corpus-novel): the fraction of a doc's
+   * DISTINCT n-grams that occur in no other document. Low novelty =
+   * boilerplate-heavy / near-copy / template page — a standard
+   * curation sort key and a memorization-risk proxy.
+   *
+   * One digest-keyed shuffle for the corpus gram counts, one doc-keyed
+   * count-up; the fraction is an UNROUNDED int/int double division
+   * (IEEE-identical in any engine — see the t17 half-case note).
+   * Output: (doc_id, n_grams, n_novel, novelty).
+   */
+  def ngramNovelty(df: DataFrame, keyCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = df.select(col(keyCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("_g")) // shingles are per-doc DISTINCT
+      .select(col("doc_id"), md5(col("_g")).as("_h"))
+    val freq = grams.groupBy(col("_h")).agg(count(lit(1)).as("_nd"))
+    val perDoc = grams.join(freq, Seq("_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("integer").as("n_grams"),
+        sum(when(col("_nd") === 1, 1L).otherwise(0L)).cast("integer").as("n_novel"))
+    df.select(col(keyCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_novel") / col("n_grams").cast("double")))
+  }
+
   /** Hex nibble value of char at (1-based) `pos` of md5 hex digest. */
   private def nibble(digest: Column, pos: Int): Column =
     instr(lit("0123456789abcdef"), substring(digest, pos, 1)) - 1

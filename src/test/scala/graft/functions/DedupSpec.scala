@@ -168,6 +168,25 @@ class DedupSpec extends SparkTestBase {
     assert(m.size == 5)
   }
 
+  test("ngramNovelty: clones score 0, unique docs 1, short docs kept at 0") {
+    val df = Seq(
+      (0L, "a b c d e"), // clone pair: every trigram shared
+      (1L, "a b c d e"),
+      (2L, "p q r s t u"), // fully unique trigrams
+      (3L, "a b c x y"), // shares "a b c" with the clones, rest unique
+      (4L, "hi")) // too short for any trigram
+      .toDF("doc_id", "text")
+    val m = Dedup.ngramNovelty(df, "doc_id", "text", n = 3)
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m.size == 5)
+    assert(m(0L) == ((3, 0, 0.0)) && m(1L) == ((3, 0, 0.0)))
+    assert(m(2L) == ((4, 4, 1.0)))
+    assert(m(3L) == ((3, 2, 2.0 / 3.0))) // "a b c" seen elsewhere
+    assert(m(4L) == ((0, 0, 0.0)))
+  }
+
   test("canonicalRepresentatives: best score wins per cluster, singletons kept, no doc lost") {
     val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b") // cluster {0,1,2}
     val docs = Seq(0L, 1L, 2L, 9L).toDF("doc_id") // 9 is a singleton
