@@ -429,6 +429,21 @@ object PipelineQueries {
     "t18_ngram_novelty" -> ((s, d) =>
       Dedup.ngramNovelty(Tables.documents(s, d), "doc_id", "text", n = 3)),
 
+    // Grouped top-k: the 3 best docs per source stream by the t17
+    // logit (quality leaderboard per provenance — the report every
+    // curation run ends with). One rank window; WindowGroupLimit
+    // prunes per-partition before the shuffle.
+    "o8_grouped_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("logit").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .join(TextAnalysis.linearQualityScore(Tables.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("logit")), Seq("doc_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("doc_id"), col("logit"), col("rank").cast("int").as("rank"))
+    }),
+
     // Int8 scalar quantization of the embedding corpus (the 4x storage
     // compression pass; round-half-up, per-vector symmetric scale)
     // qvec is emitted comma-joined (not as array<int>): the driver's
@@ -1389,6 +1404,24 @@ object PipelineQueries {
          |  CASE WHEN len(t) = 0 THEN 0.0 ELSE raw / (16.0 * len(t)) END AS logit,
          |  raw > 0 AS keep
          |FROM rawsum""".stripMargin
+    },
+
+    // t17's unrounded logit + one rank window per source
+    "o8_grouped_topk" -> {
+      val w = graft.functions.TextAnalysis.linearWeights(64).mkString("[", ", ", "]")
+      val hb = md5Hash32Sql("tok")
+      s"""WITH $toksCte,
+         |sc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |      COALESCE(list_sum(list_transform(t, tok -> $w[CAST($hb % 64 AS INTEGER) + 1])), 0)
+         |        / (16.0 * len(t)) END AS logit
+         |  FROM toks)
+         |SELECT d.source, d.doc_id, sc.logit,
+         |  CAST(row_number() OVER (PARTITION BY d.source
+         |    ORDER BY sc.logit DESC, d.doc_id) AS INTEGER) AS rank
+         |FROM documents d JOIN sc USING (doc_id)
+         |QUALIFY rank <= 3""".stripMargin
     },
 
     // 1-based trigram comprehension (i = 1 .. len-2); LEFT JOIN

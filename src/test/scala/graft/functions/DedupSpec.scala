@@ -168,6 +168,36 @@ class DedupSpec extends SparkTestBase {
     assert(m.size == 5)
   }
 
+  test("boilerplate removal reassembly invariant: kept + dropped segments partition the doc") {
+    // real corpus slice: for EVERY doc, the clean text must be exactly
+    // the original token stream minus whole dropped segments, in order
+    // — no token invented, none lost except via a counted drop
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Dedup.boilerplateSegmentRemoval(docs, "doc_id", "text", w = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    val orig = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet == orig.keySet)
+    // independent Scala re-implementation of the contract
+    def segsOf(text: String): Seq[String] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) Seq("") else toks.grouped(8).map(_.mkString(" ")).toSeq
+    }
+    val allSegs = orig.map { case (id, t) => id -> segsOf(t) }
+    val boiler = allSegs.toSeq
+      .flatMap { case (id, segs) => segs.distinct.map(_ -> id) }
+      .groupBy(_._1).collect { case (s, ids) if ids.map(_._2).distinct.size >= 2 => s }
+      .toSet
+    var dropped = 0
+    allSegs.foreach { case (id, segs) =>
+      val (clean, nSegs, nDrop) = out(id)
+      assert(nSegs == segs.size, s"doc $id segment count")
+      assert(clean == segs.filterNot(boiler).mkString(" "), s"doc $id reassembly")
+      assert(nDrop == segs.count(boiler), s"doc $id drop count")
+      dropped += nDrop
+    }
+    assert(dropped > 0, "corpus should contain SOME boilerplate at minDocs=2")
+  }
+
   test("ngramNovelty: clones score 0, unique docs 1, short docs kept at 0") {
     val df = Seq(
       (0L, "a b c d e"), // clone pair: every trigram shared
