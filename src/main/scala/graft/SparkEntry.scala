@@ -289,6 +289,21 @@ object SparkEntry {
         "machineId", "ts_us", "sts", "status", asofCol = "status_asof")
     }),
 
+    // x2 with the telemetry-native match TOLERANCE: a status minute
+    // older than 10 minutes reads as NULL ("machine stopped
+    // reporting"), not as a stale match. Same one-shuffle plan — the
+    // gap test rides after the carry.
+    "x8_asof_within" -> ((s, d) => {
+      val t = Tables.telemetry(s, d)
+      val statusByMin = t
+        .groupBy(col("machineId"), expr("(es div 60) * 60 * 1000000").as("sts"))
+        .agg(max_by(col("status"), struct(col("ts_us"), col("status"))).as("status"))
+      val prod = t.select(col("event_id"), col("machineId"), col("ts_us"), col("cnt"))
+      graft.functions.AsofJoin.asofWithin(prod, statusByMin,
+        "machineId", "ts_us", "sts", "status",
+        maxGap = 600L * 1000000L, asofCol = "status_asof")
+    }),
+
     // Beyond-reference: range (interval-containment) join — telemetry
     // readings inside each DOWN segment, as a bucketized EQUI join
     // (no nested-loop; see functions/RangeJoin.scala for the 100 TB
@@ -653,6 +668,20 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (PARTITION BY machineId, (es // 60) * 60
         |    ORDER BY ts_us DESC, status DESC) = 1)
         |SELECT p.event_id, p.machineId, p.ts_us, p.cnt, s.status AS status_asof
+        |FROM prod p ASOF LEFT JOIN sm s
+        |  ON p.machineId = s.machineId AND p.ts_us >= s.sts""".stripMargin),
+
+    // the ASOF match then the gap test — latest-within-gap equals
+    // nearest-within-gap because the as-of match IS the latest
+    "x8_asof_within" -> (T +
+      """, prod AS (SELECT event_id, machineId, ts_us, cnt FROM telemetry),
+        |sm AS (
+        |  SELECT machineId, (es // 60) * 60 * 1000000 AS sts, status
+        |  FROM telemetry
+        |  QUALIFY row_number() OVER (PARTITION BY machineId, (es // 60) * 60
+        |    ORDER BY ts_us DESC, status DESC) = 1)
+        |SELECT p.event_id, p.machineId, p.ts_us, p.cnt,
+        |  CASE WHEN p.ts_us - s.sts <= 600000000 THEN s.status END AS status_asof
         |FROM prod p ASOF LEFT JOIN sm s
         |  ON p.machineId = s.machineId AND p.ts_us >= s.sts""".stripMargin),
 

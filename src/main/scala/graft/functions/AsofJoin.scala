@@ -74,4 +74,52 @@ object AsofJoin {
       .filter(col("_asof_side") === 1)
       .drop("_asof_ts", "_asof_side", "_asof_rv")
   }
+
+  /**
+   * As-of join with a match TOLERANCE — the telemetry-native variant:
+   * the latest right row at-or-before the left row matches only while
+   * it is at most `maxGap` old (same units as the timestamp columns);
+   * a staler match reads as NULL ("no status in effect"), which is
+   * how a monitoring pipeline must treat a machine that stopped
+   * reporting. Same one-shuffle union + ordered-carry plan as
+   * [[asof]] — the carried struct additionally holds the right
+   * timestamp, and the gap test runs AFTER the carry, so the window
+   * shape (and its cost) is unchanged. The latest match is also the
+   * nearest, so "latest within gap" equals "nearest within gap".
+   * NULL contract as [[asof]]: a right row whose VALUE is NULL but
+   * whose timestamp is within the gap still matches (NULL value, not
+   * "no match").
+   */
+  def asofWithin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, valueCol: String, maxGap: Long,
+      asofCol: String = "asof_value"): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    val valueType = right.schema(valueCol).dataType
+    val tsType = right.schema(rightTs).dataType
+    val carryType = StructType(Seq(
+      StructField("m", BooleanType, nullable = false),
+      StructField("t", tsType),
+      StructField("v", valueType)))
+    val l = left
+      .withColumn("_asof_ts", col(leftTs))
+      .withColumn("_asof_side", lit(1))
+      .withColumn("_asof_rv", lit(null).cast(carryType))
+    val r = right.select(
+      col(keyCol),
+      col(rightTs).as("_asof_ts"),
+      lit(0).as("_asof_side"),
+      struct(lit(true).as("m"), col(rightTs).as("t"),
+        col(valueCol).as("v")).as("_asof_rv"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_asof_ts"), col("_asof_side"), col("_asof_rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(col("_asof_rv"), ignoreNulls = true).over(w)
+    unioned
+      .withColumn(asofCol,
+        when(col(leftTs) - carried.getField("t") <= maxGap,
+          carried.getField("v")))
+      .filter(col("_asof_side") === 1)
+      .drop("_asof_ts", "_asof_side", "_asof_rv")
+  }
 }

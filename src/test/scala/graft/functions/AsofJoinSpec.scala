@@ -47,6 +47,28 @@ class AsofJoinSpec extends SparkTestBase {
       6L -> Some("b")))
   }
 
+  test("asofWithin: stale matches null out at the gap; in-gap NULL values still match") {
+    val left = Seq((1, 10L, 100), (1, 25L, 200), (1, 300L, 300), (2, 5L, 400))
+      .toDF("k", "ts", "v")
+    val right = Seq((1, 10L, Some("a")), (1, 22L, None: Option[String]), (2, 1L, Some("z")))
+      .toDF("k", "rts", "s")
+    val out = AsofJoin.asofWithin(left, right, "k", "ts", "rts", "s",
+        maxGap = 20L, asofCol = "s_asof")
+      .select("k", "ts", "v", "s_asof")
+      .as[(Int, Long, Int, Option[String])].collect().toSet
+    assert(out == Set(
+      (1, 10L, 100, Some("a")), // gap 0 ≤ 20
+      (1, 25L, 200, None), // matched right row at 22 has a NULL VALUE (in gap)
+      (1, 300L, 300, None), // latest right (22) is 278 stale → nulled
+      (2, 5L, 400, Some("z")))) // gap 4 ≤ 20
+    // distinguishing stale-null from value-null: tighten the gap so the
+    // ts=25 row's match (rts=22, gap 3) stays while ts=10's (gap 0) stays
+    val tight = AsofJoin.asofWithin(left, right, "k", "ts", "rts", "s",
+        maxGap = 3L, asofCol = "s_asof")
+      .select("ts", "s_asof").as[(Long, Option[String])].collect().toMap
+    assert(tight(10L) == Some("a") && tight(25L) == None && tight(300L) == None)
+  }
+
   test("plan: no range probe — single hash partitioning on the key for the window") {
     val left = Seq((1, 5L, 50)).toDF("k", "ts", "v")
     val right = Seq((1, 10L, "a")).toDF("k", "rts", "s")
