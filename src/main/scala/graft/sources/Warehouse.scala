@@ -163,23 +163,69 @@ object Warehouse {
    * that job succeeds is the old partition directory replaced by a
    * rename. The source files are never deleted while any job might
    * still recompute from them — safe against task retries AND executor
-   * loss, unlike a checkpoint-then-overwrite-in-place. A crash between
-   * delete and rename leaves the durable temp dir; re-running the
-   * compaction recovers. Returns the output file count (0 = empty
-   * partition, nothing to do).
+   * loss, unlike a checkpoint-then-overwrite-in-place.
+   *
+   * Crash recovery: a crash between the delete and the rename leaves
+   * the partition's data only in the durable temp dir. On entry this
+   * method locates the partition directory from (path, year, month,
+   * day) values — NOT from the scan's input files, which are empty in
+   * exactly that crash state — and, if a temp sibling exists while the
+   * live dir is missing or data-less, completes the swap by renaming
+   * it back before deciding the partition is empty. Returns the output
+   * file count (0 = empty partition, nothing to do).
    */
   def compactPartition(spark: SparkSession, path: String,
       year: Int, month: Int, day: Int,
       targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Locate a partition child dir by VALUE (year=2021 and year=02021
+    // both parse to 2021) — robust to whether the writer's partition
+    // column was an INT ("month=3") or a formatted STRING ("month=03").
+    def child(parent: Path, colName: String, value: Int): Option[Path] =
+      if (!fs.exists(parent)) None
+      else fs.listStatus(parent).collectFirst {
+        case st if st.isDirectory &&
+          st.getPath.getName.startsWith(s"$colName=") &&
+          scala.util.Try(st.getPath.getName.stripPrefix(s"$colName=").trim.toInt)
+            .toOption.contains(value) => st.getPath
+      }
+    def hasDataFiles(dir: Path): Boolean =
+      fs.exists(dir) && fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && st.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }
+
+    val monthDir = child(new Path(path), "year", year)
+      .flatMap(child(_, "month", month))
+
+    // Complete an interrupted swap: temp sibling present + live dir
+    // without data files ⇒ the previous run crashed after the delete.
+    monthDir.foreach { m =>
+      fs.listStatus(m).collectFirst {
+        case st if st.isDirectory &&
+          st.getPath.getName.startsWith(".compact_tmp_day=") &&
+          scala.util.Try(st.getPath.getName.stripPrefix(".compact_tmp_day=").trim.toInt)
+            .toOption.contains(day) => st.getPath
+      }.foreach { tmp =>
+        val live = new Path(m, tmp.getName.stripPrefix(".compact_tmp_"))
+        if (!hasDataFiles(live)) {
+          fs.delete(live, true)
+          if (!fs.rename(tmp, live))
+            throw new java.io.IOException(s"compaction recovery failed: $tmp -> $live")
+        }
+        // else: stale temp from a crash BEFORE the delete — the live
+        // partition is intact; the rewrite below clears the leftover.
+      }
+    }
+
     val part = spark.read.parquet(path)
       .filter(col("year") === year && col("month") === month && col("day") === day)
-    val inputs = part.inputFiles
-    if (inputs.isEmpty) return 0
-    // the partition's actual directory (robust to value formatting)
-    val partDir = new org.apache.hadoop.fs.Path(inputs.head).getParent
-    val tmpDir = new org.apache.hadoop.fs.Path(
-      partDir.getParent, s".compact_tmp_${partDir.getName}")
-    val fs = partDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (part.inputFiles.isEmpty) return 0
+    val partDir = monthDir.flatMap(child(_, "day", day)).getOrElse(
+      new Path(part.inputFiles.head).getParent)
+    val tmpDir = new Path(partDir.getParent, s".compact_tmp_${partDir.getName}")
     fs.delete(tmpDir, true) // stale leftover from a previous crash
     val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).toInt.max(1)

@@ -99,6 +99,21 @@ class WarehouseSpec extends SparkTestBase {
     // idempotent: compacting again is a no-op rewrite
     assert(Warehouse.compactPartition(spark, s"$tmp/wh", 2021, 3, 5) == 1)
     assert(spark.read.parquet(s"$tmp/wh").count() == 8)
+
+    // crash recovery: simulate dying between delete(partDir) and
+    // rename(tmp, partDir) — the partition's data survives ONLY in the
+    // hidden temp sibling. A re-run must complete the swap instead of
+    // declaring the partition empty.
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/wh")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$tmp/wh/year=2021/month=3/day=5")
+    val orphan = new org.apache.hadoop.fs.Path(s"$tmp/wh/year=2021/month=3/.compact_tmp_day=5")
+    assert(fs.rename(live, orphan)) // the mid-swap crash state
+    assert(!fs.exists(live)) // scans can't see the hidden orphan
+    assert(Warehouse.compactPartition(spark, s"$tmp/wh", 2021, 3, 5) == 1)
+    assert(!fs.exists(orphan))
+    assert(spark.read.parquet(s"$tmp/wh").orderBy("id", "timestamp")
+      .collect().map(_.toString).toSeq == rowsAfter) // recovered losslessly
   }
 
   test("bucketed tables join and aggregate with ZERO exchanges") {
