@@ -202,6 +202,10 @@ object Warehouse {
 
     // Complete an interrupted swap: temp sibling present + live dir
     // without data files ⇒ the previous run crashed after the delete.
+    // Promotion requires a COMPLETE temp (job-commit _SUCCESS marker +
+    // data files — this method guarantees the marker on its own writes
+    // below, independent of committer conf); a marker-less temp is a
+    // mid-write leftover and is deleted, never swapped into place.
     monthDir.foreach { m =>
       fs.listStatus(m).collectFirst {
         case st if st.isDirectory &&
@@ -209,32 +213,48 @@ object Warehouse {
           scala.util.Try(st.getPath.getName.stripPrefix(".compact_tmp_day=").trim.toInt)
             .toOption.contains(day) => st.getPath
       }.foreach { tmp =>
+        val complete = fs.exists(new Path(tmp, "_SUCCESS")) && hasDataFiles(tmp)
         val live = new Path(m, tmp.getName.stripPrefix(".compact_tmp_"))
-        if (!hasDataFiles(live)) {
+        if (!complete) {
+          fs.delete(tmp, true) // partial write — live (if any) is the truth
+        } else if (!hasDataFiles(live)) {
           fs.delete(live, true)
           if (!fs.rename(tmp, live))
             throw new java.io.IOException(s"compaction recovery failed: $tmp -> $live")
         }
-        // else: stale temp from a crash BEFORE the delete — the live
-        // partition is intact; the rewrite below clears the leftover.
+        // else: stale complete temp from a crash BEFORE the delete — the
+        // live partition is intact; the rewrite below clears the leftover.
       }
     }
 
-    val part = spark.read.parquet(path)
-      .filter(col("year") === year && col("month") === month && col("day") === day)
-    if (part.inputFiles.isEmpty) return 0
-    val partDir = monthDir.flatMap(child(_, "day", day)).getOrElse(
-      new Path(part.inputFiles.head).getParent)
+    // Resolve the target partition dir strictly by name. NEVER fall back
+    // to the scan's input files: Dataset.inputFiles is not partition-
+    // pruned for path-based parquet reads, so its head can belong to a
+    // DIFFERENT day — compacting an absent day would then delete an
+    // unrelated partition. Absent or data-less target day ⇒ nothing to
+    // compact (the emptiness check is scoped to this one directory, not
+    // the warehouse-global file list).
+    val partDir = monthDir.flatMap(child(_, "day", day)) match {
+      case Some(d) if hasDataFiles(d) => d
+      case _ => return 0
+    }
     val tmpDir = new Path(partDir.getParent, s".compact_tmp_${partDir.getName}")
     fs.delete(tmpDir, true) // stale leftover from a previous crash
+    // Read the one partition directory directly — partition values live
+    // in the directory name, not the files, and a leaf-dir read skips
+    // the warehouse-global listing a basePath+filter read would do.
+    val part = spark.read.parquet(partDir.toString)
     val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).toInt.max(1)
-    // partition values live in the directory name, not the files
-    part.drop("year", "month", "day")
+    part
       .repartitionByRange(nFiles, col("id"), col("timestamp"))
       .sortWithinPartitions(col("id"), col("timestamp"))
       .write.mode(SaveMode.Overwrite)
       .parquet(tmpDir.toString)
+    // Guarantee the completeness marker recovery keys on, even under a
+    // committer configured with marksuccessfuljobs=false.
+    val marker = new Path(tmpDir, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
     fs.delete(partDir, true)
     if (!fs.rename(tmpDir, partDir))
       throw new java.io.IOException(s"compaction swap failed: $tmpDir -> $partDir")

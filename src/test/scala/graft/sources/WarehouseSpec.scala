@@ -116,6 +116,55 @@ class WarehouseSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq == rowsAfter) // recovered losslessly
   }
 
+  test("compacting an absent day never touches other partitions") {
+    val tmp = Files.createTempDirectory("graft-compact-miss").toString
+    Seq(("GOOD", "1", "2021/03/06 00:00:01.000000", "status", "m1", 2021, 3, 6))
+      .toDF("quality", "value", "timestamp", "tag", "id", "year", "month", "day")
+      .write.partitionBy("year", "month", "day").parquet(s"$tmp/wh")
+    val before = spark.read.parquet(s"$tmp/wh").collect().map(_.toString).toSeq
+
+    // day=7 has no data: must be a no-op — in particular it must NOT
+    // resolve the partition dir from the (un-pruned) scan input files,
+    // which would point at day=6 and destroy it.
+    assert(Warehouse.compactPartition(spark, s"$tmp/wh", 2021, 3, 7) == 0)
+    assert(new java.io.File(s"$tmp/wh/year=2021/month=3/day=6").exists())
+    assert(spark.read.parquet(s"$tmp/wh").collect().map(_.toString).toSeq == before)
+
+    // absent month / absent year are equally inert
+    assert(Warehouse.compactPartition(spark, s"$tmp/wh", 2021, 4, 6) == 0)
+    assert(Warehouse.compactPartition(spark, s"$tmp/wh", 2022, 3, 6) == 0)
+    assert(spark.read.parquet(s"$tmp/wh").collect().map(_.toString).toSeq == before)
+  }
+
+  test("recovery never promotes a partial temp (no _SUCCESS)") {
+    val tmp = Files.createTempDirectory("graft-compact-partial").toString
+    Seq(("GOOD", "1", "2021/03/05 00:00:01.000000", "status", "m1", 2021, 3, 5))
+      .toDF("quality", "value", "timestamp", "tag", "id", "year", "month", "day")
+      .write.partitionBy("year", "month", "day").parquet(s"$tmp/wh")
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/wh")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(s"$tmp/wh/year=2021/month=3/.compact_tmp_day=5")
+
+    // Mid-write temp (data file but no _SUCCESS) while the live dir is
+    // intact: the temp is garbage — compaction must discard it and
+    // rewrite from the live partition.
+    fs.mkdirs(orphan)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(orphan, "part-junk.parquet"), true)
+    junk.write("not parquet".getBytes("UTF-8")); junk.close()
+    assert(Warehouse.compactPartition(spark, s"$tmp/wh", 2021, 3, 5) == 1)
+    assert(!fs.exists(orphan))
+    assert(spark.read.parquet(s"$tmp/wh").count() == 1)
+
+    // Mid-write temp with the live dir gone (external clear during a
+    // write): promotion would install partial data as the live
+    // partition — require the temp be deleted and the day read as empty.
+    val live = new org.apache.hadoop.fs.Path(s"$tmp/wh/year=2021/month=3/day=5")
+    assert(fs.rename(live, orphan))
+    fs.delete(new org.apache.hadoop.fs.Path(orphan, "_SUCCESS"), false)
+    assert(Warehouse.compactPartition(spark, s"$tmp/wh", 2021, 3, 5) == 0)
+    assert(!fs.exists(orphan) && !fs.exists(live))
+  }
+
   test("bucketed tables join and aggregate with ZERO exchanges") {
     val facts = graft.sources.Tables.telemetry(spark, "/root/testdata/sf0.001")
       .select($"machineId", $"es", $"status", $"cnt")
