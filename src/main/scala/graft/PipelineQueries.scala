@@ -664,14 +664,17 @@ object PipelineQueries {
     // probe their second-nearest cell (margin-based ghost rows), so
     // near-dup pairs straddling a cell boundary are no longer missed.
     // Pair space grows only by the boundary fraction; verdicts still
-    // keyed to each vector's HOME cell. Generated oracle mirrors the
-    // expansion rule exactly.
+    // keyed to each vector's HOME cell. The margin-expanded cells are
+    // strictly LARGER than e3's, so they get the same boundCells
+    // per-cell cap (keyed by subcell) — without it one mode-skewed
+    // cell reintroduces the quadratic |cell|² blowup the cap closes.
+    // Generated oracle mirrors expansion AND cap exactly.
     "e5_semdedup_xcell" -> ((s, d) => {
-      val exp = Similarity.assignCellsWithMargin(
-        Tables.embeddings(s, d), ivfCentroids(s, d), XcellMargin)
-      val l = exp.select(col("cell"), col("vec_id").as("_ida"), col("embedding").as("_va"))
-      val r = exp.select(col("cell"), col("vec_id").as("_idb"), col("embedding").as("_vb"))
-      val dropped = l.join(r, Seq("cell"))
+      val exp = Similarity.boundCells(Similarity.assignCellsWithMargin(
+        Tables.embeddings(s, d), ivfCentroids(s, d), XcellMargin), MaxCellPairSide)
+      val l = exp.select(col("subcell"), col("vec_id").as("_ida"), col("embedding").as("_va"))
+      val r = exp.select(col("subcell"), col("vec_id").as("_idb"), col("embedding").as("_vb"))
+      val dropped = l.join(r, Seq("subcell"))
         .filter(col("_ida") < col("_idb") &&
           round(Similarity.cosine(col("_va"), col("_vb")), 6) >= 0.35)
         .select(col("_idb").as("vec_id")).distinct()
@@ -696,14 +699,17 @@ object PipelineQueries {
     }),
 
     // e4 with the same cross-cell ghost probe: candidate (src, dst)
-    // pairs from any shared probed cell, deduped before the one rank
-    // window per src — boundary vectors recover their true cross-cell
-    // neighbors.
+    // pairs from any shared probed SUB-cell (margin expansion composed
+    // with the boundCells per-cell cap, as in e5), deduped before the
+    // one rank window per src — boundary vectors recover their true
+    // cross-cell neighbors at a pair cost that stays bounded under
+    // mode skew.
     "e6_knn_graph_xcell" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val exp = Similarity.assignCellsWithMargin(emb, ivfCentroids(s, d), XcellMargin)
-      val cand = exp.select(col("cell"), col("vec_id").as("src"))
-        .join(exp.select(col("cell"), col("vec_id").as("dst")), Seq("cell"))
+      val exp = Similarity.boundCells(Similarity.assignCellsWithMargin(
+        emb, ivfCentroids(s, d), XcellMargin), MaxCellPairSide)
+      val cand = exp.select(col("subcell"), col("vec_id").as("src"))
+        .join(exp.select(col("subcell"), col("vec_id").as("dst")), Seq("subcell"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst")).distinct()
       val w = org.apache.spark.sql.expressions.Window
@@ -1565,7 +1571,14 @@ object PipelineQueries {
        |  FROM embeddings e CROSS JOIN centroids c),
        |expanded AS (
        |  SELECT neighbor_id, embedding, cell, home_cell FROM assigned2
-       |  WHERE rnk = 1 OR (rnk = 2 AND dd - dmin <= $margin))""".stripMargin
+       |  WHERE rnk = 1 OR (rnk = 2 AND dd - dmin <= $margin)),
+       |xcellsizes AS (SELECT cell, count(*) AS cn FROM expanded GROUP BY 1),
+       |boundedx AS (
+       |  SELECT a.neighbor_id, a.embedding, a.cell, a.home_cell,
+       |    CAST(a.cell AS VARCHAR) || '_' ||
+       |    CAST(${md5Hash32Sql("CAST(a.neighbor_id AS VARCHAR)")} %
+       |         CAST(ceil(cn / $MaxCellPairSide.0) AS BIGINT) AS VARCHAR) AS subcell
+       |  FROM expanded a JOIN xcellsizes USING (cell))""".stripMargin
   }
 
   private def semDedupXcellOracleSql(centroids: Seq[(Int, Seq[Float])],
@@ -1573,8 +1586,8 @@ object PipelineQueries {
     s"""WITH ${xcellCtesSql(centroids, margin)},
        |dropped AS (
        |  SELECT DISTINCT b.neighbor_id AS vec_id
-       |  FROM expanded a JOIN expanded b
-       |    ON a.cell = b.cell AND a.neighbor_id < b.neighbor_id
+       |  FROM boundedx a JOIN boundedx b
+       |    ON a.subcell = b.subcell AND a.neighbor_id < b.neighbor_id
        |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $threshold)
        |SELECT h.neighbor_id AS vec_id, h.home_cell AS cell,
        |  (d.vec_id IS NOT NULL) AS dropped
@@ -1586,8 +1599,8 @@ object PipelineQueries {
     s"""WITH ${xcellCtesSql(centroids, margin)},
        |cand AS (
        |  SELECT DISTINCT a.neighbor_id AS src, b.neighbor_id AS dst
-       |  FROM expanded a JOIN expanded b
-       |    ON a.cell = b.cell AND a.neighbor_id <> b.neighbor_id)
+       |  FROM boundedx a JOIN boundedx b
+       |    ON a.subcell = b.subcell AND a.neighbor_id <> b.neighbor_id)
        |SELECT c.src, c.dst,
        |  ${cosSql("ea.embedding", "eb.embedding")} AS cosine,
        |  CAST(row_number() OVER (PARTITION BY c.src

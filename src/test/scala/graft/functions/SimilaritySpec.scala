@@ -127,6 +127,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(inert == Seq("0_0"))
   }
 
+  test("margin-expanded cells respect the boundCells cap (e5/e6 pair-space guard)") {
+    // adversarial mode-skew: every vector sits on the boundary between
+    // two near-identical centroids, so margin probing ghosts ALL of
+    // them into BOTH cells — each expanded cell is the whole corpus.
+    // The cap must still split the expanded assignment into bounded
+    // sub-cells; without it the pair space is the full |corpus|².
+    val cents = Seq(0 -> Seq(1f, 0.001f), 1 -> Seq(1f, -0.001f))
+    val emb = (0L until 400L).map(i => (i, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val exp = Similarity.assignCellsWithMargin(emb, cents, margin = 0.05)
+    assert(exp.count() == 800) // every vector ghosted into the other cell
+    val cap = 50
+    val sizes = Similarity.boundCells(exp, cap)
+      .groupBy("subcell").count().as[(String, Long)].collect()
+    val maxSub = sizes.map(_._2).max
+    assert(maxSub <= 2L * cap, s"expanded-cell hash split left a $maxSub-row sub-cell")
+    val pairSpace = sizes.map(s => s._2 * s._2).sum
+    assert(pairSpace <= 800L * 800L / 5, s"xcell pair space $pairSpace not bounded")
+    // home rows survive the cap unchanged: one per vector, cell == home
+    val homes = Similarity.boundCells(exp, cap)
+      .filter(col("cell") === col("home_cell")).select("vec_id").distinct().count()
+    assert(homes == 400)
+  }
+
   test("int8 quantization: values bounded, reconstruction preserves direction") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Similarity.quantizeInt8(emb, "embedding")
