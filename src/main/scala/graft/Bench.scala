@@ -115,19 +115,28 @@ object Bench {
       if (spreads.isEmpty) ("", 0.0) else spreads.maxBy(_._2)
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2.min).sum
+    // The consumer keeps only the LAST ~2000 bytes of this process's
+    // output (sbt's ~85 B success line included), and 91 full query
+    // names alone are ~2.1 KB — no precision tier can fit them, which
+    // is exactly how two rounds of artifacts lost the line's head and
+    // parsed as null. Every query name starts with a unique short id
+    // ("d11_bloom_decontaminate" → "d11"), so the machine-readable
+    // line keys on those ids (verified unique; full name kept on
+    // collision) and the full-name map goes on a PREFIXED diagnostic
+    // line that can truncate harmlessly.
+    val shortKey: Map[String, String] = {
+      val pref = ok.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+      val counts = pref.values.groupBy(identity).map { case (p, g) => p -> g.size }
+      pref.map { case (k, p) => k -> (if (counts(p) == 1) p else k) }
+    }
     def line(fmt: Double => String, lean: Boolean) = {
-      val qmap = ok.map { case (k, ts) => "\"" + k + "\":" + fmt(ts.min) }
+      val qmap = ok.map { case (k, ts) => "\"" + shortKey(k) + "\":" + fmt(ts.min) }
         .mkString("{", ",", "}")
       val sfOut = if (lean) sfDir.split('/').last else sfDir
       val extras = if (lean) ""
-        else s""","samples":$samples,"spread_max":${fmt(spreadMax)},"spread_argmax":"$spreadArgmax","calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qmap$extras,"loud_window":$loudWindow,"failed":$failedJson,"sf":"$sfOut"}"""
+        else s""","samples":$samples,"spread_max":${fmt(spreadMax)},"spread_argmax":"${shortKey.getOrElse(spreadArgmax, spreadArgmax)}","calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","keys":"query id prefix","queries":$qmap$extras,"loud_window":$loudWindow,"failed":$failedJson,"sf":"$sfOut"}"""
     }
-    // consumer keeps the last 2000 bytes of output and the sbt success
-    // line (~85 B) follows: degrade — fewer decimals, then drop the
-    // diagnostic fields (they're on the BENCH_SPREAD line anyway) —
-    // rather than let a longer query list truncate the line's head out
-    // of the window
     val f2 = (d: Double) => "%.2f".format(d)
     // 2-significant-digit adaptive precision: "0.12" / "1.2" / "12" —
     // keeps resolution on sub-second queries where a flat 1-decimal
@@ -137,6 +146,11 @@ object Bench {
       else if (d < 9.95) "%.1f".format(d)
       else "%.0f".format(d)
     val f1 = (d: Double) => "%.1f".format(d)
+    // full-name, full-precision record for humans (prefix keeps it out
+    // of the consumer's JSON-line scan; truncation loses nothing the
+    // final line doesn't carry)
+    println("BENCH_FULL " + ok.map { case (k, ts) => "\"" + k + "\":" + f3(ts.min) }
+      .mkString("{", ",", "}"))
     println(Seq(line(f3, lean = false), line(f2, lean = false),
         line(f2, lean = true), line(fsig, lean = true), line(f1, lean = true))
       .find(_.length <= 1870).getOrElse(line(f1, lean = true)))

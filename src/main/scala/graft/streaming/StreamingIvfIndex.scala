@@ -110,16 +110,57 @@ object StreamingIvfIndex {
   }
 
   /** Fold accumulated per-batch appends (and replay duplicates) into
-   * one clean copy. Staged like [[StreamingNearDedup.compactStore]]:
-   * the collapsed corpus is fully materialized to a staging dir
-   * first, so the overwrite of the live dir never recomputes lineage
-   * from files it is itself deleting. */
+   * one clean copy, with the same write-then-swap + crash-recovery
+   * discipline as [[graft.sources.Warehouse.compactPartition]]: the
+   * collapsed corpus is fully written to a hidden temp sibling
+   * (stamped with a job-commit `_SUCCESS` marker this method
+   * guarantees), and only then is the live dir replaced by a rename —
+   * so the overwrite never recomputes lineage from files it is itself
+   * deleting, a task retry never sees a half-replaced live dir, and a
+   * crash between the delete and the rename leaves the data durable
+   * in the temp. On entry an interrupted swap is completed (complete
+   * temp + data-less live dir → rename back); a marker-less temp is a
+   * mid-write leftover and is deleted, never promoted. The temp is
+   * removed on success — nothing lingers between compactions.
+   *
+   * QUIESCE REQUIREMENT: detach or drain the stream (no concurrent
+   * [[processBatch]]) for the duration of the call — rows appended to
+   * the live dir after the staging read would be dropped by the swap.
+   * The checkpoint makes the stopped window lossless: on re-attach
+   * the source replays from the last committed offset. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val staged = s"$path/corpus-staged"
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$path/corpus")
+    val tmp = new Path(s"$path/.compact_tmp_corpus")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasDataFiles(dir: Path): Boolean =
+      fs.exists(dir) && fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) !n.startsWith("_") && !n.startsWith(".") && hasDataFiles(st.getPath)
+        else st.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+      }
+
+    if (fs.exists(tmp)) {
+      val complete = fs.exists(new Path(tmp, "_SUCCESS")) && hasDataFiles(tmp)
+      if (!complete) {
+        fs.delete(tmp, true) // partial stage — live (if any) is the truth
+      } else if (!hasDataFiles(live)) {
+        fs.delete(live, true) // crashed mid-swap: complete the rename
+        if (!fs.rename(tmp, live))
+          throw new java.io.IOException(s"compaction recovery failed: $tmp -> $live")
+        return // the recovered corpus IS the compacted one
+      } else {
+        fs.delete(tmp, true) // stale complete stage; restage fresh below
+      }
+    }
+
     servingCorpus(spark, path)
       .withColumn("batch_id", lit(PreHistoryBatchId))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(staged)
-    spark.read.parquet(staged)
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/corpus")
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp.toString)
+    val marker = new Path(tmp, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
+    fs.delete(live, true)
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $live")
   }
 }

@@ -57,6 +57,43 @@ class StreamingIvfIndexSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("compaction survives a mid-swap crash; partial stages are never promoted") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-crash").toString + "/ix"
+    StreamingIvfIndex.bootstrap(emb.filter(col("vec_id") < 400), path)
+    val centroids = Similarity.loadIvfCentroids(spark, path)
+    StreamingIvfIndex.processBatch(
+      emb.filter(col("vec_id") >= 400), centroids, path, batchId = 0L)
+    val queries = emb.filter(col("vec_id") < 10)
+    val expected = StreamingIvfIndex.topKIndexed(spark, path, queries, k = 5, nProbe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    StreamingIvfIndex.compact(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact_tmp_corpus")
+    assert(!fs.exists(tmp), "temp stage must be cleaned up on success")
+
+    // crash between delete(live) and rename: the corpus survives ONLY
+    // in the complete hidden stage. A re-run must finish the swap.
+    assert(fs.rename(live, tmp))
+    assert(!fs.exists(live))
+    StreamingIvfIndex.compact(spark, path)
+    assert(fs.exists(live) && !fs.exists(tmp))
+    assert(StreamingIvfIndex.topKIndexed(spark, path, queries, k = 5, nProbe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet == expected)
+
+    // a marker-less (mid-write) stage is garbage: discarded, and the
+    // intact live corpus recompacted from itself
+    fs.mkdirs(tmp)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(tmp, "cell=0/part-junk.parquet"), true)
+    junk.write("not parquet".getBytes("UTF-8")); junk.close()
+    StreamingIvfIndex.compact(spark, path)
+    assert(!fs.exists(tmp))
+    assert(StreamingIvfIndex.topKIndexed(spark, path, queries, k = 5, nProbe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet == expected)
+  }
+
   test("serving scan prunes to probed cell partitions; e2e attach via MemoryStream") {
     val path = java.nio.file.Files.createTempDirectory("ivf-stream").toString + "/ix"
     val checkpoint = java.nio.file.Files.createTempDirectory("ivf-chk").toString
