@@ -29,6 +29,12 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // Each query is an independent pipeline; the composed dedup/ANN
+        // operators return caller-owned persisted results (Dedup
+        // .ownStages contract) that a map-driven harness can't
+        // individually release — drop them per query, as Bench does,
+        // so caches never accumulate across the 91-query pass.
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

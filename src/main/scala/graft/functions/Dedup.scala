@@ -516,7 +516,7 @@ object Dedup {
    * duplicate CLUSTERS into a kept/dropped decision (the real dedup
    * pipelines keep the best page of a near-dup cluster, not an
    * arbitrary one): label clusters over the near-dup `pairs` via
-   * [[connectedComponents]], attach a per-doc score, and mark the
+   * [[connectedComponentsAuto]], attach a per-doc score, and mark the
    * best-scored doc of each cluster canonical (score DESC, id ASC
    * tie-break). Docs in no pair are their own singleton cluster and
    * always canonical — no document is silently lost.
@@ -531,7 +531,7 @@ object Dedup {
       pairs: DataFrame, aCol: String, bCol: String,
       scores: DataFrame, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = connectedComponents(pairs, aCol, bCol)
+    val clusters = connectedComponentsAuto(pairs, aCol, bCol)
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -686,9 +686,9 @@ object Dedup {
    * Rounds needed = graph diameter. LSH/Jaccard dup clusters are
    * near-cliques (diameter ≲ 2-3), so this converges in a handful of
    * rounds at any corpus size; for adversarial long-chain graphs the
-   * swap-in is the alternating large-star/small-star algorithm
-   * (Kiveris et al., "Connected Components in MapReduce", 2014) with
-   * its O(log n) round bound.
+   * swap-in is [[connectedComponentsStar]] (alternating large-star/
+   * small-star, O(log² n) rounds) — [[connectedComponentsAuto]]
+   * dispatches between the two on pair count.
    *
    * Each round the label frontier is CHECKPOINTED — iterative
    * DataFrame algorithms otherwise grow the logical plan every round,
@@ -736,6 +736,110 @@ object Dedup {
     edges.unpersist()
     labels
   }
+
+  /**
+   * Alternating large-star/small-star connected components (Kiveris
+   * et al., "Connected Components in MapReduce and Beyond", 2014) —
+   * the O(log² n)-round swap-in for [[connectedComponents]]'s
+   * O(diameter) min-label propagation. Same output contract: (id,
+   * component = min id reachable), bit-identical labels, so oracles
+   * pinned to the min-label form hold unchanged.
+   *
+   * Per round, over the canonical undirected edge set (hi > lo):
+   *  - LARGE-STAR: for every node u, every strictly larger neighbor
+   *    v > u is re-attached to m(u) = min(N(u) ∪ {u}). One groupBy +
+   *    one join, both keyed on the node.
+   *  - SMALL-STAR: orienting each edge toward its larger endpoint,
+   *    every node u re-attaches its smaller neighbors AND itself to
+   *    m(u) = min of its smaller neighborhood. Same shuffle shape.
+   * Both steps preserve connectivity and the node set; the fixpoint
+   * is a disjoint union of stars centered at each component's min,
+   * read off as labels directly. Convergence is set equality between
+   * rounds (|E ∪ E'| = |E| = |E'|) — one distinct-union count, no
+   * second join. Frontiers are checkpointed exactly like
+   * [[connectedComponents]] (reliable dir if configured, else local)
+   * to keep plans flat across rounds.
+   *
+   * Use over min-label when clusters can CHAIN (transitive near-dup
+   * bridges, contaminated crawls): a length-d path costs min-label d
+   * rounds but this ~log d. [[connectedComponentsAuto]] dispatches on
+   * edge count.
+   */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // node set up front: star rounds rewire edges, but labels must
+    // cover every id that appeared in the input (centers included)
+    val nodes = materialize(
+      pairs.select(col(aCol).as("id")).unionByName(pairs.select(col(bCol).as("id")))
+        .distinct())
+    var edges = materialize(
+      pairs.select(greatest(col(aCol), col(bCol)).as("hi"),
+          least(col(aCol), col(bCol)).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct())
+    var edgeCount = edges.count()
+    var stable = edgeCount == 0L
+    var iter = 0
+    while (!stable && iter < maxIter) {
+      // LARGE-STAR over both orientations
+      val dir = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mTab = dir.groupBy(col("u"))
+        .agg(min(col("v")).as("_nm"))
+        .select(col("u"), least(col("_nm"), col("u")).as("_m"))
+      val ls = dir.join(mTab, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("_m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // SMALL-STAR on the large-star output (edges already oriented
+      // hi > lo = "toward the larger endpoint")
+      val m2 = ls.groupBy(col("hi")).agg(min(col("lo")).as("_m"))
+      val ss = ls.join(m2, "hi")
+        .select(col("lo").as("hi2"), col("_m").as("lo2"))
+        .unionByName(ls.join(m2, "hi")
+          .select(col("hi").as("hi2"), col("_m").as("lo2")).distinct())
+        .filter(col("hi2") =!= col("lo2"))
+        .select(col("hi2").as("hi"), col("lo2").as("lo")).distinct()
+      val next = materialize(ss)
+      val nextCount = next.count()
+      // set equality: |E ∪ E'| == |E| == |E'|
+      stable = nextCount == edgeCount &&
+        next.unionByName(edges).distinct().count() == edgeCount
+      edges.unpersist()
+      edges = next
+      edgeCount = nextCount
+      iter += 1
+    }
+    // fixpoint = stars: every remaining edge is (member, center).
+    // groupBy(min) instead of a bare projection so a maxIter bailout
+    // still yields each node's best-known label, and centers /
+    // self-paired input ids come back via the left join.
+    // materialize BEFORE releasing the checkpointed inputs — local
+    // checkpoints have truncated lineage, so a lazy plan over released
+    // blocks could never recompute
+    val lbl = materialize(nodes
+      .join(edges.groupBy(col("hi").as("id")).agg(min(col("lo")).as("_c")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("_c"), col("id")).as("component")))
+    edges.unpersist(); nodes.unpersist()
+    lbl
+  }
+
+  /** Dispatch between [[connectedComponents]] (min-label, O(diameter)
+   * rounds — unbeatable on near-clique dup clusters) and
+   * [[connectedComponentsStar]] (O(log² n) rounds — safe under
+   * chaining) on the observed pair count: past `starFrom` edges the
+   * graph is big enough that one long chain would dominate the job,
+   * and the star rounds' extra per-round shuffle is cheap insurance.
+   * Labels are identical either way, so callers (and oracles) cannot
+   * observe the dispatch. */
+  def connectedComponentsAuto(pairs: DataFrame, aCol: String, bCol: String,
+      starFrom: Long = 1000000L): DataFrame =
+    if (pairs.limit((starFrom + 1).min(Int.MaxValue).toInt).count() > starFrom)
+      connectedComponentsStar(pairs, aCol, bCol)
+    else connectedComponents(pairs, aCol, bCol)
 
   /** Deterministic hyperplane weights: w(plane p, dim d) =
    * nibble1(md5(p|d)) − 7.5 sign pattern, reduced to the sign bit so

@@ -271,6 +271,45 @@ class DedupSpec extends SparkTestBase {
     assert(countFiles(new java.io.File(dir)) > 0, "no reliable checkpoint files written")
   }
 
+  test("alternating-star CC: labels identical to min-label, path diameter >> rounds") {
+    // long path 0-1-2-...-255: diameter 255 would cost min-label 255
+    // rounds; the star rounds collapse it in O(log^2 n). maxIter = 12
+    // makes the round bound an ASSERTION — min-label at 12 rounds
+    // would still be far from converged on this graph.
+    val path = (0L until 255L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(path, "doc_a", "doc_b", maxIter = 12)
+      .as[(Long, Long)].collect().toSet
+    assert(star == (0L to 255L).map(i => (i, 0L)).toSet)
+
+    // mixed shapes: star/min-label labels agree exactly (two cliques,
+    // a bridge chain, a singleton edge, reversed orders)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (7L, 9L), (9L, 8L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (40L, 41L)).toDF("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val b = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
+
+    // d7's REAL pair set (sf0.001 near-dup pairs): label-for-label
+    // equality means the d7 oracle hash is algorithm-independent
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val real = Dedup.jaccardPairs(d, "doc_id", "text", n = 5, threshold = 0.3)
+    real.persist()
+    val ml = Dedup.connectedComponents(real, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val st = Dedup.connectedComponentsStar(real, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    real.unpersist()
+    assert(ml.nonEmpty && ml == st)
+
+    // auto dispatch picks min-label below the threshold, star above —
+    // observable only through identical labels either way
+    val auto = Dedup.connectedComponentsAuto(pairs, "doc_a", "doc_b", starFrom = 3L)
+      .as[(Long, Long)].collect().toSet
+    assert(auto == a)
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
     val v2 = v1.map(x => x * 1.001f) // near-identical direction
