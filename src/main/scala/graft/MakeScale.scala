@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
  *    "10× scaling run": it is why dedupPipeline composes exact-first).
  *
  * Usage: runMain graft.MakeScale <srcDir> <dstDir> [factor=10]
- * Output ts column is epoch-nanos BIGINT (the nanosAsLong round-trip);
- * tools/check_oracle.py re-presents it as TIMESTAMP for DuckDB.
+ * The events.ts bump adapts to the source's physical representation
+ * (epoch-nanos BIGINT under nanosAsLong, or timestamp[us]) and the
+ * output round-trips in that same representation — the adapter in
+ * [[graft.sources.Tables]] handles either.
  */
 object MakeScale {
   def main(args: Array[String]): Unit = {
@@ -57,8 +59,12 @@ object MakeScale {
     rep("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyShift)) }
     rep("events") { (df, i) =>
+      val bumped = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts") + lit(i * 1000L) // +i µs in nanos
+        case _ => expr(s"timestampadd(MICROSECOND, $i, ts)")
+      }
       df.withColumn("event_id", col("event_id") + lit(i * KeyShift))
-        .withColumn("ts", col("ts") + lit(i * 1000L)) } // +i µs in nanos
+        .withColumn("ts", bumped) }
     rep("documents") { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * KeyShift)) }
     rep("embeddings") { (df, i) =>

@@ -103,14 +103,14 @@ object SparkEntry {
     }),
 
     // P7: filter + projection pushdown (range predicate on scan).
-    // messageTimestamp is DERIVED (ts div 1e9) so its range can't reach
-    // the scan; the equivalent coarse range on the raw ts column is the
-    // pushable conjunct (the 100 TB partition-prune + residual-filter
-    // pattern). ts >= a*1e9 AND ts < (b+1)*1e9 ⟺ ts div 1e9 IN [a, b].
+    // messageTimestamp is DERIVED so its range can't reach the scan;
+    // the equivalent coarse range on the raw ts column — with literals
+    // matched to its physical type — is the pushable conjunct (the
+    // 100 TB partition-prune + residual-filter pattern).
+    // raw ts in [a, b+1) seconds ⟺ es IN [a, b].
     "p7_range_scan" -> ((s, d) => {
-      Tables.realTime(s, d)
-        .filter(col("ts_ns") >= CondenseStart * 1000000000L &&
-          col("ts_ns") < (CondenseEnd + 1) * 1000000000L &&
+      val rt = Tables.realTime(s, d)
+      rt.filter(Tables.tsRawRange(rt, CondenseStart, CondenseEnd + 1) &&
           col("id") === "STATUS_site1/area1/line1/m1" &&
           col("messageTimestamp").between(CondenseStart, CondenseEnd))
         .select(col("messageTimestamp"), col("value"), col("event_id"))
@@ -388,10 +388,11 @@ object SparkEntry {
     // purchase-day tallies, keeping users who only ever did one of
     // the two. Nullable sides surface as explicit 0 counts.
     "q8_full_outer" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.withColumn("es", Tables.tsEs(ev0))
       def days(t: String) = ev.filter(col("event_type") === t)
         .groupBy(col("user_id"))
-        .agg(countDistinct(expr("ts div 1000000000 div 86400")).as(s"${t}_days"))
+        .agg(countDistinct(expr("es div 86400")).as(s"${t}_days"))
       days("error").withColumnRenamed("user_id", "_ue")
         .join(days("purchase").withColumnRenamed("user_id", "_up"),
           col("_ue") === col("_up"), "full_outer")
@@ -405,8 +406,9 @@ object SparkEntry {
     // serves every level (no per-level re-scan). Sums carried in exact
     // integer micro-units so the double arithmetic is engine-portable.
     "x5_cube" -> ((s, d) => {
-      Tables.events(s, d)
-        .withColumn("hr", expr("(ts div 1000000000 div 3600) % 24"))
+      val ev = Tables.events(s, d)
+      ev.withColumn("es", Tables.tsEs(ev))
+        .withColumn("hr", expr("(es div 3600) % 24"))
         .withColumn("v_micro", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
         .cube(col("event_type"), col("hr"))
         .agg(count(lit(1)).as("n_events"), sum(col("v_micro")).as("value_micro"))
@@ -467,10 +469,15 @@ object SparkEntry {
             .rowsBetween(Window.unboundedPreceding, 0)).as("running_max"))
     }),
 
-    // O3: deterministic name sort surfaced as a rank
+    // O3: deterministic name sort surfaced as a rank — two-pass global
+    // rank (range-partitioned sort + zipWithIndex offsets), NOT a
+    // global Window.orderBy, which would funnel all rows through one
+    // task at scale
     "o3_name_sort_rank" -> ((s, d) => {
-      Tables.customer(s, d).select(col("c_custkey"),
-        row_number().over(Window.orderBy(col("c_name"), col("c_custkey"))).as("sort_rank"))
+      graft.functions.GlobalRank.withGlobalRank(
+          Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+          Seq(col("c_name"), col("c_custkey")), "rank_l")
+        .select(col("c_custkey"), col("rank_l").cast("int").as("sort_rank"))
     }),
 
     // O5: distinct (set semantics)

@@ -38,10 +38,19 @@ trait EmbeddingModel extends AutoCloseable {
   def dimOut: Int
   /** Preferred rows per [[embedBatch]] call (tensor batch size). */
   def maxBatch: Int
-  /** One forward pass: `inputs` is `[batch][dimIn]`, result is
+  /** One forward pass: `inputs` is `[batch][dimIn]` (at most
+   * [[maxBatch]] rows — the caller slices), result is
    * `[batch][dimOut]`, row-aligned. Must be deterministic for a given
    * input row independent of batch composition (true of any stateless
-   * forward pass; required so results are partitioning-invariant). */
+   * forward pass; required so results are partitioning-invariant).
+   *
+   * Numeric-precision contract: a real float32 runtime (ONNX) ALSO
+   * accumulates in float32, while the shipped stand-in accumulates
+   * its dot products in Double before narrowing — so parity tests
+   * tuned against the stand-in can drift at the last-ulp rounding
+   * boundary (e.g. `round(cosine, 6) >= threshold`) once a real
+   * session is plugged in. Downstream thresholds should not be set
+   * exactly AT a value the stand-in produces. */
   def embedBatch(inputs: Array[Array[Float]]): Array[Array[Float]]
   /** Release session/native resources (invoked at task completion). */
   override def close(): Unit = ()
@@ -65,6 +74,8 @@ trait EmbeddingModelLoader extends Serializable {
  */
 final case class HashProjectionModel(dimIn: Int, dimOut: Int, seed: Long,
     maxBatch: Int = 64) extends EmbeddingModel {
+  require(dimIn > 0 && dimOut > 0, s"dims must be positive: dimIn=$dimIn dimOut=$dimOut")
+  require(maxBatch > 0, s"maxBatch must be positive, got $maxBatch")
   val name = s"hash-projection-$seed"
 
   private def sign(j: Int, i: Int): Float = {
@@ -132,6 +143,10 @@ object EmbeddingPipeline {
       if (!rows.hasNext) Iterator.empty
       else {
         val model = loader.load()
+        // fail at load, not deep inside grouped(): a non-positive batch
+        // width is a misconfigured loader
+        require(model.maxBatch > 0,
+          s"model ${model.name} declares maxBatch=${model.maxBatch}; must be positive")
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => model.close()))
         rows.grouped(model.maxBatch).flatMap { batch =>
@@ -166,9 +181,19 @@ object EmbeddingPipeline {
       centroids: Seq[(Int, Seq[Float])],
       threshold: Double,
       maxCellSide: Int = 2048): DataFrame = {
-    val assigned = Similarity.boundCells(
-      Similarity.assignCells(asCorpus(embedMedia(media, loader)), centroids),
-      maxCellSide)
+    // The plan below references the assigned corpus from several
+    // branches (boundCells' per-cell count agg + join, both self-join
+    // sides, the final verdict join). PERSIST the embedding lineage
+    // once: decode + model forward pass is the dominant cost this seam
+    // exists to amortize, and recomputing it per branch would also let
+    // any model non-determinism (real GPU sessions can differ at the
+    // ulp level between runs) produce inconsistent cell assignments
+    // across branches. Mirrors how the e3 query reads its assignment
+    // from a materialized parquet table rather than a live lineage.
+    val cells = Similarity.assignCells(asCorpus(embedMedia(media, loader)), centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = Similarity.boundCells(cells, maxCellSide)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("subcell"), col("vec_id").as("_ida"),
       col("embedding").as("_va"))
     val r = assigned.select(col("subcell"), col("vec_id").as("_idb"),

@@ -62,10 +62,17 @@ object StreamingIvfIndex {
    * between rebuilds, so per-batch reloads would be waste. */
   def processBatch(batch: DataFrame, centroids: Seq[(Int, Seq[Float])],
       path: String, batchId: Long): Unit = {
-    if (batch.isEmpty) return
-    Similarity.assignCells(batch.select(col("vec_id"), col("embedding")), centroids)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$path/corpus")
+    // the batch lineage can be expensive (e.g. decode + model forward
+    // pass from StreamingMediaIngest) — cache it so the emptiness
+    // check and the append run it ONCE, not twice per micro-batch
+    val cached = batch.persist()
+    try {
+      if (!cached.isEmpty) {
+        Similarity.assignCells(cached.select(col("vec_id"), col("embedding")), centroids)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$path/corpus")
+      }
+    } finally cached.unpersist()
   }
 
   /** Attach to a streaming DataFrame of (vec_id, embedding). The

@@ -103,4 +103,31 @@ class EmbeddingModelSpec extends SparkTestBase {
         s"lowest id $minId in cell $cell must be kept")
     }
   }
+
+  test("semDedupMedia runs the model forward pass once, not once per plan branch") {
+    val s = spark
+    import s.implicits._
+    val src = (0 until 40).map(i => (i.toLong, s"amortize doc $i ${"z" * (i % 5)}")).toDF("id", "text")
+    val loader0 = HashProjectionLoader(dimIn = 16, dimOut = 8, seed = 7L)
+    val corpus = asCorpus(embedMedia(Multimodal.syntheticMedia(s, src, "id", "text"), loader0))
+    val centroids = Similarity.fitIvfCentroids(corpus, nClusters = 2)
+
+    EmbedCounters.reset()
+    val parts = 3
+    val out = semDedupMedia(
+      Multimodal.syntheticMedia(s, src.repartition(parts), "id", "text"),
+      CountingLoader(dimIn = 16, dimOut = 8, seed = 7L, batch = 8),
+      centroids, threshold = 0.99)
+    out.collect()
+    // the assigned-cells lineage is persisted before the count-agg,
+    // self-join sides, and verdict join consume it — so decode+embed
+    // executes once (<= 1 load per input partition), not ~5x
+    assert(EmbedCounters.loads.get() <= parts,
+      s"embedding lineage re-executed: ${EmbedCounters.loads.get()} loads for $parts partitions")
+  }
+
+  test("a misconfigured loader (maxBatch <= 0) fails at construction/load, not mid-task") {
+    intercept[IllegalArgumentException](HashProjectionModel(16, 8, 7L, maxBatch = 0))
+    intercept[IllegalArgumentException](HashProjectionModel(16, 8, 7L, maxBatch = -3))
+  }
 }

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class GlobalRankSpec extends SparkTestBase {
+
+  test("global rank equals the single-partition window rank (O3 semantics)") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(
+      (col("id") * 2654435761L % 997).as("k"), col("id"))
+    val expected = df.select(col("id"),
+        row_number().over(Window.orderBy(col("k"), col("id"))).cast("long").as("rn"))
+      .as[(Long, Long)].collect().toMap
+    val got = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "rn")
+      .select(col("id"), col("rn")).as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("the ranking plan has no Window and sorts range-partitioned (scale shape)") {
+    val df = spark.range(0, 10000).repartition(4).select(col("id"), (col("id") % 7).as("k"))
+    val ranked = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "rn")
+    assert(!ranked.queryExecution.executedPlan.toString.contains("Window"))
+    // the sort pre-pass plans as Exchange rangepartitioning — parallel
+    // by construction (AQE may still coalesce TINY data to one
+    // partition; what matters is there is no SinglePartition exchange)
+    val sortPlan = df.orderBy(col("k"), col("id")).queryExecution.executedPlan.toString
+    assert(sortPlan.contains("rangepartitioning"), sortPlan.take(600))
+    assert(!sortPlan.contains("SinglePartition"), sortPlan.take(600))
+    assert(ranked.count() === 10000L)
+  }
+}
