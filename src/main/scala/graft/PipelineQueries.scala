@@ -429,6 +429,27 @@ object PipelineQueries {
     "t18_ngram_novelty" -> ((s, d) =>
       Dedup.ngramNovelty(Tables.documents(s, d), "doc_id", "text", n = 3)),
 
+    // Corpus-trained char-bigram LM score (perplexity-proxy quality
+    // filter, the KenLM-filtering shape). LM stats broadcast; per-doc
+    // cost linear in characters. NOT oracle-checked: ln() differs at
+    // the last ulp across engines — semantics pinned by
+    // TextAnalysisSpec against an independent in-memory model; the
+    // nano-unit integer sums keep the result partition-deterministic,
+    // so the driver's rows-only check is stable.
+    "t19_lm_perplexity" -> ((s, d) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")),
+
+    // Leakage-safe splits: train/val/test assignment hashed on the
+    // near-dup CLUSTER id (d7's components + singleton restore) so no
+    // eval doc has a near-copy in train — the split-contamination
+    // guard every pretraining-data pipeline needs.
+    "t20_leakage_safe_splits" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.5, maxShingleFreq = Some(ShingleFreqCap))
+      Dedup.leakageSafeSplits(docs, "doc_id", pairs, "doc_a", "doc_b")
+    }),
+
     // Grouped top-k: the 3 best docs per source stream by the t17
     // logit (quality leaderboard per provenance — the report every
     // curation run ends with). One rank window; WindowGroupLimit
@@ -1052,6 +1073,33 @@ object PipelineQueries {
          |  UNION
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+
+    // d7's recursive-CTE clusters + singleton restore, then the salted
+    // md5 bucket of the CLUSTER id — identical hash arithmetic to
+    // Dedup.md5Hash32 so both engines agree exactly
+    "t20_leakage_safe_splits" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardCappedSql(0.5, ShingleFreqCap)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |  UNION
+         |  SELECT doc_b, doc_a FROM jac),
+         |reach AS (
+         |  SELECT DISTINCT src AS a, src AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |clus AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |alldocs AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+         |bk AS (
+         |  SELECT doc_id, cluster_id,
+         |    ${md5Hash32Sql("'split:' || CAST(cluster_id AS VARCHAR)")} % 100 AS b
+         |  FROM alldocs)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM bk""".stripMargin,
 
     // d7's recursive-CTE clusters + t17's logit; LEFT JOIN restores
     // singleton docs as their own cluster before the per-cluster

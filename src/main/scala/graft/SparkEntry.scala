@@ -189,6 +189,18 @@ object SparkEntry {
           col("duration_seconds"), col("duration_minutes"), col("duration_hours"))
     }),
 
+    // Beyond-reference: reliability KPIs (MTTR / MTBF per machine)
+    // from the closed status segments — the dashboard numbers the
+    // reference computes client-side from its downtime export. Double
+    // sums are exact (integer-valued durations), divisions single
+    // IEEE ops ⇒ engine-portable.
+    "x9_reliability" -> ((s, d) => {
+      val t = Tables.telemetry(s, d).select(
+        col("machineId").as("id"), lit("status").as("tag"),
+        col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
+      Downtime.reliability(Downtime.durations(t))
+    }),
+
     // J5+J6: downtime segments joined to decode + machine-info dims
     "j6_downtime_enriched" -> ((s, d) => {
       val t = Tables.telemetry(s, d).select(
@@ -609,6 +621,30 @@ object SparkEntry {
         |  CAST(next_es - es AS DOUBLE)/60 AS duration_minutes,
         |  CAST(next_es - es AS DOUBLE)/60/60 AS duration_hours
         |FROM seg WHERE next_es IS NOT NULL""".stripMargin),
+
+    "x9_reliability" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, ts_us, status AS value,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
+        |  FROM telemetry),
+        |cp AS (
+        |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
+        |seg AS (
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us, value) AS next_es
+        |  FROM cp),
+        |closed AS (
+        |  SELECT id, value, CAST(next_es - es AS DOUBLE) AS dur
+        |  FROM seg WHERE next_es IS NOT NULL),
+        |agg AS (
+        |  SELECT id AS machineId,
+        |    CAST(sum(CASE WHEN value = 'DOWN' THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+        |    sum(CASE WHEN value = 'DOWN' THEN dur ELSE 0 END) AS down_s,
+        |    sum(CASE WHEN value <> 'DOWN' THEN dur ELSE 0 END) AS up_s
+        |  FROM closed GROUP BY 1)
+        |SELECT machineId, n_down,
+        |  CASE WHEN n_down > 0 THEN down_s / n_down END AS mttr_seconds,
+        |  CASE WHEN n_down > 0 THEN up_s / n_down END AS mtbf_seconds
+        |FROM agg""".stripMargin),
 
     "j6_downtime_enriched" -> (T +
       """, series AS (

@@ -860,4 +860,41 @@ object Dedup {
     }
     bits.reduce(_ + _)
   }
+
+  /**
+   * Leakage-safe train/validation/test split assignment: every member
+   * of a near-duplicate cluster lands in the SAME split, so no eval
+   * example has a near-copy in train — the contamination mode random
+   * per-document splits cannot prevent. Clusters come from
+   * [[connectedComponents]] over the given near-dup `pairs`; documents
+   * in no pair are their own singleton cluster. The split is a
+   * deterministic md5 bucket of the CLUSTER id (salted so it is
+   * independent of the per-document sampling hashes used elsewhere):
+   * bucket < trainPct → train, < trainPct+valPct → validation, else
+   * test.
+   *
+   * Scale shape: the only non-map stages are the near-dup pair space
+   * (inverted-index bounded, inherited from the caller) and the CC
+   * label propagation (O(diameter) rounds over edges); the split
+   * itself is one broadcast-able left join (cluster labels ≪ docs)
+   * plus map-side hashing. No per-split shuffles — downstream writers
+   * partition by the `split` column.
+   *
+   * Output: (docId, cluster_id, split).
+   */
+  def leakageSafeSplits(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val clusters = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("component").as("cluster_id"))
+    val bucket = md5Hash32(concat(lit("split:"), col("cluster_id").cast("string"))) % 100
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "validation")
+          .otherwise("test"))
+  }
 }

@@ -431,4 +431,63 @@ object TextAnalysis {
       .withColumn("seq_pos", col("_base") + col("_local"))
       .drop("_batch", "_local", "_base")
   }
+
+  /**
+   * Corpus-trained character-bigram language-model score — the
+   * perplexity-proxy quality signal (CCNet/Gopher-style filtering uses
+   * a KenLM n-gram model the same way; a char bigram LM is its
+   * smallest engine-expressible form). The LM is add-one-smoothed:
+   * P(b|a) = (C(ab)+1) / (C(a·)+V), with C trained on the whole
+   * corpus and V = the number of distinct contexts (the charset-size
+   * stand-in add-one smoothing needs; any fixed V > 0 yields the same
+   * ordering, which is what a filter thresholds on).
+   *
+   * Per document: NLL = −Σ m_ab·ln P(b|a) over its bigram
+   * multiplicities m_ab, reported both as an EXACT integer nano-unit
+   * sum (each term rounded to 1e-9 BEFORE the sum, so partition order
+   * cannot flip a ulp — the same trick as the exact micro-unit sums
+   * elsewhere) and as the derived per-bigram average.
+   *
+   * Scale shape: bigram stats are one tiny aggregation (≤ charset²
+   * rows) that BROADCASTS to the per-doc join; the per-doc side is one
+   * explode + one (doc, bigram) pre-aggregation — cost linear in
+   * corpus characters, no doc-×-doc interaction anywhere. Not oracle-
+   * checked (ln is engine-specific at the last ulp); pinned by
+   * [[graft.functions.TextAnalysisSpec]] against an independent
+   * in-memory model instead.
+   *
+   * Output: (idCol, n_bigrams, nll_nanos, avg_nll) — higher avg_nll =
+   * less corpus-typical text (the filter threshold side).
+   */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val bigrams = when(length(col(textCol)) < 2, array().cast("array<string>"))
+      .otherwise(expr(
+        s"transform(sequence(1, length($textCol) - 1), i -> substring($textCol, i, 2))"))
+    // (doc, bigram) multiplicities — the only per-doc shuffle
+    val docBg = df.select(col(idCol), explode(bigrams).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("m"))
+    // corpus LM: context counts C(a·) and bigram counts C(ab); both
+    // charset-bounded ⇒ broadcast
+    val bgCounts = docBg.groupBy(col("bg")).agg(sum(col("m")).as("cab"))
+      .withColumn("ctx", substring(col("bg"), 1, 1))
+    val ctxCounts = bgCounts.groupBy(col("ctx")).agg(sum(col("cab")).as("ca"))
+    val vocab = bgCounts.select(countDistinct(col("ctx")).as("v"))
+    val lm = broadcast(
+      bgCounts.join(ctxCounts, "ctx").crossJoin(vocab)
+        .select(col("bg"), col("cab"), col("ca"), col("v")))
+    // per-term nano-rounded NLL, then exact integer sums
+    val termNll = -log((col("cab") + 1).cast("double") / (col("ca") + col("v")))
+    val scored = docBg.join(lm, "bg")
+      .withColumn("_nll_nano", floor(termNll * 1e9 + 0.5).cast("long") * col("m"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("_nll_nano")).as("nll_nanos"))
+    // restore bigram-less docs (len < 2) with NULL score
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_nanos"), lit(0L)).as("nll_nanos"),
+        when(col("n_bigrams") > 0,
+          col("nll_nanos").cast("double") / 1e9 / col("n_bigrams")).as("avg_nll"))
+  }
 }

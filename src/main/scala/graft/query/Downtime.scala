@@ -90,4 +90,34 @@ object Downtime {
       .select("id", "tag", "value", "quality", "timestamp",
         "duration_seconds", "duration_minutes", "duration_hours",
         "machine_name", "location", "line")
+
+  /**
+   * Reliability KPIs per machine from closed status segments (the
+   * dashboard numbers the reference computes client-side from its
+   * downtime export — create-quicksight.ts visual family): MTTR =
+   * mean DOWN-segment duration, MTBF = total non-DOWN time per
+   * failure. Input is [[durations]] output; the trailing open segment
+   * is already excluded there, so both sides of every ratio are
+   * closed-interval sums.
+   *
+   * Determinism note: `duration_seconds` is integer-valued (epoch-s
+   * differences), so the double sums are exact in any partition
+   * order, and the final divisions are single IEEE ops on exact
+   * integers — engine-portable. Machines with zero DOWN segments are
+   * emitted with NULL mttr/mtbf (no failures ⇒ undefined, matching
+   * SQL's NULL-on-no-rows aggregation semantics via null-safe when).
+   */
+  def reliability(durationsDf: DataFrame, downValue: String = "DOWN"): DataFrame =
+    durationsDf
+      .groupBy(col("id").as("machineId"))
+      .agg(
+        sum(when(col("value") === downValue, 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("value") === downValue, col("duration_seconds"))
+          .otherwise(lit(0.0))).as("_down_s"),
+        sum(when(col("value") =!= downValue, col("duration_seconds"))
+          .otherwise(lit(0.0))).as("_up_s"))
+      .select(
+        col("machineId"), col("n_down"),
+        when(col("n_down") > 0, col("_down_s") / col("n_down")).as("mttr_seconds"),
+        when(col("n_down") > 0, col("_up_s") / col("n_down")).as("mtbf_seconds"))
 }

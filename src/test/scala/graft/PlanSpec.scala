@@ -48,6 +48,20 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!p.contains("SinglePartition"), p.take(800))
   }
 
+  test("bigram LM stats broadcast to the per-doc join (T19)") {
+    val p = plan("t19_lm_perplexity")
+    // the charset-bounded LM table must broadcast — a shuffle join
+    // here would shuffle every (doc, bigram) row against a tiny dim
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("reliability KPIs reuse the segment window: bounded shuffles (X9)") {
+    val df = SparkEntry.queries("x9_reliability")(spark, sf)
+    // one exchange for the per-machine window spine, one for the final
+    // per-machine aggregate — nothing else
+    assert(countShuffles(df) <= 3, df.queryExecution.executedPlan.toString.take(1200))
+  }
+
   test("filter + projection pushdown on lineitem (q2)") {
     val p = plan("q2_shipdate_filter")
     assert(p.contains("PushedFilters:") && p.contains("l_shipdate"))

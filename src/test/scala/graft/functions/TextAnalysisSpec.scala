@@ -200,4 +200,66 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(hits.map(h => (h._1, h._2)).toSeq == Seq((1L, 100L)))
     assert(hits.head._4 == 1.0) // every eval shingle present in train doc 1
   }
+
+  test("bigramLmScore matches an independent in-memory LM; partition-invariant") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "zq xv jj qq zx"), // atypical text — should score high NLL
+      (4L, "the the the the the"),
+      (5L, "a"), // < 2 chars: no bigrams, NULL score
+      (6L, ""))
+    // reference model computed outside Spark
+    val texts = corpus.map(_._2)
+    val bigrams = texts.flatMap(t => t.sliding(2).filter(_.length == 2))
+    val cab = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ca = bigrams.groupBy(_.substring(0, 1)).map { case (k, v) => k -> v.size.toLong }
+    val v = ca.size.toLong
+    def nllNanos(t: String): Long = t.sliding(2).filter(_.length == 2).map { bg =>
+      val term = -math.log((cab(bg) + 1).toDouble / (ca(bg.substring(0, 1)) + v))
+      math.floor(term * 1e9 + 0.5).toLong
+    }.sum
+
+    def run(parts: Int) = {
+      val s = spark
+      import s.implicits._
+      TextAnalysis.bigramLmScore(corpus.toDF("doc_id", "text").repartition(parts),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    }
+    val got = run(3)
+    assert(got === run(7), "score must not depend on partitioning")
+    corpus.foreach { case (id, t) =>
+      val n = t.sliding(2).count(_.length == 2).toLong
+      assert(got(id)._1 === n, s"doc $id bigram count")
+      assert(got(id)._2 === nllNanos(t), s"doc $id nll_nanos vs reference model")
+    }
+    assert(got(5L) === ((0L, 0L, None)), "bigram-less doc keeps NULL score")
+    // corpus-typical text scores lower NLL than gibberish
+    assert(got(1L)._3.get < got(3L)._3.get)
+  }
+
+  test("leakageSafeSplits: cluster-consistent assignment covering every doc") {
+    val s = spark
+    import s.implicits._
+    // 3 near-dup pairs forming 2 clusters + 2 singletons
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.leakageSafeSplits(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .as[(Long, Long, String)].collect()
+    assert(out.length === 7, "every doc assigned exactly once")
+    val byDoc = out.map(r => r._1 -> (r._2, r._3)).toMap
+    // cluster labels: min member id; singletons label themselves
+    assert(byDoc(1L)._1 === 1L && byDoc(2L)._1 === 1L && byDoc(3L)._1 === 1L)
+    assert(byDoc(5L)._1 === 5L && byDoc(6L)._1 === 5L)
+    assert(byDoc(4L)._1 === 4L && byDoc(7L)._1 === 7L)
+    // THE guarantee: same cluster ⇒ same split (no train/eval leakage)
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length === 1, s"cluster $c split across sets")
+    }
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "validation", "test")))
+    intercept[IllegalArgumentException](
+      Dedup.leakageSafeSplits(docs, "doc_id", pairs, "doc_a", "doc_b", trainPct = 95, valPct = 10))
+  }
 }

@@ -33,6 +33,33 @@ class DowntimeSpec extends SparkTestBase {
     assert(d == Set(("m1", "UP", 20.0), ("m1", "DOWN", 30.0)))
   }
 
+  test("reliability: MTTR/MTBF from closed segments; no-failure machines get NULL KPIs") {
+    // m3 has two DOWN segments with an UP run between and after:
+    // UP(0..10) DOWN(10..25) UP(25..40) DOWN(40..42) UP(42..50) IDLE(50..)
+    val f = Seq(
+      ("m3", "status", "UP", "GOOD", ts(0)),
+      ("m3", "status", "DOWN", "GOOD", ts(10)),
+      ("m3", "status", "UP", "GOOD", ts(25)),
+      ("m3", "status", "DOWN", "GOOD", ts(40)),
+      ("m3", "status", "UP", "GOOD", ts(42)),
+      ("m3", "status", "IDLE", "GOOD", ts(50)),
+      // m4 never goes DOWN: closed UP segment only
+      ("m4", "status", "UP", "GOOD", ts(0)),
+      ("m4", "status", "IDLE", "GOOD", ts(30)),
+      ("m4", "status", "UP", "GOOD", ts(60)))
+      .toDF("id", "tag", "value", "quality", "timestamp")
+    val out = Downtime.reliability(Downtime.durations(f))
+      .collect().map(r => (r.getString(0),
+        r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    // m3: DOWN segs 15s + 2s → MTTR 8.5; non-DOWN closed 10+15+8=33 → MTBF 16.5
+    // m4: closed UP(30)+IDLE(30), zero DOWN → NULL KPIs
+    assert(out == Set(
+      ("m3", 2L, Some(8.5), Some(16.5)),
+      ("m4", 0L, None, None)))
+  }
+
   test("downtime join + enrichment selects DOWN segments with dims") {
     val decode = Seq(("m1", "status", "DOWN")).toDF("id", "status_tag", "down_value")
     val info = Seq(("m1", "Machine One", "site/area", "line1"))
