@@ -439,6 +439,11 @@ object PipelineQueries {
     "t19_lm_perplexity" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")),
 
+    // Gopher-style rule filter: one boolean per heuristic + the keep
+    // verdict — filter AND drop-reason report in one zero-shuffle pass
+    "t21_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")),
+
     // Leakage-safe splits: train/val/test assignment hashed on the
     // near-dup CLUSTER id (d7's components + singleton restore) so no
     // eval doc has a near-copy in train — the split-contamination
@@ -1073,6 +1078,46 @@ object PipelineQueries {
          |  UNION
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+
+    // every rule term mirrored with identical int/int arithmetic;
+    // literal-replace counts and list_filter fractions are exact in
+    // both engines
+    "t21_gopher_rules" ->
+      s"""WITH $toksCte,
+         |f AS (
+         |  SELECT doc_id, text, t,
+         |    string_split(text, chr(10)) AS ls,
+         |    len(t) AS nw,
+         |    len(string_split(text, chr(10))) AS nl,
+         |    (length(text) - length(replace(text, '#', ''))) / 1
+         |      + (length(text) - length(replace(text, '...', ''))) / 3 AS nsym
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CAST(nw AS INTEGER) AS n_words,
+         |  nw >= 50 AND nw <= 100000 AS r_word_count,
+         |  (CASE WHEN nw = 0 THEN 0.0
+         |        ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/nw END)
+         |    BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+         |  CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+         |    >= nw * 0.8 AS r_alpha_frac,
+         |  len(list_filter(t, w -> w IN ('the','a','an','and','or','of','to','in','is','it')))
+         |    >= 2 AS r_stopwords,
+         |  CAST(nsym AS DOUBLE) <= nw * 0.1 AS r_symbol_ratio,
+         |  CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')))
+         |    AS DOUBLE) <= nl * 0.9 AS r_bullet_lines,
+         |  CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
+         |    <= nl * 0.3 AS r_ellipsis_lines,
+         |  (nw >= 50 AND nw <= 100000)
+         |    AND ((CASE WHEN nw = 0 THEN 0.0
+         |          ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/nw END)
+         |         BETWEEN 3.0 AND 10.0)
+         |    AND (CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) >= nw * 0.8)
+         |    AND (len(list_filter(t, w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) >= 2)
+         |    AND (CAST(nsym AS DOUBLE) <= nw * 0.1)
+         |    AND (CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE) <= nl * 0.9)
+         |    AND (CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) <= nl * 0.3)
+         |    AS keep
+         |FROM f""".stripMargin,
 
     // d7's recursive-CTE clusters + singleton restore, then the salted
     // md5 bucket of the CLUSTER id — identical hash arithmetic to

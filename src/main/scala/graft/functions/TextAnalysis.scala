@@ -490,4 +490,49 @@ object TextAnalysis {
         when(col("n_bigrams") > 0,
           col("nll_nanos").cast("double") / 1e9 / col("n_bigrams")).as("avg_nll"))
   }
+
+  /**
+   * Gopher-style rule filter (Rae et al. 2021 §A1.1, the FineWeb/
+   * RefinedWeb heuristic family): one boolean per rule plus the
+   * conjunction verdict, so a pipeline can both filter and report WHY
+   * documents were dropped. All signals are zero-shuffle Column
+   * arithmetic (int/int divisions, literal replace counts — every
+   * term engine-portable for the DuckDB oracle):
+   *
+   *  - word count in [50, 100000]
+   *  - mean word length in [3, 10]
+   *  - ≥ 80% of words contain a letter
+   *  - ≥ 2 stopword hits
+   *  - symbol-to-word ratio ('#' chars + '...' runs) ≤ 0.1
+   *  - ≤ 90% of lines start with a bullet ("- " / "* ")
+   *  - ≤ 30% of lines end with an ellipsis
+   */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val t = tokens(text)
+    val lines = split(text, "\n")
+    def litCount(what: String, width: Int) =
+      (length(text) - length(replace(text, lit(what), lit("")))) / width
+    val nWords = size(t)
+    val nLines = size(lines)
+    val out = df.select(
+      col(idCol),
+      nWords.cast("integer").as("n_words"),
+      (nWords >= 50 && nWords <= 100000).as("r_word_count"),
+      (meanTokenLength(text) >= 3.0 && meanTokenLength(text) <= 10.0).as("r_mean_word_len"),
+      (size(filter(t, w => w.rlike("[a-z]"))).cast("double") >= nWords * 0.8)
+        .as("r_alpha_frac"),
+      (size(filter(t, w => w.isin(stopwordsEn.map(lit(_)): _*))) >= 2).as("r_stopwords"),
+      ((litCount("#", 1) + litCount("...", 3)).cast("double") <= nWords * 0.1)
+        .as("r_symbol_ratio"),
+      (size(filter(lines, l => l.startsWith("- ") || l.startsWith("* "))).cast("double")
+        <= nLines * 0.9).as("r_bullet_lines"),
+      (size(filter(lines, l => l.endsWith("..."))).cast("double") <= nLines * 0.3)
+        .as("r_ellipsis_lines"))
+    out.withColumn("keep",
+      col("r_word_count") && col("r_mean_word_len") && col("r_alpha_frac") &&
+        col("r_stopwords") && col("r_symbol_ratio") && col("r_bullet_lines") &&
+        col("r_ellipsis_lines"))
+  }
 }

@@ -240,6 +240,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(1L)._3.get < got(3L)._3.get)
   }
 
+  test("gopherRules: each heuristic fires on its crafted violation; clean doc keeps") {
+    val s = spark
+    import s.implicits._
+    val longClean = ("the quick brown fox jumps over it and all of " * 6).trim // 60 words, stopwords, letters
+    val docs = Seq(
+      (1L, longClean),                                      // passes everything
+      (2L, "the of short doc"),                             // r_word_count fails (4 words)
+      (3L, ("xx " * 60 + "the a it").trim),                 // mean len ok, alpha ok... stopwords ok
+      (4L, ("the a " + "#### " * 30 + "word " * 60).trim),  // r_symbol_ratio fails (120 '#'/92 words)
+      (5L, (("- bullet\n" * 19) + "the a plain line with " + "words " * 50).trim), // bullets on 19/20 lines
+      (6L, ("the a " + "word " * 60).trim + "...\n" + "more..." + "\nthe end..."), // 3/4... wait lines
+      (7L, ("zz " * 29 + "qq " * 30 + "the a it is").trim)) // alpha high... all letters though
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), "clean long doc must keep")
+    assert(!out(2L).getAs[Boolean]("r_word_count") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("r_symbol_ratio") && !out(4L).getAs[Boolean]("keep"))
+    assert(!out(5L).getAs[Boolean]("r_bullet_lines") && !out(5L).getAs[Boolean]("keep"))
+    assert(!out(6L).getAs[Boolean]("r_ellipsis_lines") && !out(6L).getAs[Boolean]("keep"))
+    // every rule column is a real boolean (no nulls anywhere)
+    out.values.foreach { r =>
+      Seq("r_word_count", "r_mean_word_len", "r_alpha_frac", "r_stopwords",
+        "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines", "keep")
+        .foreach(c => assert(!r.isNullAt(r.fieldIndex(c)), s"$c null for doc ${r.getLong(0)}"))
+    }
+  }
+
   test("leakageSafeSplits: cluster-consistent assignment covering every doc") {
     val s = spark
     import s.implicits._
