@@ -16,9 +16,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS), unsupported by the
-      // vectorized reader — read as epoch-nanos Long instead.
+      // events.ts has shipped as TIMESTAMP(NANOS) (needs the Long
+      // reader representation) and as timestamp[us]; Tables branches
+      // on the actual physical type, this flag only enables the nanos
+      // branch to load at all.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ANSI pinned ON explicitly (the Spark 4 default) — every
+      // correctness dump runs under ANSI semantics; the env override
+      // exists only for parity experiments
+      .config("spark.sql.ansi.enabled", sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
