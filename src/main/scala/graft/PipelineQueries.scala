@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -443,6 +443,28 @@ object PipelineQueries {
     // verdict — filter AND drop-reason report in one zero-shuffle pass
     "t21_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")),
+
+    // Distributed BPE tokenizer fitting: 12 merges learned on the
+    // word-frequency vocab (one corpus pass; iterations touch the
+    // vocab only). NOT oracle-checked — iterative argmax has no
+    // tractable SQL mirror; BpeSpec pins fit/apply against an
+    // independent reference implementation, and determinism
+    // (count DESC, lexicographic ties) keeps the rows-only check
+    // stable across runs.
+    "t22_bpe_merges" -> ((s, d) => {
+      val (merges, _) = Bpe.fit(Tables.documents(s, d), "text", nMerges = 12)
+      import s.implicits._
+      merges.toDF()
+    }),
+
+    // Apply the fitted tokenizer: per-doc subword stream via the
+    // broadcast word→segmentation join (no merge replay at apply
+    // time); OOV falls back to chars.
+    "t23_bpe_tokenize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, fitted) = Bpe.fit(docs, "text", nMerges = 12)
+      Bpe.tokenize(docs, "doc_id", "text", fitted)
+    }),
 
     // Leakage-safe splits: train/val/test assignment hashed on the
     // near-dup CLUSTER id (d7's components + singleton restore) so no

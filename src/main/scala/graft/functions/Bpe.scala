@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed BPE (byte-pair-encoding) tokenizer fitting — the
+ * "train the tokenizer on the corpus" step of a pretraining-data
+ * pipeline (Sennrich et al. 2016), done the way it scales:
+ *
+ *  1. ONE corpus pass builds the word-frequency VOCAB
+ *     (`word → count`) — after that, every merge iteration runs over
+ *     the vocab only (distinct words ≪ corpus tokens; at 100 TB the
+ *     vocab is millions of rows where the corpus is trillions).
+ *  2. Each iteration: count adjacent symbol pairs weighted by word
+ *     count (one small shuffle over the vocab), pick the argmax pair
+ *     (count DESC, then lexicographic — fully deterministic), and
+ *     merge it greedily left-to-right inside every word's symbol
+ *     array. The merge is a pure `aggregate` lambda (codegen'd fold,
+ *     no UDF); the vocab is `localCheckpoint`ed each round so the
+ *     iterative plan can't grow superlinearly (same pattern as
+ *     [[Dedup.connectedComponents]]).
+ *  3. The fitted vocab rows then HOLD each word's final segmentation,
+ *     so applying the tokenizer is a broadcast join from words to
+ *     their segment arrays — no per-token merge replay at apply time.
+ *     Out-of-vocab words fall back to character symbols.
+ *
+ * The driver-side `.collect()` per iteration is ONE row (the argmax
+ * pair) — bounded by construction.
+ *
+ * End-of-word handling: a `</w>` marker symbol is appended so merges
+ * can distinguish word-final units, the standard construction.
+ */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** One fitted merge: rank = iteration order. */
+  final case class Merge(rank: Int, left: String, right: String, merged: String, n: Long)
+
+  /** Word symbols: characters + the end-of-word marker. */
+  private def charSymbols(word: Column): Column =
+    concat(split(word, ""), array(lit(EndOfWord)))
+
+  /** Word-frequency vocab with initial character segmentation. */
+  def wordVocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms", charSymbols(col("word")))
+
+  /** Adjacent symbol pairs of `syms`, exploded: (left, right). */
+  private def adjacentPairs(syms: Column): Column =
+    when(size(syms) < 2, array().cast("array<struct<l:string,r:string>>"))
+      .otherwise(zip_with(
+        slice(syms, lit(1), size(syms) - 1),
+        slice(syms, lit(2), size(syms) - 1),
+        (a, b) => struct(a.as("l"), b.as("r"))))
+
+  /** Greedy left-to-right non-overlapping merge of the pair (l, r)
+   * inside a symbol array — the BPE inner step as a fold: append each
+   * symbol; when the accumulator tail is `l` and the incoming symbol
+   * is `r`, replace the tail with the merged symbol. Replacing the
+   * tail makes the merge non-overlapping by construction ("aaa" under
+   * merge (a,a) → [aa, a], never [aa, aa]). */
+  private def mergeInWord(syms: Column, l: String, r: String): Column = {
+    val merged = l + r
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /**
+   * Fit `nMerges` BPE merges on the corpus. Returns the merge table
+   * (rank-ordered) and the fitted vocab (word, wc, syms) whose `syms`
+   * are the post-merge segmentations.
+   */
+  def fit(df: DataFrame, textCol: String, nMerges: Int): (Seq[Merge], DataFrame) = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    // Size the vocab's partitioning to the VOCAB, not the corpus: the
+    // iterations run tens of sequential small jobs, and per-task
+    // overhead dominates when a few-thousand-row vocab is spread over
+    // the corpus-sized shuffle width. ~100k words per partition keeps
+    // executors busy at real scale and collapses to 1 task at test SF.
+    val raw = wordVocab(df, textCol)
+    val nWords = raw.count()
+    val parts = math.max(1, math.min(
+      df.sparkSession.sparkContext.defaultParallelism, (nWords / 100000L).toInt + 1))
+    var vocab = raw.repartition(parts).localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val top = vocab
+        .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, l, r, l + r, n)
+        vocab = vocab
+          .withColumn("syms", mergeInWord(col("syms"), l, r))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /**
+   * Tokenize a corpus with a fitted vocab: per-doc token ids come from
+   * the words' stored segmentations via a broadcast-able join; OOV
+   * words fall back to character symbols (exactly what rank-replay
+   * would produce for unseen words only when no merge applies — the
+   * documented contract: the vocab must be fitted on, or a superset
+   * of, the corpus being tokenized for exact BPE semantics).
+   * Output: (idCol, token, pos) — one row per emitted subword.
+   */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+      fittedVocab: DataFrame): DataFrame = {
+    val words = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("wpos", "word")))
+    words
+      .join(broadcast(fittedVocab.select(col("word"), col("syms"))), Seq("word"), "left")
+      .withColumn("syms", coalesce(col("syms"), charSymbols(col("word"))))
+      .select(col(idCol), col("wpos"),
+        posexplode(col("syms")).as(Seq("spos", "token")))
+      .select(col(idCol), col("token"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("wpos"), col("spos"))).as("pos"))
+  }
+}

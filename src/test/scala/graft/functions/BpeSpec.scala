@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.SparkTestBase
+
+/** BPE fitting pinned against an independent in-memory reference
+ * implementation of Sennrich-style merge learning. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference BPE on a word-count map: returns merges and final
+   * segmentations, with the same determinism rule (count DESC, then
+   * (l, r) lexicographic). */
+  private def referenceBpe(wordCounts: Map[String, Long],
+      nMerges: Int): (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var vocab: Map[String, (Long, Vector[String])] =
+      wordCounts.map { case (w, c) => w -> (c, w.map(_.toString).toVector :+ Bpe.EndOfWord) }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.values.foreach { case (c, syms) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pairCounts((p(0), p(1))) = pairCounts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), n) = pairCounts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        merges += ((l, r, n))
+        vocab = vocab.map { case (w, (c, syms)) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+            else out += x
+          }
+          w -> (c, out.toVector)
+        }
+        i += 1
+      }
+    }
+    (merges.result(), vocab.map { case (w, (_, syms)) => w -> syms })
+  }
+
+  private val corpus = Seq(
+    (1L, "low lower lowest low low"),
+    (2L, "new newer newest new"),
+    (3L, "low new lower newer"),
+    (4L, "wide wider widest"))
+
+  test("fitted merges and segmentations equal the reference implementation") {
+    val df = corpus.toDF("doc_id", "text")
+    val wordCounts = corpus.flatMap(_._2.split("\\s+")).groupBy(identity)
+      .map { case (w, v) => w -> v.size.toLong }
+    val (expMerges, expSegs) = referenceBpe(wordCounts, nMerges = 12)
+
+    val (gotMerges, fitted) = Bpe.fit(df, "text", nMerges = 12)
+    assert(gotMerges.map(m => (m.left, m.right, m.n)) === expMerges)
+    assert(gotMerges.map(_.rank) === (0 until gotMerges.size))
+    val gotSegs = fitted.select("word", "syms").as[(String, Seq[String])]
+      .collect().map { case (w, s) => w -> s.toVector }.toMap
+    assert(gotSegs === expSegs)
+  }
+
+  test("fit is partitioning-invariant and stops when no pairs remain") {
+    val df = corpus.toDF("doc_id", "text")
+    val a = Bpe.fit(df.repartition(1), "text", 6)._1
+    val b = Bpe.fit(df.repartition(5), "text", 6)._1
+    assert(a === b, "merges must not depend on partitioning")
+    // tiny corpus: asking for far more merges than pairs exist halts early
+    val (m, v) = Bpe.fit(Seq((1L, "ab ab")).toDF("doc_id", "text"), "text", 100)
+    assert(m.size < 100)
+    val segs = v.select("syms").as[Seq[String]].collect()
+    assert(segs === Array(Seq("ab" + Bpe.EndOfWord)), "fully merged single word")
+  }
+
+  test("tokenize replays stored segmentations; OOV words fall back to chars") {
+    val df = corpus.toDF("doc_id", "text")
+    val (_, fitted) = Bpe.fit(df, "text", 12)
+    val toks = Bpe.tokenize(
+      Seq((9L, "low newest zzz")).toDF("doc_id", "text"), "doc_id", "text", fitted)
+      .orderBy("pos").select("token").as[String].collect().toSeq
+    val gotSegs = fitted.select("word", "syms").as[(String, Seq[String])].collect().toMap
+    val expected = gotSegs("low") ++ gotSegs("newest") ++
+      Seq("z", "z", "z", Bpe.EndOfWord) // zzz unseen → char fallback
+    assert(toks === expected)
+  }
+}
