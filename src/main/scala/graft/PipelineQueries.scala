@@ -94,7 +94,7 @@ object PipelineQueries {
    * TextAnalysis.tokens). */
   private val toksCte =
     """toks AS (
-      |  SELECT doc_id, text, n_chars,
+      |  SELECT doc_id, source, text, n_chars,
       |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
       |  FROM documents)""".stripMargin
 
@@ -464,6 +464,28 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       val (_, fitted) = Bpe.fit(docs, "text", nMerges = 12)
       Bpe.tokenize(docs, "doc_id", "text", fitted)
+    }),
+
+    // Corpus card: the per-source datasheet every released dataset
+    // ships — doc/token/char counts, Gopher-keep counts, exact-dup
+    // counts — as ONE aggregation pass over the per-doc signals (all
+    // exact integers; the only shuffles are the digest pre-agg and the
+    // final per-source agg)
+    "t24_corpus_card" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      val base = docs.join(keep, "doc_id").withColumn("_dg", md5(col("text")))
+      val dgCounts = base.groupBy(col("source"), col("_dg"))
+        .agg(count(lit(1)).as("_dn"))
+      base.join(dgCounts, Seq("source", "_dg"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.bpeishTokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(when(col("_dn") > 1, 1L).otherwise(0L)).as("n_exact_dup_docs"))
     }),
 
     // Leakage-safe splits: train/val/test assignment hashed on the
@@ -1103,43 +1125,34 @@ object PipelineQueries {
 
     // every rule term mirrored with identical int/int arithmetic;
     // literal-replace counts and list_filter fractions are exact in
-    // both engines
+    // both engines (fragments shared with the t24 corpus card)
     "t21_gopher_rules" ->
       s"""WITH $toksCte,
-         |f AS (
-         |  SELECT doc_id, text, t,
-         |    string_split(text, chr(10)) AS ls,
-         |    len(t) AS nw,
-         |    len(string_split(text, chr(10))) AS nl,
-         |    (length(text) - length(replace(text, '#', ''))) / 1
-         |      + (length(text) - length(replace(text, '...', ''))) / 3 AS nsym
-         |  FROM toks)
+         |$gopherFCte
          |SELECT doc_id,
          |  CAST(nw AS INTEGER) AS n_words,
-         |  nw >= 50 AND nw <= 100000 AS r_word_count,
-         |  (CASE WHEN nw = 0 THEN 0.0
-         |        ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/nw END)
-         |    BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
-         |  CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
-         |    >= nw * 0.8 AS r_alpha_frac,
-         |  len(list_filter(t, w -> w IN ('the','a','an','and','or','of','to','in','is','it')))
-         |    >= 2 AS r_stopwords,
-         |  CAST(nsym AS DOUBLE) <= nw * 0.1 AS r_symbol_ratio,
-         |  CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')))
-         |    AS DOUBLE) <= nl * 0.9 AS r_bullet_lines,
-         |  CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
-         |    <= nl * 0.3 AS r_ellipsis_lines,
-         |  (nw >= 50 AND nw <= 100000)
-         |    AND ((CASE WHEN nw = 0 THEN 0.0
-         |          ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/nw END)
-         |         BETWEEN 3.0 AND 10.0)
-         |    AND (CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) >= nw * 0.8)
-         |    AND (len(list_filter(t, w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) >= 2)
-         |    AND (CAST(nsym AS DOUBLE) <= nw * 0.1)
-         |    AND (CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE) <= nl * 0.9)
-         |    AND (CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) <= nl * 0.3)
-         |    AS keep
+         |${gopherRuleSqls.map { case (n, e) => s"  $e AS $n," }.mkString("\n")}
+         |  $gopherKeepSql AS keep
          |FROM f""".stripMargin,
+
+    // one aggregation over the shared gopher fragments + a digest
+    // pre-count; all-integer arithmetic
+    "t24_corpus_card" ->
+      s"""WITH $toksCte,
+         |$gopherFCte,
+         |k AS (
+         |  SELECT doc_id, source, text, $gopherKeepSql AS keep FROM f),
+         |dg AS (
+         |  SELECT source, md5(text) AS d, count(*) AS dn
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT k.source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(k.text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(k.text)) AS BIGINT) AS n_chars_total,
+         |  CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN dg.dn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs
+         |FROM k JOIN dg ON k.source = dg.source AND md5(k.text) = dg.d
+         |GROUP BY 1""".stripMargin,
 
     // d7's recursive-CTE clusters + singleton restore, then the salted
     // md5 bucket of the CLUSTER id — identical hash arithmetic to
@@ -1724,6 +1737,38 @@ object PipelineQueries {
        |JOIN embeddings ea ON ea.vec_id = c.src
        |JOIN embeddings eb ON eb.vec_id = c.dst
        |QUALIFY rank <= $k""".stripMargin
+
+  /** Gopher-rule shared fragments (t21 + the t24 corpus card): the
+   * derived-signal CTE (expects `toks` in scope) and each rule's
+   * boolean expression over it. */
+  private val gopherFCte =
+    """f AS (
+      |  SELECT doc_id, source, text, t,
+      |    string_split(text, chr(10)) AS ls,
+      |    len(t) AS nw,
+      |    len(string_split(text, chr(10))) AS nl,
+      |    (length(text) - length(replace(text, '#', ''))) / 1
+      |      + (length(text) - length(replace(text, '...', ''))) / 3 AS nsym
+      |  FROM toks)""".stripMargin
+
+  private val gopherRuleSqls: Seq[(String, String)] = Seq(
+    "r_word_count" -> "(nw >= 50 AND nw <= 100000)",
+    "r_mean_word_len" ->
+      """((CASE WHEN nw = 0 THEN 0.0
+        |    ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)/nw END)
+        |   BETWEEN 3.0 AND 10.0)""".stripMargin,
+    "r_alpha_frac" ->
+      "(CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) >= nw * 0.8)",
+    "r_stopwords" ->
+      "(len(list_filter(t, w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) >= 2)",
+    "r_symbol_ratio" -> "(CAST(nsym AS DOUBLE) <= nw * 0.1)",
+    "r_bullet_lines" ->
+      "(CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE) <= nl * 0.9)",
+    "r_ellipsis_lines" ->
+      "(CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) <= nl * 0.3)")
+
+  private val gopherKeepSql: String =
+    gopherRuleSqls.map(_._2).mkString("(", "\n    AND ", ")")
 
   /** DuckDB mirror of Dedup.md5Hash32 (first 8 md5 hex chars as
    * BIGINT) over an arbitrary SQL expression. */
