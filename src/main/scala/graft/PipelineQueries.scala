@@ -568,15 +568,19 @@ object PipelineQueries {
     }),
 
     // Corpus vocabulary: top-20 terms by frequency (partial-agg
-    // wordcount + bounded top-k — the vocabulary report pass)
+    // wordcount + bounded top-k — the vocabulary report pass).
+    // orderBy+limit FIRST plans TakeOrderedAndProject (per-partition
+    // top-k merged on the driver), so the rank window only ever sees
+    // k rows — a global window over the whole vocabulary would funnel
+    // every distinct term through one task at 100 TB
     "t11_top_terms" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, d)
         .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      counts.withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("term"))))
-        .filter(col("rank") <= 20)
+      counts.orderBy(col("cnt").desc, col("term")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("term"))))
     }),
 
     // Per-label embedding centroids, one row per (label, dim) — the

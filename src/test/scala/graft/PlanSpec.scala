@@ -48,6 +48,15 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!p.contains("SinglePartition"), p.take(800))
   }
 
+  test("top-terms ranks AFTER a TakeOrdered limit, never a vocab-wide window (T11)") {
+    val df = SparkEntry.queries("t11_top_terms")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    // the only Window input is the k-row TakeOrdered result — assert
+    // the window is not fed by an Exchange over the full aggregate
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p.take(1200))
+  }
+
   test("bigram LM stats broadcast to the per-doc join (T19)") {
     val p = plan("t19_lm_perplexity")
     // the charset-bounded LM table must broadcast — a shuffle join
