@@ -55,4 +55,29 @@ class StreamingCorpusIngestSpec extends SparkTestBase {
       assert(out() == Set(2L, 3L, 7L))
     } finally q.stop()
   }
+
+  test("full chain with the decontamination guard: contaminated survivors dropped last") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus-ingest-dc").toString
+    // the eval set contains `distinct` verbatim → doc 3 is contaminated;
+    // base passes every stage
+    val guard = StreamingDecontaminate.fitGuard(
+      Seq((900L, distinct)).toDF("doc_id", "text"), "doc_id", "text",
+      n = 5, minContainment = 0.5)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val q = StreamingCorpusIngest.attach(
+      input.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      s"$dir/store", s"$dir/out", s"$dir/chk", guard = Some(guard))
+    def out(): Set[Long] =
+      try spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+      catch { case _: Exception => Set.empty }
+    try {
+      input.addData(Seq((1L, junk, ts(0)), (2L, base, ts(1)), (3L, distinct, ts(2))))
+      q.processAllAvailable()
+      assert(out() == Set(2L), "junk gated, doc 3 decontaminated, base kept")
+      // a second batch: copies still dedup BEFORE the guard pays for them
+      input.addData(Seq((4L, base, ts(3)), (5L, distinct, ts(4))))
+      q.processAllAvailable()
+      assert(out() == Set(2L), "exact copies die in dedup; contaminated text stays out")
+    } finally q.stop()
+  }
 }
