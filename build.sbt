@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // cap explain/UI plan-string materialization: iterative plans
+  // (CC/streaming-cluster maintenance) can otherwise OOM the JVM just
+  // BUILDING the execution-listener description string
+  "-Dspark.sql.maxPlanStringLength=8388608",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
