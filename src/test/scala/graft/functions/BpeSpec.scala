@@ -74,6 +74,35 @@ class BpeSpec extends SparkTestBase {
     assert(segs === Array(Seq("ab" + Bpe.EndOfWord)), "fully merged single word")
   }
 
+  test("round-trip property: tokens reconstruct every document exactly, any corpus/any nMerges") {
+    // generated corpora: words drawn from a skewed pool (hash-derived
+    // lengths/repeats), multiple merge depths — concatenating a doc's
+    // subword stream (</w> ⇒ word break) must reproduce the document's
+    // token sequence exactly
+    val pool = (0 until 30).map(i => ("abcdefgh" * (i % 3 + 1)).take(i % 7 + 1) + i)
+    for (seed <- Seq(1, 7); nMerges <- Seq(0, 5, 17)) {
+      val docs = (0 until 25).map { d =>
+        val words = (0 until (d % 9 + 1)).map(j => pool((d * 31 + j * seed) % pool.size))
+        (d.toLong, words.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val (_, fitted) = Bpe.fit(df, "text", nMerges)
+      import org.apache.spark.sql.functions._
+      val rebuilt = Bpe.tokenize(df, "doc_id", "text", fitted)
+        .groupBy("doc_id")
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token"))).as("joined"))
+        .as[(Long, String)].collect().toMap
+      docs.foreach { case (id, text) =>
+        val expected = text.split("\\s+").filter(_.nonEmpty)
+          .map(_ + Bpe.EndOfWord).mkString("")
+        assert(rebuilt.getOrElse(id, "") === expected,
+          s"seed=$seed nMerges=$nMerges doc=$id failed round-trip")
+      }
+    }
+  }
+
   test("tokenize replays stored segmentations; OOV words fall back to chars") {
     val df = corpus.toDF("doc_id", "text")
     val (_, fitted) = Bpe.fit(df, "text", 12)

@@ -19,6 +19,20 @@ class GlobalRankSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("rank is a bijection onto 1..n consistent with the sort order (property)") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 29L)) {
+      val df = spark.range(0, 500)
+        .select(col("id"), ((col("id") * seed + 17) % 83).as("k"))
+      val rows = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "rn")
+        .select("k", "id", "rn").as[(Long, Long, Long)].collect()
+      assert(rows.map(_._3).sorted.toSeq === (1L to 500L), s"seed=$seed not a bijection")
+      // rank order is exactly the (k, id) sort order
+      assert(rows.sortBy(_._3).map(r => (r._1, r._2)).toSeq ===
+        rows.map(r => (r._1, r._2)).sortBy(identity).toSeq, s"seed=$seed order mismatch")
+    }
+  }
+
   test("the ranking plan has no Window and sorts range-partitioned (scale shape)") {
     val df = spark.range(0, 10000).repartition(4).select(col("id"), (col("id") % 7).as("k"))
     val ranked = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "rn")
