@@ -466,6 +466,26 @@ object PipelineQueries {
       Bpe.tokenize(docs, "doc_id", "text", fitted)
     }),
 
+    // Deterministic export-shard assignment (the CorpusExport layout,
+    // surfaced as a query so the driver hash-checks it): t15's packing
+    // prefix sums div the token budget
+    "t25_shard_assignment" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("_b", expr("doc_id div 100"))
+      graft.sources.CorpusExport.assignShards(docs, "doc_id", "source", "text",
+          tokensPerShard = 2048L, batchCol = "_b")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))
+    }),
+
+    // The export manifest over that assignment: exact per-shard counts
+    // + the sorted-id md5 content checksum
+    "t26_shard_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("_b", expr("doc_id div 100"))
+      graft.sources.CorpusExport.manifest(
+        graft.sources.CorpusExport.assignShards(docs, "doc_id", "source", "text",
+          tokensPerShard = 2048L, batchCol = "_b"),
+        "doc_id", "source")
+    }),
+
     // Corpus card: the per-source datasheet every released dataset
     // ships — doc/token/char counts, Gopher-keep counts, exact-dup
     // counts — as ONE aggregation pass over the per-doc signals (all
@@ -1138,6 +1158,41 @@ object PipelineQueries {
          |${gopherRuleSqls.map { case (n, e) => s"  $e AS $n," }.mkString("\n")}
          |  $gopherKeepSql AS keep
          |FROM f""".stripMargin,
+
+    // t15's prefix-sum CTE with the shard division — identical
+    // arithmetic to CorpusExport.assignShards
+    "t25_shard_assignment" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seq_pos
+        |  FROM tk)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(seq_pos // 2048 AS BIGINT) AS shard
+        |FROM pos""".stripMargin,
+
+    // the manifest aggregation over the same CTE; string_agg with an
+    // explicit lexicographic ORDER BY mirrors sort_array on the
+    // stringified ids exactly
+    "t26_shard_manifest" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS seq_pos
+        |  FROM tk)
+        |SELECT source, CAST(seq_pos // 2048 AS BIGINT) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))) AS id_checksum
+        |FROM pos GROUP BY 1, 2""".stripMargin,
 
     // one aggregation over the shared gopher fragments + a digest
     // pre-count; all-integer arithmetic
