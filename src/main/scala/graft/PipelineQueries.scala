@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -321,6 +321,44 @@ object PipelineQueries {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", n = 5, minContainment = 0.3)
+    }),
+
+    // Contamination REPORT: d9's pair stream rolled up to the per-eval-
+    // doc audit table a benchmark owner reads — how many train docs
+    // contaminate each eval item and how badly. Left join from the
+    // eval roster so CLEAN eval docs appear with a zero count (a
+    // report that silently omits the clean rows can't prove absence).
+    "d15_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5, minContainment = 0.3)
+      val agg = pairs.groupBy(col("eval_id")).agg(
+        count(lit(1)).as("n_contaminating"),
+        max(col("containment")).as("max_containment"))
+      docs.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("eval_id"))
+        .join(agg, Seq("eval_id"), "left")
+        .select(col("eval_id"),
+          coalesce(col("n_contaminating"), lit(0L)).as("n_contaminating"),
+          col("max_containment"))
+    }),
+
+    // Per-source hard cap: the "no host dominates" curation rule —
+    // keep the 15 lowest-md5 docs of each source (deterministic,
+    // seedless). WindowGroupLimit prunes each source partition to the
+    // cap before any full per-source sort materializes.
+    "t27_source_caps" -> ((s, d) => {
+      Curation.sourceCap(Tables.documents(s, d), col("doc_id"), col("source"), cap = 15)
+        .select(col("doc_id"), col("source"), col("cap_rank"))
+    }),
+
+    // Source-mixture weights toward uniform token share: the data-
+    // mixing table (weight > 1 ⇒ upsample) computed from exact token
+    // counts; one map-side agg + a 1-row broadcast normalizer.
+    "t28_mixture_weights" -> ((s, d) => {
+      Curation.mixtureWeights(Tables.documents(s, d), col("source"),
+        TextAnalysis.tokenCount(col("text")))
     }),
 
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
@@ -1004,6 +1042,47 @@ object PipelineQueries {
          |  round(common*1.0/ne, 6) AS containment
          |FROM com JOIN esz USING (eval_id)
          |WHERE round(common*1.0/ne, 6) >= 0.3""".stripMargin,
+
+    "d15_contamination_report" ->
+      s"""WITH $shingleCte,
+         |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+         |esz AS (SELECT eval_id, count(*) AS ne FROM ev GROUP BY 1),
+         |com AS (
+         |  SELECT train_id, eval_id, count(*) AS common
+         |  FROM tr JOIN ev USING (shingle) GROUP BY 1, 2),
+         |hits AS (
+         |  SELECT eval_id, round(common*1.0/ne, 6) AS containment
+         |  FROM com JOIN esz USING (eval_id)
+         |  WHERE round(common*1.0/ne, 6) >= 0.3),
+         |rep AS (
+         |  SELECT eval_id, count(*) AS n_contaminating, max(containment) AS max_containment
+         |  FROM hits GROUP BY 1)
+         |SELECT d.doc_id AS eval_id,
+         |  CAST(COALESCE(r.n_contaminating, 0) AS BIGINT) AS n_contaminating,
+         |  r.max_containment
+         |FROM documents d LEFT JOIN rep r ON d.doc_id = r.eval_id
+         |WHERE d.doc_id % 97 = 0""".stripMargin,
+
+    "t27_source_caps" ->
+      """WITH rk AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS cap_rank
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(cap_rank AS INTEGER) AS cap_rank
+        |FROM rk WHERE cap_rank <= 15""".stripMargin,
+
+    "t28_mixture_weights" ->
+      s"""WITH $toksCte,
+         |per AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS s FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |  round(n_tokens*1.0/t, 6) AS token_share,
+         |  round((t*1.0/s)/n_tokens, 6) AS mix_weight
+         |FROM per, tot""".stripMargin,
 
     "d11_bloom_decontaminate" ->
       s"""WITH $shingleCte,

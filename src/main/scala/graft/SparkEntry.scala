@@ -2,7 +2,7 @@ package graft
 
 import graft.model.UiReferenceMapping
 import graft.parse.MessageParser
-import graft.query.{Dimensions, Downtime, MachineDetail, Rollups}
+import graft.query.{Dimensions, Downtime, Kpi, MachineDetail, Rollups}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -200,6 +200,22 @@ object SparkEntry {
         col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
       Downtime.reliability(Downtime.durations(t))
     }),
+
+    // X10: OEE per line — availability (status segments) × performance
+    // (rollover production vs best line) × quality (GOOD fraction)
+    "x10_oee" -> ((s, d) => Kpi.oee(Tables.telemetry(s, d))),
+
+    // X11: downtime Pareto — global rank + cumulative share WITHOUT a
+    // single-partition Window (two-pass GlobalRank over the fleet agg)
+    "x11_downtime_pareto" -> ((s, d) => {
+      val t = Tables.telemetry(s, d).select(
+        col("machineId").as("id"), lit("status").as("tag"),
+        col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
+      Kpi.downtimePareto(Downtime.durations(t))
+    }),
+
+    // X12: calendar-shift rollup (line × 8h shift-of-day)
+    "x12_shift_rollup" -> ((s, d) => Kpi.shiftRollup(Tables.telemetry(s, d))),
 
     // J5+J6: downtime segments joined to decode + machine-info dims
     "j6_downtime_enriched" -> ((s, d) => {
@@ -645,6 +661,88 @@ object SparkEntry {
         |  CASE WHEN n_down > 0 THEN down_s / n_down END AS mttr_seconds,
         |  CASE WHEN n_down > 0 THEN up_s / n_down END AS mtbf_seconds
         |FROM agg""".stripMargin),
+
+    "x10_oee" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, ts_us, status AS value,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
+        |  FROM telemetry),
+        |cp AS (
+        |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
+        |seg AS (
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us, value) AS next_es
+        |  FROM cp),
+        |closed AS (
+        |  SELECT id, value, CAST(next_es - es AS DOUBLE) AS dur
+        |  FROM seg WHERE next_es IS NOT NULL),
+        |av AS (
+        |  SELECT split_part(id, '/', 3) AS lineId,
+        |    round(1.0 - sum(CASE WHEN value = 'DOWN' THEN dur ELSE 0 END) / sum(dur), 6) AS availability
+        |  FROM closed GROUP BY 1),
+        |seq AS (
+        |  SELECT machineId, ts_us, cnt,
+        |         lag(cnt) OVER (PARTITION BY machineId ORDER BY ts_us, cnt) AS prev
+        |  FROM telemetry),
+        |banked AS (
+        |  SELECT machineId, COALESCE(SUM(CASE WHEN cnt < prev THEN prev END), 0) AS b
+        |  FROM seq GROUP BY machineId),
+        |lastv AS (
+        |  SELECT machineId, cnt FROM telemetry
+        |  QUALIFY row_number() OVER (PARTITION BY machineId ORDER BY ts_us DESC, cnt DESC) = 1),
+        |mprod AS (
+        |  SELECT b.machineId, b.b + l.cnt AS mp FROM banked b JOIN lastv l USING (machineId)),
+        |lprod AS (
+        |  SELECT split_part(machineId, '/', 3) AS lineId, CAST(sum(mp) AS BIGINT) AS p
+        |  FROM mprod GROUP BY 1),
+        |best AS (SELECT max(p) AS bp FROM lprod),
+        |perf AS (SELECT lineId, round(p*1.0/bp, 6) AS performance FROM lprod, best),
+        |qual AS (
+        |  SELECT split_part(machineId, '/', 3) AS lineId,
+        |    round(avg(CASE WHEN quality = 'GOOD' THEN 1.0 ELSE 0.0 END), 6) AS quality_rate
+        |  FROM telemetry GROUP BY 1)
+        |SELECT av.lineId AS lineId, availability, performance, quality_rate,
+        |  round(availability * performance * quality_rate, 6) AS oee
+        |FROM av JOIN perf USING (lineId) JOIN qual USING (lineId)""".stripMargin),
+
+    "x11_downtime_pareto" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, ts_us, status AS value,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
+        |  FROM telemetry),
+        |cp AS (
+        |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
+        |seg AS (
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us, value) AS next_es
+        |  FROM cp),
+        |closed AS (
+        |  SELECT id, value, CAST(next_es - es AS DOUBLE) AS dur
+        |  FROM seg WHERE next_es IS NOT NULL),
+        |down AS (
+        |  SELECT id AS machineId, sum(dur) AS down_seconds
+        |  FROM closed WHERE value = 'DOWN' GROUP BY 1),
+        |tot AS (SELECT sum(down_seconds) AS t FROM down)
+        |SELECT machineId, down_seconds,
+        |  CAST(row_number() OVER (ORDER BY down_seconds DESC, machineId) AS BIGINT) AS pareto_rank,
+        |  round(sum(down_seconds) OVER (ORDER BY down_seconds DESC, machineId
+        |    ROWS UNBOUNDED PRECEDING) / t, 6) AS cum_frac,
+        |  CASE WHEN round(sum(down_seconds) OVER (ORDER BY down_seconds DESC, machineId
+        |    ROWS UNBOUNDED PRECEDING) / t, 6) <= 0.8 THEN 1 ELSE 0 END AS vital_few
+        |FROM down, tot""".stripMargin),
+
+    "x12_shift_rollup" -> (T +
+      """, pm AS (
+        |  SELECT split_part(machineId, '/', 3) AS lineId,
+        |    (es % 86400) // 28800 AS shift, machineId,
+        |    count(*) AS n,
+        |    sum(CASE WHEN status = 'DOWN' THEN 1 ELSE 0 END) AS nd,
+        |    max(cnt) - min(cnt) AS span
+        |  FROM telemetry GROUP BY 1, 2, 3)
+        |SELECT lineId, shift,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(nd) AS BIGINT) AS n_down_events,
+        |  count(*) AS n_machines,
+        |  CAST(sum(span) AS BIGINT) AS prod_span
+        |FROM pm GROUP BY 1, 2""".stripMargin),
 
     "j6_downtime_enriched" -> (T +
       """, series AS (

@@ -29,4 +29,46 @@ object GlobalRank {
     val ranked = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     sorted.sparkSession.createDataFrame(ranked, schema)
   }
+
+  /**
+   * Append BOTH a 1-based global rank and a global running (inclusive
+   * prefix) sum of `valueCol`, ordered by `sortCols` — the cumulative
+   * half of a Pareto / quantile-share computation, without a
+   * single-partition Window. Same two-pass shape as [[withGlobalRank]]:
+   * range-partitioned parallel sort, then one tiny O(#partitions) job
+   * collecting per-partition (count, sum) to the driver, then a second
+   * parallel pass that seeds each partition with its offsets. The
+   * sorted lineage is persisted across the two passes so the sort runs
+   * once; caller sees an unpersisted result (the offsets job is the
+   * only extra action).
+   *
+   * `valueCol` must be integer-valued (or exactly representable): the
+   * prefix sums are accumulated in Double with exact integer
+   * arithmetic, keeping them independent of partition boundaries.
+   */
+  def withRankAndRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+      rankOut: String, cumOut: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.withColumn("_rs_val", valueCol.cast("double")).orderBy(sortCols: _*)
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val valIdx = sorted.schema.fieldIndex("_rs_val")
+    val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; var s = 0.0
+      it.foreach { r => n += 1; s += r.getDouble(valIdx) }
+      Iterator((i, n, s))
+    }.collect().sortBy(_._1)
+    val rankOff = perPart.scanLeft(0L)((acc, p) => acc + p._2).init
+    val sumOff = perPart.scanLeft(0.0)((acc, p) => acc + p._3).init
+    val schema = sorted.schema
+      .add(rankOut, LongType, nullable = false)
+      .add(cumOut, org.apache.spark.sql.types.DoubleType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = rankOff(i); var cum = sumOff(i)
+      it.map { r =>
+        rank += 1; cum += r.getDouble(valIdx)
+        Row.fromSeq(r.toSeq :+ rank :+ cum)
+      }
+    }
+    spark.createDataFrame(out, schema).drop("_rs_val")
+  }
 }

@@ -33,6 +33,23 @@ class GlobalRankSpec extends SparkTestBase {
     }
   }
 
+  test("rank + running sum equals the single-partition window formulation") {
+    import spark.implicits._
+    val df = spark.range(0, 777).select(
+      (col("id") * 2654435761L % 101).as("k"), col("id"),
+      ((col("id") * 7) % 50 + 1).cast("double").as("v"))
+    val w = Window.orderBy(col("k"), col("id"))
+    val expected = df.select(col("id"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val got = GlobalRank.withRankAndRunningSum(
+        df.repartition(6), Seq(col("k"), col("id")), col("v"), "rn", "cum")
+      .select(col("id"), col("rn"), col("cum"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === expected)
+  }
+
   test("the ranking plan has no Window and sorts range-partitioned (scale shape)") {
     val df = spark.range(0, 10000).repartition(4).select(col("id"), (col("id") % 7).as("k"))
     val ranked = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "rn")

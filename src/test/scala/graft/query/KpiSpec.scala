@@ -1,0 +1,84 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class KpiSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Hand-built two-line telemetry fixture with known OEE factors. */
+  private def fixture(): DataFrame = {
+    // line0/m1: UP@0 DOWN@60 UP@120 UP@180, counter 0→30 monotone
+    // line1/m2: UP@0 IDLE@60 UP@120 UP@180, counter rolls over (0,10,3,8)
+    val rows = Seq(
+      ("s0/a0/line0/m1", 0L, "UP", 0L), ("s0/a0/line0/m1", 60L, "DOWN", 10L),
+      ("s0/a0/line0/m1", 120L, "UP", 20L), ("s0/a0/line0/m1", 180L, "UP", 30L),
+      ("s0/a0/line1/m2", 0L, "UP", 0L), ("s0/a0/line1/m2", 60L, "IDLE", 10L),
+      ("s0/a0/line1/m2", 120L, "UP", 3L), ("s0/a0/line1/m2", 180L, "UP", 8L))
+    rows.toDF("machineId", "es", "status", "cnt")
+      .withColumn("ts_us", col("es") * 1000000L)
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+      .withColumn("quality", lit("GOOD"))
+      .withColumn("event_id", col("es"))
+  }
+
+  test("OEE: availability x performance x quality per line (hand-checked)") {
+    val out = Kpi.oee(fixture())
+      .select("lineId", "availability", "performance", "quality_rate", "oee")
+      .as[(String, Double, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    // line0: closed UP 60 + DOWN 60 => availability 0.5; prod 30 (best) => perf 1.0
+    // line1: closed UP 60 + IDLE 60 => availability 1.0; prod 10 banked + 8 = 18 => 0.6
+    assert(out === Seq(
+      ("line0", 0.5, 1.0, 1.0, 0.5),
+      ("line1", 1.0, 0.6, 1.0, 0.6)))
+  }
+
+  test("downtime Pareto: rank, cumulative share, vital-few flag") {
+    val series = Seq(
+      ("A", 0L, "DOWN"), ("A", 100L, "UP"),
+      ("B", 0L, "DOWN"), ("B", 300L, "UP"),
+      ("C", 0L, "DOWN"), ("C", 100L, "UP"))
+      .toDF("id", "es", "value")
+      .select(col("id"), lit("status").as("tag"), col("value"),
+        lit("GOOD").as("quality"), timestamp_seconds(col("es")).as("timestamp"))
+    val out = Kpi.downtimePareto(Downtime.durations(series))
+      .select("machineId", "down_seconds", "pareto_rank", "cum_frac", "vital_few")
+      .as[(String, Double, Long, Double, Int)].collect().sortBy(_._3).toSeq
+    // B 300s (cum .6), A 100s (cum .8, ties with C broken by id), C 100s (cum 1.0)
+    assert(out === Seq(
+      ("B", 300.0, 1L, 0.6, 1),
+      ("A", 100.0, 2L, 0.8, 1),
+      ("C", 100.0, 3L, 1.0, 0)))
+  }
+
+  test("Pareto is invariant to input partitioning (two-pass rank determinism)") {
+    val series = fixture().select(
+      col("machineId").as("id"), lit("status").as("tag"), col("status").as("value"),
+      col("quality"), col("timestamp"))
+    def run(parts: Int): Seq[(String, Double, Long, Double, Int)] =
+      Kpi.downtimePareto(Downtime.durations(series.repartition(parts)))
+        .select("machineId", "down_seconds", "pareto_rank", "cum_frac", "vital_few")
+        .as[(String, Double, Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(run(1) === run(7))
+  }
+
+  test("shift rollup: per (line, shift) counts and production span") {
+    // shift boundaries at 0 / 28800 / 57600 seconds-of-day
+    val rows = Seq(
+      ("s0/a0/line0/m1", 0L, "UP", 0L), ("s0/a0/line0/m1", 100L, "DOWN", 5L),
+      ("s0/a0/line0/m1", 30000L, "UP", 9L),
+      ("s0/a0/line0/m9", 50L, "UP", 2L),
+      ("s0/a0/line1/m2", 60000L, "UP", 1L))
+      .toDF("machineId", "es", "status", "cnt")
+    val out = Kpi.shiftRollup(rows)
+      .select("lineId", "shift", "n_events", "n_down_events", "n_machines", "prod_span")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      ("line0", 0L, 3L, 1L, 2L, 5L), // m1 span 5, m9 span 0
+      ("line0", 1L, 1L, 0L, 1L, 0L),
+      ("line1", 2L, 1L, 0L, 1L, 0L)))
+  }
+}
