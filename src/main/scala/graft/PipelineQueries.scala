@@ -361,6 +361,29 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")))
     }),
 
+    // Corpus snapshot diff: v2 is a deterministic perturbation of the
+    // corpus (drop %17, edit %13, add %23 re-keyed) so every change
+    // class is exercised; the diff joins 32-byte digests, never text.
+    "t29_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val added = docs.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"))
+      Curation.corpusDiff(docs, base.unionByName(added), "doc_id", "text")
+        .select(col("key").as("doc_id"), col("change"))
+    }),
+
+    // Token-budget subset selection: keep the best-quality prefix that
+    // fits 5000 tokens — global rank + prefix sum via the two-pass
+    // GlobalRank, no single-partition Window.
+    "t30_budget_select" -> ((s, d) => {
+      val scored = TextAnalysis.linearQualityScore(Tables.documents(s, d), "doc_id", "text")
+      Curation.budgetSelect(scored, col("doc_id"), col("logit"), col("n_tokens"), budget = 5000L)
+    }),
+
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
     // deterministically AUGMENTED with synthetic PII derived from
     // doc_id (same construction in the oracle) so the redaction is
@@ -1083,6 +1106,44 @@ object PipelineQueries {
          |  round(n_tokens*1.0/t, 6) AS token_share,
          |  round((t*1.0/s)/n_tokens, 6) AS mix_weight
          |FROM per, tot""".stripMargin,
+
+    "t29_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |o AS (SELECT doc_id, md5(text) AS om FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS nm FROM v2),
+        |j AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, om, nm
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN om IS NULL THEN 'added'
+        |       WHEN nm IS NULL THEN 'removed'
+        |       WHEN om <> nm THEN 'changed' END AS change
+        |FROM j
+        |WHERE om IS NULL OR nm IS NULL OR om <> nm""".stripMargin,
+
+    "t30_budget_select" -> {
+      val w = graft.functions.TextAnalysis.linearWeights(64).mkString("[", ", ", "]")
+      val hb = md5Hash32Sql("tok")
+      s"""WITH $toksCte,
+         |sc AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS ntok,
+         |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |      COALESCE(list_sum(list_transform(t, tok -> $w[CAST($hb % 64 AS INTEGER) + 1])), 0)
+         |        / (16.0 * len(t)) END AS logit
+         |  FROM toks)
+         |SELECT doc_id, logit AS score, ntok AS n_tok,
+         |  CAST(row_number() OVER (ORDER BY logit DESC, doc_id) AS BIGINT) AS sel_rank,
+         |  CAST(sum(ntok) OVER (ORDER BY logit DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |FROM sc
+         |QUALIFY cum_tokens <= 5000""".stripMargin
+    },
 
     "d11_bloom_decontaminate" ->
       s"""WITH $shingleCte,

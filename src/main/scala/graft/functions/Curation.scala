@@ -43,6 +43,48 @@ object Curation {
    * weights divide exact integer sums — single IEEE ops, portable
    * across engines.
    */
+  /**
+   * Corpus snapshot diff: classify every document key across two
+   * corpus versions as `added` / `removed` / `changed` by comparing
+   * md5 digests. The digests are computed map-side on each snapshot,
+   * so only (key, 32-byte digest) pairs move through the full-outer
+   * join shuffle — the text itself never shuffles, which is what makes
+   * version auditing viable when a snapshot is tens of TB. Unchanged
+   * keys are dropped (the diff is the deliverable, not the corpus).
+   */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+      keyCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(keyCol).as("key"), md5(col(textCol)).as("old_md5"))
+    val n = newDocs.select(col(keyCol).as("key"), md5(col(textCol)).as("new_md5"))
+    o.join(n, Seq("key"), "full_outer")
+      .withColumn("change",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed"))
+      .filter(col("change").isNotNull)
+  }
+
+  /**
+   * Token-budget greedy selection: rank documents by quality score
+   * (descending, key tie-break) and keep the prefix whose cumulative
+   * token count fits the budget — the "best N tokens" subset selection
+   * step of a budgeted pretraining run. The global order + prefix sum
+   * use [[GlobalRank.withRankAndRunningSum]] (range-partitioned
+   * two-pass), never a single-partition Window, so the selection
+   * scales to the full corpus.
+   */
+  def budgetSelect(docs: DataFrame, keyCol: Column, scoreCol: Column,
+      tokenCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val base = docs.select(keyCol.as("doc_id"), scoreCol.as("score"),
+      tokenCol.cast("long").as("n_tok"))
+    GlobalRank.withRankAndRunningSum(base,
+        Seq(col("score").desc, col("doc_id")), col("n_tok"), "sel_rank", "_cum")
+      .filter(col("_cum") <= budget)
+      .select(col("doc_id"), col("score"), col("n_tok"), col("sel_rank"),
+        col("_cum").cast("long").as("cum_tokens"))
+  }
+
   def mixtureWeights(docs: DataFrame, sourceCol: Column, tokenCol: Column): DataFrame = {
     val per = docs.groupBy(sourceCol.as("source")).agg(
       count(lit(1)).as("n_docs"),

@@ -41,6 +41,31 @@ class CurationSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), plan.take(800))
   }
 
+  test("corpus diff classifies added/removed/changed and drops unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a"), (2L, "B!"), (4L, "d"), (9L, "new")).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(v1, v2, "doc_id", "text")
+      .select(col("key"), col("change")).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((2L, "changed"), (3L, "removed"), (9L, "added")))
+  }
+
+  test("budget select keeps the best-score prefix within the token budget") {
+    val scored = Seq(
+      (1L, 0.9, 40L), (2L, 0.8, 50L), (3L, 0.7, 30L), (4L, 0.6, 100L), (5L, 0.5, 10L))
+      .toDF("doc_id", "score", "n_tok")
+    val out = Curation.budgetSelect(scored, col("doc_id"), col("score"), col("n_tok"), budget = 120L)
+      .select("doc_id", "sel_rank", "cum_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    // greedy prefix: 40, 90, 120 fit; doc 4 (cum 220) and everything after are cut
+    assert(out === Seq((1L, 1L, 40L), (2L, 2L, 90L), (3L, 3L, 120L)))
+    // partitioning invariance
+    val out8 = Curation.budgetSelect(scored.repartition(8), col("doc_id"), col("score"),
+        col("n_tok"), budget = 120L)
+      .select("doc_id", "sel_rank", "cum_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out8 === out)
+  }
+
   test("mixture weights equalize expected tokens per source") {
     val out = Curation.mixtureWeights(docs(), col("source"), col("n_tok"))
       .select("source", "n_docs", "n_tokens", "token_share", "mix_weight")
