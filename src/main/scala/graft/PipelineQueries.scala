@@ -361,6 +361,13 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")))
     }),
 
+    // Epoch expansion: materialize t28's mixture — replicate each doc
+    // floor(w) times + md5-gated fractional copy; zero shuffles.
+    "t31_epoch_expand" -> ((s, d) => {
+      Curation.epochExpand(Tables.documents(s, d), col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")))
+    }),
+
     // Corpus snapshot diff: v2 is a deterministic perturbation of the
     // corpus (drop %17, edit %13, add %23 re-keyed) so every change
     // class is exercised; the diff joins 32-byte digests, never text.
@@ -1106,6 +1113,23 @@ object PipelineQueries {
          |  round(n_tokens*1.0/t, 6) AS token_share,
          |  round((t*1.0/s)/n_tokens, 6) AS mix_weight
          |FROM per, tot""".stripMargin,
+
+    "t31_epoch_expand" -> {
+      val h = md5Hash32Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH $toksCte,
+         |per AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS s FROM per),
+         |wts AS (SELECT source, round((t*1.0/s)/n_tokens, 6) AS w FROM per, tot),
+         |ex AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(floor(w) + CASE WHEN $h < floor((w - floor(w)) * 4294967296) THEN 1 ELSE 0 END AS BIGINT) AS n_rep
+         |  FROM documents d JOIN wts USING (source))
+         |SELECT doc_id, source, n_rep,
+         |  CAST(unnest(generate_series(1, n_rep)) AS BIGINT) AS rep_idx
+         |FROM ex WHERE n_rep >= 1""".stripMargin
+    },
 
     "t29_corpus_diff" ->
       """WITH v2 AS (

@@ -85,6 +85,33 @@ object Curation {
         col("_cum").cast("long").as("cum_tokens"))
   }
 
+  /**
+   * Materialize the [[mixtureWeights]] plan: replicate each document
+   * `floor(w)` times plus one more with probability `frac(w)` via the
+   * engine-wide deterministic md5 gate — the expected copy count per
+   * source is exactly its mixture weight, so the expanded corpus
+   * realizes the uniform-token-share mix (weight < 1 sources are
+   * down-sampled by the same gate). The weight table is
+   * source-cardinality ⇒ broadcast; the expansion is a map-side
+   * explode — ZERO shuffles end to end, and replica rows carry
+   * (n_rep, rep_idx) so downstream shard packing can interleave
+   * epochs deterministically.
+   */
+  def epochExpand(docs: DataFrame, keyCol: Column, sourceCol: Column,
+      tokenCol: Column): DataFrame = {
+    val w = mixtureWeights(docs, sourceCol, tokenCol).select(col("source"), col("mix_weight"))
+    val frac = col("mix_weight") - floor(col("mix_weight"))
+    val extra = when(
+      Dedup.md5Hash32(col("doc_id").cast("string")) < floor(frac * lit(4294967296.0)), 1L)
+      .otherwise(0L)
+    docs.select(keyCol.as("doc_id"), sourceCol.as("source"))
+      .join(broadcast(w), Seq("source"))
+      .withColumn("n_rep", (floor(col("mix_weight")) + extra).cast("long"))
+      .filter(col("n_rep") >= 1)
+      .withColumn("rep_idx", explode(sequence(lit(1L), col("n_rep"))))
+      .select(col("doc_id"), col("source"), col("n_rep"), col("rep_idx"))
+  }
+
   def mixtureWeights(docs: DataFrame, sourceCol: Column, tokenCol: Column): DataFrame = {
     val per = docs.groupBy(sourceCol.as("source")).agg(
       count(lit(1)).as("n_docs"),

@@ -66,6 +66,28 @@ class CurationSpec extends SparkTestBase {
     assert(out8 === out)
   }
 
+  test("epoch expansion realizes the mixture weights in expectation") {
+    val out = Curation.epochExpand(docs(), col("doc_id"), col("source"), col("n_tok"))
+    val w = Curation.mixtureWeights(docs(), col("source"), col("n_tok"))
+      .select("source", "mix_weight").as[(String, Double)].collect().toMap
+    val reps = out.groupBy("source").agg(
+        countDistinct("doc_id").as("n"), sum(lit(1)).as("rows"), max("n_rep").as("mx"))
+      .as[(String, Long, Long, Long)].collect()
+    reps.foreach { case (s, n, rows, mx) =>
+      // every replica count is floor(w) or floor(w)+1
+      assert(mx <= math.floor(w(s)).toLong + 1, s"source $s")
+      // realized copies per doc within 1 of the weight on average
+      // (md5 gate is uniform; 200-doc strata keep the bound loose)
+      val avg = rows.toDouble / math.max(n, 1)
+      assert(math.abs(avg - w(s)) <= 1.0, s"source $s avg $avg vs ${w(s)}")
+    }
+    // rep_idx enumerates 1..n_rep per (doc, source)
+    val bad = out.groupBy("doc_id", "n_rep").agg(
+        min("rep_idx").as("mn"), max("rep_idx").as("mx"), count(lit(1)).as("c"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n_rep") || col("c") =!= col("n_rep"))
+    assert(bad.count() === 0L)
+  }
+
   test("mixture weights equalize expected tokens per source") {
     val out = Curation.mixtureWeights(docs(), col("source"), col("n_tok"))
       .select("source", "n_docs", "n_tokens", "token_share", "mix_weight")
