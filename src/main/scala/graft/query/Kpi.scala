@@ -2,6 +2,7 @@ package graft.query
 
 import graft.functions.GlobalRank
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -32,46 +33,70 @@ object Kpi {
    * OEE per line from the telemetry view:
    *
    *  - availability: 1 − (DOWN seconds / total closed-segment seconds)
-   *    over the per-machine status change-point segments
-   *    ([[Downtime.durations]] — one shuffle on (id, tag)).
+   *    over the per-machine status change-point segments.
    *  - performance: the line's rollover-corrected production total
-   *    ([[Rollups.totalProduction]]) relative to the best line — a
-   *    rate-vs-demonstrated-best normalization (no nameplate capacity
-   *    exists in the schema).
+   *    (same banking rule as [[Rollups.totalProduction]]) relative to
+   *    the best line — a rate-vs-demonstrated-best normalization (no
+   *    nameplate capacity exists in the schema).
    *  - quality: fraction of readings flagged GOOD.
    *
-   * All three ratios divide exact integer-valued sums, then the OEE
-   * product multiplies the three ROUNDED (6 dp) factors and rounds
-   * again — single IEEE ops on exact inputs, engine-portable.
-   * The factor joins are line-cardinality (bounded by plant layout) ⇒
-   * broadcast; the max-production normalizer is a 1-row broadcast.
+   * SINGLE-PASS formulation: all three factors fold out of ONE scan
+   * and ONE machine-keyed shuffle. Closed-segment sums use the row-gap
+   * identity — the gap to the next observation belongs to the current
+   * observation's status, and summing gaps by status equals summing
+   * change-point segment durations, PROVIDED gaps at/after the last
+   * change point are excluded (they belong to the still-open segment,
+   * which the batch semantics drop). That guard is the
+   * `_rn < _last_cp_rn` filter, sequence-ordered so timestamp ties
+   * can't leak open-segment time in. The per-machine groupBy reuses
+   * the window's hash partitioning (no second shuffle); line and best
+   * aggregates are plant-layout-sized; the normalizer is a 1-row
+   * broadcast.
+   *
+   * All ratios divide exact integer-valued sums, then the OEE product
+   * multiplies the three ROUNDED (6 dp) factors and rounds again —
+   * single IEEE ops on exact inputs, engine-portable. Lines with no
+   * closed status segment yet have undefined availability and are
+   * omitted (matching the segment-join formulation the oracle mirrors).
    */
   def oee(telemetry: DataFrame): DataFrame = {
-    val series = telemetry.select(
-      col("machineId").as("id"), lit("status").as("tag"),
-      col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
-    val availability = Downtime.durations(series)
-      .groupBy(lineOf(col("id")).as("lineId"))
+    val wSeq = Window.partitionBy("machineId").orderBy(col("ts_us"), col("status"))
+    val wCnt = Window.partitionBy("machineId").orderBy(col("ts_us"), col("cnt"))
+    val wAll = Window.partitionBy("machineId")
+    val prevStatus = lag(col("status"), 1).over(wSeq)
+    val marked = telemetry
+      .select(col("machineId"), col("ts_us"), col("es"), col("status"), col("cnt"), col("quality"))
+      .withColumn("_rn", row_number().over(wSeq))
+      .withColumn("_gap", (lead(col("es"), 1).over(wSeq) - col("es")).cast("double"))
+      .withColumn("_is_cp", prevStatus.isNull || prevStatus =!= col("status"))
+      .withColumn("_prev_cnt", lag(col("cnt"), 1).over(wCnt))
+    val perMachine = marked
+      .withColumn("_last_cp_rn", max(when(col("_is_cp"), col("_rn"))).over(wAll))
+      .groupBy(col("machineId"))
       .agg(
-        sum(when(col("value") === "DOWN", col("duration_seconds")).otherwise(0.0)).as("_down"),
-        sum(col("duration_seconds")).as("_tot"))
-      .select(col("lineId"), round(lit(1.0) - col("_down") / col("_tot"), 6).as("availability"))
-
-    val lineProd = Rollups.totalProduction(
-        telemetry.select(col("machineId"), col("ts_us").as("ts"), col("cnt").as("count")))
+        sum(when(col("_rn") < col("_last_cp_rn") && col("status") === "DOWN", col("_gap"))
+          .otherwise(0.0)).as("_down"),
+        sum(when(col("_rn") < col("_last_cp_rn"), col("_gap")).otherwise(0.0)).as("_tot"),
+        (coalesce(sum(when(col("cnt") < col("_prev_cnt"), col("_prev_cnt"))), lit(0L))
+          + max_by(col("cnt"), struct(col("ts_us"), col("cnt")))).as("_prod"),
+        sum(when(col("quality") === "GOOD", 1L).otherwise(0L)).as("_good"),
+        count(lit(1)).as("_n"))
+    val perLine = perMachine
       .groupBy(lineOf(col("machineId")).as("lineId"))
-      .agg(sum(col("total_production")).as("_prod"))
-    val best = lineProd.agg(max(col("_prod")).as("_best"))
-    val performance = lineProd.crossJoin(broadcast(best))
-      .select(col("lineId"), round(col("_prod") / col("_best"), 6).as("performance"))
-
-    val quality = telemetry
-      .groupBy(lineOf(col("machineId")).as("lineId"))
-      .agg(round(avg(when(col("quality") === "GOOD", 1.0).otherwise(0.0)), 6).as("quality_rate"))
-
-    availability
-      .join(performance, Seq("lineId"))
-      .join(quality, Seq("lineId"))
+      .agg(sum(col("_down")).as("_down"), sum(col("_tot")).as("_tot"),
+        sum(col("_prod")).as("_prod"), sum(col("_good")).as("_good"), sum(col("_n")).as("_n"))
+    // best-line normalizer as a window over the LINE-cardinality
+    // aggregate (bounded by plant layout — dozens of rows): keeps one
+    // lineage, so the events-scale scan+windows run ONCE; a separate
+    // agg+broadcast would re-execute the whole pipeline for one max
+    perLine
+      .withColumn("_best", max(col("_prod")).over(Window.partitionBy()))
+      .filter(col("_tot") > 0.0)
+      .select(
+        col("lineId"),
+        round(lit(1.0) - col("_down") / col("_tot"), 6).as("availability"),
+        round(col("_prod") / col("_best"), 6).as("performance"),
+        round(col("_good") / col("_n"), 6).as("quality_rate"))
       .withColumn("oee", round(col("availability") * col("performance") * col("quality_rate"), 6))
   }
 
@@ -87,11 +112,14 @@ object Kpi {
     val down = durationsDf.filter(col("value") === downValue)
       .groupBy(col("id").as("machineId"))
       .agg(sum(col("duration_seconds")).as("down_seconds"))
-    val total = down.agg(sum(col("down_seconds")).as("_tot"))
-    GlobalRank.withRankAndRunningSum(down,
-        Seq(col("down_seconds").desc, col("machineId")), col("down_seconds"),
-        "pareto_rank", "_cum")
-      .crossJoin(broadcast(total))
+    val ranked = GlobalRank.withRankAndRunningSum(down,
+      Seq(col("down_seconds").desc, col("machineId")), col("down_seconds"),
+      "pareto_rank", "_cum")
+    // the grand total IS the last prefix sum — read it off the ranked
+    // frame (backed by the persisted sorted RDD), so the events-scale
+    // durations lineage never re-executes for the normalizer
+    val total = ranked.agg(max(col("_cum")).as("_tot"))
+    ranked.crossJoin(broadcast(total))
       .select(
         col("machineId"), col("down_seconds"), col("pareto_rank"),
         round(col("_cum") / col("_tot"), 6).as("cum_frac"),
