@@ -275,4 +275,40 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       l.contains("HashJoin") || l.contains("SortMergeJoin"))
     assert(probeLine > joinLine, s"probe@$probeLine join@$joinLine\n" + p.take(1200))
   }
+
+  test("OEE folds all three factors out of ONE events scan (X10)") {
+    val p = plan("x10_oee")
+    // a multi-branch formulation would scan the parquet once per
+    // factor; the single-pass row-gap form must read it exactly once
+    assert(p.linesIterator.count(l => l.contains("Scan parquet") && !l.startsWith("(")) === 1,
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("source cap is WindowGroupLimit-pruned per host (T27)") {
+    val p = plan("t27_source_caps")
+    assert(p.contains("WindowGroupLimit"), p.take(1000))
+    assert(!p.contains("SinglePartition"), p.take(800))
+  }
+
+  test("epoch expansion is a broadcast join + map-side explode (T31)") {
+    val p = plan("t31_epoch_expand")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("Generate explode"), p.take(1000))
+  }
+
+  test("corpus diff joins digests only, never text (T29)") {
+    val df = SparkEntry.queries("t29_corpus_diff")(spark, sf)
+    // the optimized plan's join inputs must be (key, digest) columns —
+    // md5 collapses BELOW the shuffle, the text column is pruned away
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val inCols = (j.left.output ++ j.right.output).map(_.name)
+      assert(!inCols.contains("text"), s"join reads text: $inCols")
+    }
+  }
 }
