@@ -391,6 +391,31 @@ object PipelineQueries {
       Curation.budgetSelect(scored, col("doc_id"), col("logit"), col("n_tokens"), budget = 5000L)
     }),
 
+    // Seeded deterministic global shuffle — the reproducible training
+    // order. Two-pass GlobalRank (range-partitioned sort +
+    // zipWithIndex), no single-partition Window.
+    "t32_training_order" -> ((s, d) => {
+      Curation.trainingOrder(Tables.documents(s, d).select(col("doc_id")),
+        col("doc_id"), seed = "seed8")
+        .select(col("doc_id"), col("train_rank"))
+    }),
+
+    // Epoch-interleaved order over the t31 expansion: each replica
+    // gets its own seeded position, scattering a doc's epochs through
+    // the run instead of clumping them.
+    "t33_epoch_interleave" -> ((s, d) => {
+      Curation.epochInterleave(Tables.documents(s, d), col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")), seed = "seed8")
+        .select(col("doc_id"), col("source"), col("n_rep"), col("rep_idx"), col("train_rank"))
+    }),
+
+    // Cross-source duplication matrix: distinct exact-dup texts shared
+    // by each source pair — the mirror-host audit. Only 32-byte
+    // digests shuffle; pair space bounded by digests in >= 2 sources.
+    "t34_source_overlap" -> ((s, d) => {
+      Curation.sourceOverlap(Tables.documents(s, d), col("source"), col("text"))
+    }),
+
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
     // deterministically AUGMENTED with synthetic PII derived from
     // doc_id (same construction in the oracle) so the redaction is
@@ -1168,6 +1193,41 @@ object PipelineQueries {
          |FROM sc
          |QUALIFY cum_tokens <= 5000""".stripMargin
     },
+
+    "t32_training_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('seed8:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS train_rank
+        |FROM documents""".stripMargin,
+
+    "t33_epoch_interleave" -> {
+      val h = md5Hash32Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH $toksCte,
+         |per AS (
+         |  SELECT source, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS s FROM per),
+         |wts AS (SELECT source, round((t*1.0/s)/n_tokens, 6) AS w FROM per, tot),
+         |ex AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(floor(w) + CASE WHEN $h < floor((w - floor(w)) * 4294967296) THEN 1 ELSE 0 END AS BIGINT) AS n_rep
+         |  FROM documents d JOIN wts USING (source)),
+         |reps AS (
+         |  SELECT doc_id, source, n_rep,
+         |    CAST(unnest(generate_series(1, n_rep)) AS BIGINT) AS rep_idx
+         |  FROM ex WHERE n_rep >= 1)
+         |SELECT doc_id, source, n_rep, rep_idx,
+         |  CAST(row_number() OVER (ORDER BY
+         |    md5('seed8:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rep_idx AS VARCHAR)),
+         |    doc_id, rep_idx) AS BIGINT) AS train_rank
+         |FROM reps""".stripMargin
+    },
+
+    "t34_source_overlap" ->
+      """WITH ds AS (SELECT DISTINCT md5(text) AS digest, source FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_texts
+        |FROM ds a JOIN ds b ON a.digest = b.digest AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     "d11_bloom_decontaminate" ->
       s"""WITH $shingleCte,

@@ -217,6 +217,22 @@ object SparkEntry {
     // X12: calendar-shift rollup (line × 8h shift-of-day)
     "x12_shift_rollup" -> ((s, d) => Kpi.shiftRollup(Tables.telemetry(s, d))),
 
+    // X13: trailing-window production-rate anomalies — z-score of each
+    // counter increment vs the preceding 64 (exact integer trailing
+    // sums; one machine-keyed shuffle for both window passes)
+    "x13_rate_anomaly" -> ((s, d) =>
+      Kpi.rateAnomaly(Tables.telemetry(s, d), windowRows = 64, minObs = 16, zThreshold = 3.0)),
+
+    // X14: daily availability trend per line — closed status segments
+    // split exactly at UTC day boundaries (map-side sequence+explode),
+    // rolled up to line × day
+    "x14_availability_trend" -> ((s, d) => {
+      val t = Tables.telemetry(s, d).select(
+        col("machineId").as("id"), lit("status").as("tag"),
+        col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
+      Kpi.availabilityTrend(Downtime.durations(t))
+    }),
+
     // J5+J6: downtime segments joined to decode + machine-info dims
     "j6_downtime_enriched" -> ((s, d) => {
       val t = Tables.telemetry(s, d).select(
@@ -513,6 +529,20 @@ object SparkEntry {
       Tables.events(s, d).select(col("event_type")).distinct()
     }),
 
+    // O9: Z-order (Morton) clustering key — the multi-dimensional
+    // data-layout sort key behind Warehouse-style OPTIMIZE ZORDER
+    // rewrites (graft.functions.ZOrder.clusteredWrite). Codegen'd
+    // bit-interleave expression; oracle mirrors it with unrolled
+    // shift/mask arithmetic.
+    "o9_zorder_key" -> ((s, d) => {
+      import graft.functions.ZOrder
+      Tables.events(s, d)
+        .select(col("event_id"),
+          ZOrder.bucket(col("user_id"), 0L, 2047L, 10).as("bx"),
+          ZOrder.bucket(col("event_id"), 0L, 1048575L, 10).as("by"))
+        .withColumn("zkey", ZOrder.key(10, col("bx"), col("by")))
+    }),
+
     // S2+P1+P2+F1-F4: full parse path — envelope JSON → base64 → strict
     // config-driven parse → alias split → epoch
     "p1_parse_roundtrip" -> ((s, d) => {
@@ -743,6 +773,67 @@ object SparkEntry {
         |  count(*) AS n_machines,
         |  CAST(sum(span) AS BIGINT) AS prod_span
         |FROM pm GROUP BY 1, 2""".stripMargin),
+
+    "x13_rate_anomaly" -> (T +
+      """, dl AS (
+        |  SELECT machineId, ts_us, event_id, cnt,
+        |    CAST(cnt - lag(cnt) OVER (PARTITION BY machineId ORDER BY ts_us, cnt) AS DOUBLE) AS delta
+        |  FROM telemetry),
+        |fl AS (SELECT * FROM dl WHERE delta >= 0),
+        |st AS (
+        |  SELECT machineId, event_id, delta,
+        |    sum(1.0) OVER w AS n,
+        |    sum(delta) OVER w AS s1,
+        |    sum(delta*delta) OVER w AS s2
+        |  FROM fl
+        |  WINDOW w AS (PARTITION BY machineId ORDER BY ts_us, cnt
+        |    ROWS BETWEEN 64 PRECEDING AND 1 PRECEDING))
+        |SELECT machineId, event_id, CAST(delta AS BIGINT) AS delta,
+        |  CAST(n AS BIGINT) AS n_window,
+        |  round((delta - s1/n)/sqrt((s2 - s1*s1/n)/(n - 1.0)), 6) AS z_score
+        |FROM st
+        |WHERE n >= 16.0 AND (s2 - s1*s1/n) > 0
+        |  AND abs(round((delta - s1/n)/sqrt((s2 - s1*s1/n)/(n - 1.0)), 6)) >= 3.0""".stripMargin),
+
+    "x14_availability_trend" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, ts_us, status AS value,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
+        |  FROM telemetry),
+        |cp AS (
+        |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
+        |seg AS (
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us, value) AS next_es
+        |  FROM cp),
+        |closed AS (
+        |  SELECT id, value, es AS start_s, next_es AS end_s
+        |  FROM seg WHERE next_es IS NOT NULL AND next_es > es),
+        |dy AS (
+        |  SELECT split_part(id, '/', 3) AS lineId, value, start_s, end_s,
+        |    CAST(unnest(generate_series(start_s // 86400, (end_s - 1) // 86400)) AS BIGINT) AS day
+        |  FROM closed),
+        |ov AS (
+        |  SELECT lineId, day, value,
+        |    least(end_s, (day + 1) * 86400) - greatest(start_s, day * 86400) AS sec
+        |  FROM dy)
+        |SELECT lineId, day,
+        |  CAST(sum(CASE WHEN value = 'DOWN' THEN sec ELSE 0 END) AS BIGINT) AS down_seconds,
+        |  CAST(sum(sec) AS BIGINT) AS total_seconds,
+        |  round(1.0 - CAST(sum(CASE WHEN value = 'DOWN' THEN sec ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(sec) AS DOUBLE), 6) AS availability
+        |FROM ov GROUP BY 1, 2""".stripMargin),
+
+    "o9_zorder_key" -> {
+      val terms = (0 until 10).flatMap(j => Seq(
+        s"((bx // ${1L << j}) % 2) * ${1L << (2 * j)}",
+        s"((by // ${1L << j}) % 2) * ${1L << (2 * j + 1)}")).mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT event_id,
+         |    least(1023, greatest(0, CAST(floor((user_id * 1024) * 1.0 / 2048) AS BIGINT))) AS bx,
+         |    least(1023, greatest(0, CAST(floor((event_id * 1024) * 1.0 / 1048576) AS BIGINT))) AS by
+         |  FROM events)
+         |SELECT event_id, bx, by, CAST($terms AS BIGINT) AS zkey FROM b""".stripMargin
+    },
 
     "j6_downtime_enriched" -> (T +
       """, series AS (

@@ -112,6 +112,65 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_rep"), col("rep_idx"))
   }
 
+  /**
+   * Deterministic seeded global shuffle — the training order. Every
+   * document gets a pseudorandom position from `md5(seed || ':' ||
+   * key)` (uniform, engine-portable, reproducible from the seed
+   * alone), surfaced as a contiguous 1-based `train_rank` via the
+   * two-pass [[GlobalRank]] (range-partitioned sort + zipWithIndex —
+   * no single-partition Window). This is the step that fixes a
+   * pretraining run's data order for exact replay/resume; changing
+   * the seed is a full reshuffle with zero data movement beyond the
+   * one range-partitioned sort.
+   */
+  def trainingOrder(docs: DataFrame, keyCol: Column, seed: String): DataFrame = {
+    val pos = md5(concat_ws(":", lit(seed), keyCol.cast("string")))
+    GlobalRank.withGlobalRank(
+      docs.withColumn("_pos", pos),
+      Seq(col("_pos"), keyCol), "train_rank").drop("_pos")
+  }
+
+  /**
+   * Epoch-interleaved training order over the [[epochExpand]]ed
+   * corpus: every REPLICA (doc_id, rep_idx) gets its own seeded
+   * position, so a document's epochs scatter uniformly through the
+   * order instead of clumping — the materialized form of "sample with
+   * replacement according to the mixture weights". Same two-pass
+   * global rank; the only new cost over [[epochExpand]] (which is
+   * shuffle-free) is the one range-partitioned sort of the expanded
+   * keys — the text itself is joined back downstream by doc_id and
+   * never moves through the sort.
+   */
+  def epochInterleave(docs: DataFrame, keyCol: Column, sourceCol: Column,
+      tokenCol: Column, seed: String): DataFrame = {
+    val expanded = epochExpand(docs, keyCol, sourceCol, tokenCol)
+    val pos = md5(concat_ws(":", lit(seed),
+      col("doc_id").cast("string"), col("rep_idx").cast("string")))
+    GlobalRank.withGlobalRank(
+      expanded.withColumn("_pos", pos),
+      Seq(col("_pos"), col("doc_id"), col("rep_idx")), "train_rank").drop("_pos")
+  }
+
+  /**
+   * Cross-source duplication matrix: for every unordered source pair,
+   * how many distinct exact-duplicate texts they share — the corpus
+   * audit that reveals mirror hosts and wholesale scrape overlap
+   * (the reason per-source caps and dedup priorities exist). Only
+   * (digest, source) pairs shuffle (text never moves); the distinct
+   * pre-aggregation means the self-join runs over at most
+   * #distinct-texts × #sources rows, and only digests present in ≥ 2
+   * sources survive to the join output.
+   */
+  def sourceOverlap(docs: DataFrame, sourceCol: Column, textCol: Column): DataFrame = {
+    val ds = docs.select(md5(textCol).as("_digest"), sourceCol.as("_src")).distinct()
+    val a = ds.select(col("_digest"), col("_src").as("source_a"))
+    val b = ds.select(col("_digest"), col("_src").as("source_b"))
+    a.join(b, Seq("_digest"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_texts"))
+  }
+
   def mixtureWeights(docs: DataFrame, sourceCol: Column, tokenCol: Column): DataFrame = {
     val per = docs.groupBy(sourceCol.as("source")).agg(
       count(lit(1)).as("n_docs"),

@@ -127,6 +127,84 @@ object Kpi {
   }
 
   /**
+   * Trailing-window production-rate anomaly detection: per machine,
+   * the z-score of each production increment against the PRECEDING
+   * `windowRows` increments — the live "this machine just slowed
+   * down / spiked" signal a monitoring deployment alerts on.
+   *
+   * Increments are counter deltas with rollover resets excluded
+   * (negative deltas are the a7 banking events, not production).
+   * Mean/variance come from trailing count/sum/sum-of-squares —
+   * exact integer-valued double sums, so the trailing statistics are
+   * independent of partition boundaries — and the z-score is a fixed
+   * arithmetic tree over them (single IEEE ops ⇒ engine-portable);
+   * the threshold compares the ROUNDED score so engines can't
+   * disagree at the boundary. Two window passes over the same
+   * machine-keyed partitioning ⇒ ONE shuffle; per-machine sequential
+   * scans parallelize across the fleet.
+   */
+  def rateAnomaly(telemetry: DataFrame, windowRows: Int = 64, minObs: Int = 16,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(windowRows >= minObs && minObs >= 2,
+      s"need windowRows >= minObs >= 2, got $windowRows/$minObs")
+    val wCnt = Window.partitionBy("machineId").orderBy(col("ts_us"), col("cnt"))
+    val deltas = telemetry
+      .select(col("machineId"), col("ts_us"), col("event_id"), col("cnt"))
+      .withColumn("delta", (col("cnt") - lag(col("cnt"), 1).over(wCnt)).cast("double"))
+      .filter(col("delta") >= 0.0)
+    val wTrail = Window.partitionBy("machineId").orderBy(col("ts_us"), col("cnt"))
+      .rowsBetween(-windowRows, -1)
+    val n = sum(lit(1.0)).over(wTrail)
+    val s1 = sum(col("delta")).over(wTrail)
+    val s2 = sum(col("delta") * col("delta")).over(wTrail)
+    val z = round((col("delta") - col("_s1") / col("_n")) /
+      sqrt((col("_s2") - col("_s1") * col("_s1") / col("_n")) / (col("_n") - 1.0)), 6)
+    deltas
+      .withColumn("_n", n).withColumn("_s1", s1).withColumn("_s2", s2)
+      .filter(col("_n") >= minObs.toDouble &&
+        (col("_s2") - col("_s1") * col("_s1") / col("_n")) > 0.0)
+      .withColumn("z_score", z)
+      .filter(abs(col("z_score")) >= zThreshold)
+      .select(col("machineId"), col("event_id"), col("delta").cast("long").as("delta"),
+        col("_n").cast("long").as("n_window"), col("z_score"))
+  }
+
+  /**
+   * Daily availability trend per line: closed status segments are
+   * split at UTC day boundaries (each segment contributes its exact
+   * overlap seconds to every day it spans), then rolled up to
+   * (line × day) DOWN/total seconds and the availability ratio — the
+   * dashboard's trend chart, computed server-side.
+   *
+   * The day-split is a map-side `sequence`+`explode` whose fan-out is
+   * bounded by segment length in days (telemetry segments are
+   * minutes–hours, so ~1); all sums are exact integer seconds; the
+   * only shuffles are the segment windows (machine-keyed, inherited
+   * from [[Downtime.durations]]) and the final line×day groupBy on a
+   * calendar-bounded key space.
+   */
+  def availabilityTrend(durationsDf: DataFrame, downValue: String = "DOWN"): DataFrame = {
+    val day = 86400L
+    val segs = durationsDf
+      .withColumn("start_s", unix_timestamp(col("timestamp")))
+      .select(col("id"), col("start_s"),
+        (col("start_s") + col("duration_seconds")).cast("long").as("end_s"), col("value"))
+      .filter(col("end_s") > col("start_s"))
+    segs
+      .withColumn("day", explode(sequence(
+        expr("start_s div 86400"), expr("(end_s - 1) div 86400"))))
+      .withColumn("overlap_s",
+        least(col("end_s"), (col("day") + 1L) * day) -
+          greatest(col("start_s"), col("day") * day))
+      .groupBy(lineOf(col("id")).as("lineId"), col("day"))
+      .agg(
+        sum(when(col("value") === downValue, col("overlap_s")).otherwise(0L)).as("down_seconds"),
+        sum(col("overlap_s")).as("total_seconds"))
+      .withColumn("availability",
+        round(lit(1.0) - col("down_seconds").cast("double") / col("total_seconds").cast("double"), 6))
+  }
+
+  /**
    * Shift rollup: (line × 8-hour shift-of-day) production span and
    * downtime counts. Two-level aggregation — per (line, shift,
    * machine) first so the production span (max−min counter) is

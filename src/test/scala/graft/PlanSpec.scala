@@ -311,4 +311,49 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       assert(!inCols.contains("text"), s"join reads text: $inCols")
     }
   }
+
+  test("rate anomaly: both window passes share ONE machine-keyed shuffle (X13)") {
+    val df = SparkEntry.queries("x13_rate_anomaly")(spark, sf)
+    assert(countShuffles(df) === 1, df.queryExecution.executedPlan.toString.take(1200))
+    val p = plan("x13_rate_anomaly")
+    assert(!p.contains("SinglePartition"), p.take(800))
+  }
+
+  test("availability trend: day split is map-side, no single-partition ops (X14)") {
+    val p = plan("x14_availability_trend")
+    assert(p.contains("Generate explode"), p.take(1200))
+    assert(!p.contains("SinglePartition"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "trend must not join — it is windows + one rollup\n" + p.take(800))
+  }
+
+  test("training order has no Window operator and no single-partition exchange (T32)") {
+    val df = SparkEntry.queries("t32_training_order")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(1000))
+    assert(!p.contains("SinglePartition"), p.take(800))
+  }
+
+  test("source overlap joins digests only, text is pruned before the shuffle (T34)") {
+    val df = SparkEntry.queries("t34_source_overlap")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val inCols = (j.left.output ++ j.right.output).map(_.name)
+      assert(!inCols.contains("text"), s"join reads text: $inCols")
+    }
+  }
+
+  test("z-order key stays inside whole-stage codegen (O9)") {
+    val p = plan("o9_zorder_key")
+    // the key computation must sit under a WholeStageCodegen span (the
+    // `*(n)` marker on the Project), not fall back to interpreted
+    // projection
+    val keyLine = p.linesIterator.find(_.contains("zorderinterleave")).getOrElse("")
+    assert(keyLine.trim.startsWith("*("), p.take(1000))
+    assert(countShuffles(SparkEntry.queries("o9_zorder_key")(spark, sf)) === 0,
+      "key computation is map-only")
+  }
 }

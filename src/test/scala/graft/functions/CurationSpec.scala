@@ -103,4 +103,50 @@ class CurationSpec extends SparkTestBase {
     // doc counts add back up to the corpus
     assert(out.map(_._2).sum === 200L)
   }
+
+  test("training order is a contiguous bijection, seed-stable, partitioning-invariant") {
+    def order(parts: Int, seed: String): Seq[(Long, Long)] =
+      Curation.trainingOrder(docs().repartition(parts).select("doc_id"), col("doc_id"), seed)
+        .select("doc_id", "train_rank").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    val o1 = order(1, "s")
+    assert(o1.map(_._2) === (1L to 200L))
+    assert(o1.map(_._1).toSet.size === 200)
+    assert(o1 === order(8, "s"))
+    // a different seed is a different permutation (200! chance otherwise)
+    assert(o1.map(_._1) !== order(1, "other").map(_._1))
+  }
+
+  test("epoch interleave ranks every replica once and scatters epochs") {
+    val expanded = Curation.epochExpand(docs(), col("doc_id"), col("source"), col("n_tok"))
+    val out = Curation.epochInterleave(docs(), col("doc_id"), col("source"),
+      col("n_tok"), seed = "s")
+    val n = expanded.count()
+    assert(out.count() === n)
+    // same replica multiset, ranks contiguous 1..n
+    assert(out.select(min("train_rank")).as[Long].head() === 1L)
+    assert(out.select(max("train_rank")).as[Long].head() === n)
+    assert(out.select(countDistinct("train_rank")).as[Long].head() === n)
+    assert(out.select("doc_id", "rep_idx").as[(Long, Long)].collect().sorted.toSeq ===
+      expanded.select("doc_id", "rep_idx").as[(Long, Long)].collect().sorted.toSeq)
+    // replicas of one doc do NOT sit adjacent: for docs with >= 2 reps,
+    // at least one has non-consecutive ranks (md5 scatter)
+    val gaps = out.filter(col("n_rep") >= 2)
+      .groupBy("doc_id").agg((max("train_rank") - min("train_rank")).as("spread"),
+        count(lit(1)).as("c"))
+      .filter(col("spread") > col("c"))
+    assert(gaps.count() > 0L)
+  }
+
+  test("source overlap counts distinct shared texts per unordered source pair") {
+    val d = Seq(
+      (1L, "s1", "dup"), (2L, "s2", "dup"), (3L, "s3", "dup"),
+      (4L, "s1", "only"), (5L, "s2", "x"), (6L, "s2", "dup"),
+      (7L, "s1", "pair"), (8L, "s3", "pair"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.sourceOverlap(d, col("source"), col("text"))
+      .select("source_a", "source_b", "shared_texts")
+      .as[(String, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      ("s1", "s2", 1L), ("s1", "s3", 2L), ("s2", "s3", 1L)))
+  }
 }

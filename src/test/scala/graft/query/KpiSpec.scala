@@ -81,4 +81,57 @@ class KpiSpec extends SparkTestBase {
       ("line0", 1L, 1L, 0L, 1L, 0L),
       ("line1", 2L, 1L, 0L, 1L, 0L)))
   }
+
+  test("rate anomaly flags the spike, never the steady rate, and skips rollovers") {
+    // machine S: 20 alternating increments 9/11 (mean 10, sd ~1), then
+    // one +500 spike, then a rollover reset (negative delta) and one
+    // more normal increment. machine C: perfectly constant increments
+    // (zero variance => no z-score is defined, no rows).
+    def cum(deltas: Seq[Long]): Seq[Long] = deltas.scanLeft(0L)(_ + _).tail
+    val sDeltas = (0 until 20).map(i => if (i % 2 == 0) 9L else 11L) ++ Seq(500L)
+    val sCnt = cum(sDeltas) ++ Seq(5L, 15L) // reset to 5, then +10
+    val rows =
+      sCnt.zipWithIndex.map { case (c, i) => ("s0/a0/line0/S", i.toLong, c) } ++
+        (0 until 30).map(i => ("s0/a0/line0/C", i.toLong, 10L * i))
+    val telemetry = rows.toDF("machineId", "es", "cnt")
+      .withColumn("ts_us", col("es") * 1000000L)
+      .withColumn("event_id", col("es"))
+    val out = Kpi.rateAnomaly(telemetry, windowRows = 16, minObs = 8, zThreshold = 3.0)
+      .select("machineId", "event_id", "delta", "z_score")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out.map(t => (t._1, t._2, t._3)) === Seq(("s0/a0/line0/S", 20L, 500L)))
+    assert(out.head._4 > 100.0, s"spike z ${out.head._4}")
+  }
+
+  test("rate anomaly trailing stats are partitioning-invariant") {
+    val rows = (0 until 60).map(i =>
+      ("s0/a0/line0/M", i.toLong, (i.toLong * 10L) + (i % 7)))
+    val telemetry = rows.toDF("machineId", "es", "cnt")
+      .withColumn("ts_us", col("es") * 1000000L)
+      .withColumn("event_id", col("es"))
+    def run(parts: Int) =
+      Kpi.rateAnomaly(telemetry.repartition(parts), 16, 8, 0.5)
+        .select("event_id", "z_score").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(1) === run(8))
+    assert(run(1).nonEmpty)
+  }
+
+  test("availability trend splits segments exactly at day boundaries") {
+    // UP [0, 86300), DOWN [86300, 86600) -- crosses midnight at 86400;
+    // trailing UP@86600 only closes the DOWN segment (open itself)
+    val series = Seq(
+      ("s0/a0/line0/m1", 0L, "UP"),
+      ("s0/a0/line0/m1", 86300L, "DOWN"),
+      ("s0/a0/line0/m1", 86600L, "UP"))
+      .toDF("id", "es", "value")
+      .select(col("id"), lit("status").as("tag"), col("value"),
+        lit("GOOD").as("quality"), timestamp_seconds(col("es")).as("timestamp"))
+    val out = Kpi.availabilityTrend(Downtime.durations(series))
+      .select("lineId", "day", "down_seconds", "total_seconds", "availability")
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    // day0: UP 86300 + DOWN 100 of the straddling segment; day1: DOWN 200
+    assert(out === Seq(
+      ("line0", 0L, 100L, 86400L, 0.998843),
+      ("line0", 1L, 200L, 200L, 0.0)))
+  }
 }
