@@ -23,7 +23,10 @@ object PipelineQueries {
   private def ivfIndexPath(s: SparkSession, d: String): String =
     ivfIndexMemo.computeIfAbsent(d, _ => {
       val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-${Integer.toHexString(d.hashCode)}"
-      Similarity.buildIvfIndex(Tables.embeddings(s, d), path) // k derived from corpus size
+      // label rides into the index so filtered searches (n11) push
+      // their predicate into the same cell-pruned scan
+      Similarity.buildIvfIndex(Tables.embeddings(s, d), path, // k derived from corpus size
+        metaCols = Seq("label"))
       path
     })
 
@@ -467,6 +470,19 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopKIndexed(s, ivfIndexPath(s, d),
         emb.filter(col("vec_id") < 20), k = 10, nProbe = 4)
+    }),
+
+    // Filtered ANN: top-k among vectors satisfying a metadata
+    // predicate (label parity here) — the "search within a slice"
+    // serving shape. The predicate is pushed into the SAME
+    // cell-pruned index scan (partition prune × PushedFilters), not
+    // applied to ranked results, so k stays full and probe cost drops
+    // with selectivity.
+    "n11_ann_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopKIndexed(s, ivfIndexPath(s, d),
+        emb.filter(col("vec_id") < 20), k = 10, nProbe = 4,
+        pred = Some(col("label").isin(1, 3, 5, 7, 9)))
     }),
 
     // Exact length quantiles per stratum (corpus distribution stats —
@@ -1927,6 +1943,8 @@ object PipelineQueries {
     val centroids = ivfCentroids(spark, sfDir)
     Map(
       "n3_ann_ivf" -> ivfOracleSql(centroids, k = 10, nProbe = 4),
+      "n11_ann_filtered" -> ivfFilteredOracleSql(centroids, k = 10, nProbe = 4,
+        predSql = "e.label IN (1, 3, 5, 7, 9)"),
       "n6_ann_ivf_sq8" -> ivfSq8OracleSql(centroids, k = 10, nProbe = 4, rerankFactor = 3),
       "n7_ann_pq" -> pqOracleSql(pqCodebooks(spark, sfDir), dim = 64, k = 10, rerankFactor = 3),
       "n8_ann_ivf_pq" -> ivfPqOracleSql(centroids, pqCodebooks(spark, sfDir),
@@ -2336,6 +2354,24 @@ object PipelineQueries {
        |  CAST(row_number() OVER (PARTITION BY p.query_id
        |    ORDER BY ${cosSql("a.embedding", "p.qv")} DESC, a.neighbor_id) AS INTEGER) AS rank
        |FROM assigned a JOIN probes p ON a.cell = p.cell
+       |WHERE p.query_id <> a.neighbor_id
+       |QUALIFY rank <= $k""".stripMargin
+
+  /** n11 generated oracle: n3's probe ranking restricted to corpus
+   * vectors satisfying the metadata predicate — filter BEFORE rank,
+   * so k stays full (mirrors Similarity.ivfTopKIndexed with pred). */
+  private def ivfFilteredOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int,
+      nProbe: Int, predSql: String): String =
+    s"""WITH ${ivfCtesSql(centroids, nProbe)},
+       |fa AS (
+       |  SELECT a.neighbor_id, a.embedding, a.cell
+       |  FROM assigned a JOIN embeddings e ON e.vec_id = a.neighbor_id
+       |  WHERE $predSql)
+       |SELECT p.query_id, a.neighbor_id,
+       |  ${cosSql("a.embedding", "p.qv")} AS cosine,
+       |  CAST(row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY ${cosSql("a.embedding", "p.qv")} DESC, a.neighbor_id) AS INTEGER) AS rank
+       |FROM fa a JOIN probes p ON a.cell = p.cell
        |WHERE p.query_id <> a.neighbor_id
        |QUALIFY rank <= $k""".stripMargin
 

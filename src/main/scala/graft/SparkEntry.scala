@@ -233,6 +233,15 @@ object SparkEntry {
       Kpi.availabilityTrend(Downtime.durations(t))
     }),
 
+    // X15: downtime heatmap — closed DOWN segments split at hour
+    // boundaries, rolled to line × hour-of-day (maintenance planning)
+    "x15_downtime_heatmap" -> ((s, d) => {
+      val t = Tables.telemetry(s, d).select(
+        col("machineId").as("id"), lit("status").as("tag"),
+        col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
+      Kpi.downtimeHeatmap(Downtime.durations(t))
+    }),
+
     // J5+J6: downtime segments joined to decode + machine-info dims
     "j6_downtime_enriched" -> ((s, d) => {
       val t = Tables.telemetry(s, d).select(
@@ -821,6 +830,32 @@ object SparkEntry {
         |  CAST(sum(sec) AS BIGINT) AS total_seconds,
         |  round(1.0 - CAST(sum(CASE WHEN value = 'DOWN' THEN sec ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(sec) AS DOUBLE), 6) AS availability
+        |FROM ov GROUP BY 1, 2""".stripMargin),
+
+    "x15_downtime_heatmap" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, ts_us, status AS value,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
+        |  FROM telemetry),
+        |cp AS (
+        |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
+        |seg AS (
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us, value) AS next_es
+        |  FROM cp),
+        |closed AS (
+        |  SELECT id, es AS start_s, next_es AS end_s
+        |  FROM seg WHERE next_es IS NOT NULL AND next_es > es AND value = 'DOWN'),
+        |hr AS (
+        |  SELECT split_part(id, '/', 3) AS lineId, start_s, end_s,
+        |    CAST(unnest(generate_series(start_s // 3600, (end_s - 1) // 3600)) AS BIGINT) AS h
+        |  FROM closed),
+        |ov AS (
+        |  SELECT lineId, h % 24 AS hour_of_day,
+        |    least(end_s, (h + 1) * 3600) - greatest(start_s, h * 3600) AS sec
+        |  FROM hr)
+        |SELECT lineId, hour_of_day,
+        |  CAST(sum(sec) AS BIGINT) AS down_seconds,
+        |  count(*) AS n_segments
         |FROM ov GROUP BY 1, 2""".stripMargin),
 
     "o9_zorder_key" -> {

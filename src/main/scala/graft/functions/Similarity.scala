@@ -275,14 +275,23 @@ object Similarity {
    * agree bit-for-bit across engines. Ties break on the lower cell.
    * Output: (vec_id, embedding, cell).
    */
-  def assignCells(corpus: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+  def assignCells(corpus: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"), cellExpr(centroids).as("cell"))
+
+  /** [[assignCells]] keeping EVERY input column (metadata travels with
+   * the vector into the index — the layout filtered ANN scans need). */
+  def assignCellsKeeping(corpus: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    corpus.withColumn("cell", cellExpr(centroids))
+
+  /** The literal-centroid argmin Column shared by both assignment
+   * shapes (see [[assignCells]] for the arithmetic contract). */
+  private def cellExpr(centroids: Seq[(Int, Seq[Float])]): Column = {
     val cc: Map[Int, Double] = centroids.map { case (i, c) => i -> sqSum(c) }.toMap
     val assignScore = centroids.map { case (i, c) =>
       struct((lit(cc(i)) - lit(2.0) * dot(col("embedding"), typedLit(c))).as("d"),
         lit(i).as("cell"))
     }
-    corpus.select(col("vec_id"), col("embedding"),
-      least(assignScore: _*).getField("cell").as("cell"))
+    least(assignScore: _*).getField("cell")
   }
 
   /**
@@ -394,13 +403,17 @@ object Similarity {
    * Rebuild when the corpus drifts (centroids are deterministic for a
    * given corpus+seed, so rebuilds are reproducible).
    */
-  def buildIvfIndex(corpus: DataFrame, path: String, nClusters: Int = 0): Unit = {
+  def buildIvfIndex(corpus: DataFrame, path: String, nClusters: Int = 0,
+      metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = fitIvfCentroids(corpus, nClusters)
     centroids.toDF("cell", "center")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    assignCells(corpus, centroids)
+    // metadata columns ride along into the cell-partitioned corpus so
+    // filtered searches push their predicate into the SAME pruned scan
+    assignCellsKeeping(
+        corpus.select((Seq("vec_id", "embedding") ++ metaCols).map(col): _*), centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
   }
 
@@ -419,15 +432,22 @@ object Similarity {
    * query time.
    */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      queries: DataFrame, k: Int, nProbe: Int,
+      pred: Option[Column] = None): DataFrame = {
     val centroids = loadIvfCentroids(spark, path)
     val qcells = probeCells(queries, centroids, nProbe)
     // the probed cell set is tiny (≤ |Q|·nProbe ≤ nClusters): collect
     // it once so the scan prunes to those partitions
     val probedCells = qcells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = spark.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(probedCells: _*))
+    // filtered ANN: a metadata predicate (over metaCols stored in the
+    // index) composes with the cell pruning IN the scan — partition
+    // prune × PushedFilters, so a selective filter cuts the probe cost
+    // instead of post-filtering ranked results (which would also
+    // under-fill k)
+    val assigned = pred.foldLeft(
+      spark.read.parquet(s"$path/corpus")
+        .filter(col("cell").isin(probedCells: _*)))(_.filter(_))
     rankProbed(assigned, qcells, k)
   }
 

@@ -205,6 +205,35 @@ object Kpi {
   }
 
   /**
+   * Downtime heatmap: closed DOWN segments split at UTC hour
+   * boundaries and rolled up to (line × hour-of-day) — "when do we
+   * break" across the calendar, the planner's maintenance-window view.
+   * Same exact-overlap machinery as [[availabilityTrend]] at hour
+   * granularity; only DOWN segments are exploded (filter BEFORE the
+   * fan-out), and the key space is #lines × 24.
+   */
+  def downtimeHeatmap(durationsDf: DataFrame, downValue: String = "DOWN"): DataFrame = {
+    val hour = 3600L
+    durationsDf
+      .filter(col("value") === downValue)
+      .withColumn("start_s", unix_timestamp(col("timestamp")))
+      .select(col("id"), col("start_s"),
+        (col("start_s") + col("duration_seconds")).cast("long").as("end_s"))
+      .filter(col("end_s") > col("start_s"))
+      .withColumn("h", explode(sequence(
+        expr("start_s div 3600"), expr("(end_s - 1) div 3600"))))
+      .select(
+        lineOf(col("id")).as("lineId"),
+        (col("h") % 24L).as("hour_of_day"),
+        (least(col("end_s"), (col("h") + 1L) * hour) -
+          greatest(col("start_s"), col("h") * hour)).as("overlap_s"))
+      .groupBy(col("lineId"), col("hour_of_day"))
+      .agg(
+        sum(col("overlap_s")).as("down_seconds"),
+        count(lit(1)).as("n_segments"))
+  }
+
+  /**
    * Shift rollup: (line × 8-hour shift-of-day) production span and
    * downtime counts. Two-level aggregation — per (line, shift,
    * machine) first so the production span (max−min counter) is

@@ -19,7 +19,7 @@ class EntrySmokeSpec extends SparkTestBase {
     // every query is oracle-backed except the generated-oracle set
     // (centroid-literal SQL produced by dynamicOracleSql at Verify time)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("n3_ann_ivf", "n6_ann_ivf_sq8", "n7_ann_pq",
+    assert(rowsOnly == Set("n3_ann_ivf", "n11_ann_filtered", "n6_ann_ivf_sq8", "n7_ann_pq",
       "n8_ann_ivf_pq", "e2_kmeans_step", "e3_semdedup", "e4_knn_graph",
       "n10_ann_ivf_rpq", "e5_semdedup_xcell", "e6_knn_graph_xcell",
       "e7_cell_balanced_sample",

@@ -211,6 +211,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(probed == 2, s"probed $probed cells")
   }
 
+  test("filtered ANN: predicate composes with cell pruning, k stays full, results match a filtered corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-filt").toString
+    Similarity.buildIvfIndex(emb, path, nClusters = 8, metaCols = Seq("label"))
+    val centroids = Similarity.loadIvfCentroids(spark, path)
+    val pred = col("label").isin(1, 3, 5, 7, 9)
+
+    val served = Similarity.ivfTopKIndexed(spark, path, queries, k = 5,
+      nProbe = 3, pred = Some(pred))
+    // identical to searching the pre-filtered corpus with the SAME
+    // (full-corpus) centroids — filter must not change the quantizer
+    val direct = Similarity.ivfTopKWith(emb.filter(pred), queries, 5, centroids, nProbe = 3)
+      .collect().map(_.toSeq).toSet
+    assert(served.collect().map(_.toSeq).toSet == direct)
+    // every neighbor satisfies the predicate, k filled per query
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val rows = served.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    rows.foreach { case (_, n) => assert(labels(n) % 2 == 1, s"neighbor $n fails pred") }
+    assert(rows.groupBy(_._1).forall(_._2.length == 5))
+    // the predicate reaches the pruned scan as a pushed filter
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(900))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("label")), plan.take(1200))
+  }
+
   test("IVF-SQ8: quantized probe + exact rerank matches full-precision IVF within probed cells") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 5)

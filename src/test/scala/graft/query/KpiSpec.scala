@@ -134,4 +134,23 @@ class KpiSpec extends SparkTestBase {
       ("line0", 0L, 100L, 86400L, 0.998843),
       ("line0", 1L, 200L, 200L, 0.0)))
   }
+
+  test("downtime heatmap splits DOWN segments at hour boundaries only") {
+    // DOWN [3500, 7300) spans hours 0/1/2 with 100/3600/100 seconds;
+    // the UP segment must not appear at all
+    val series = Seq(
+      ("s0/a0/line0/m1", 0L, "UP"),
+      ("s0/a0/line0/m1", 3500L, "DOWN"),
+      ("s0/a0/line0/m1", 7300L, "UP"))
+      .toDF("id", "es", "value")
+      .select(col("id"), lit("status").as("tag"), col("value"),
+        lit("GOOD").as("quality"), timestamp_seconds(col("es")).as("timestamp"))
+    val out = Kpi.downtimeHeatmap(Downtime.durations(series))
+      .select("lineId", "hour_of_day", "down_seconds", "n_segments")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out === Seq(
+      ("line0", 0L, 100L, 1L),
+      ("line0", 1L, 3600L, 1L),
+      ("line0", 2L, 100L, 1L)))
+  }
 }
