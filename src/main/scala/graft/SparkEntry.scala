@@ -233,6 +233,15 @@ object SparkEntry {
       Kpi.availabilityTrend(Downtime.durations(t))
     }),
 
+    // X16: sensor-liveness gap report — silent stretches beyond a day
+    // per machine (the TTL-staleness audit, server-side)
+    "x16_gap_report" -> ((s, d) =>
+      Kpi.gapReport(Tables.telemetry(s, d), thresholdSeconds = 86400L)),
+
+    // X17: status-transition matrix per line (change-point semantics)
+    "x17_transition_matrix" -> ((s, d) =>
+      Kpi.transitionMatrix(Tables.telemetry(s, d))),
+
     // X15: downtime heatmap — closed DOWN segments split at hour
     // boundaries, rolled to line × hour-of-day (maintenance planning)
     "x15_downtime_heatmap" -> ((s, d) => {
@@ -831,6 +840,29 @@ object SparkEntry {
         |  round(1.0 - CAST(sum(CASE WHEN value = 'DOWN' THEN sec ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(sec) AS DOUBLE), 6) AS availability
         |FROM ov GROUP BY 1, 2""".stripMargin),
+
+    "x16_gap_report" -> (T +
+      """, g AS (
+        |  SELECT machineId,
+        |    es - lag(es) OVER (PARTITION BY machineId ORDER BY ts_us, event_id) AS gap
+        |  FROM telemetry)
+        |SELECT machineId,
+        |  count(*) AS n_readings,
+        |  CAST(sum(CASE WHEN gap > 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  max(CASE WHEN gap > 86400 THEN gap END) AS max_gap_seconds,
+        |  CAST(sum(CASE WHEN gap > 86400 THEN gap ELSE 0 END) AS BIGINT) AS gap_seconds_total
+        |FROM g GROUP BY 1""".stripMargin),
+
+    "x17_transition_matrix" -> (T +
+      """, s AS (
+        |  SELECT machineId, status,
+        |    lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
+        |  FROM telemetry)
+        |SELECT split_part(machineId, '/', 3) AS lineId,
+        |  prev AS from_status, status AS to_status,
+        |  count(*) AS n_transitions
+        |FROM s WHERE prev IS NOT NULL AND prev <> status
+        |GROUP BY 1, 2, 3""".stripMargin),
 
     "x15_downtime_heatmap" -> (T +
       """, series AS (

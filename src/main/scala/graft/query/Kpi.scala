@@ -234,6 +234,48 @@ object Kpi {
   }
 
   /**
+   * Sensor-liveness gap report: per machine, silent stretches longer
+   * than `thresholdSeconds` between consecutive readings — the data-
+   * quality audit behind the reference's TTL-based machine-liveness
+   * rule (a machine whose series stops reporting goes stale). Every
+   * machine appears, including gap-free ones (an audit that omits the
+   * healthy rows can't prove coverage). One window + one agg on the
+   * same machine-keyed partitioning — a single shuffle.
+   */
+  def gapReport(telemetry: DataFrame, thresholdSeconds: Long = 86400L): DataFrame = {
+    val w = Window.partitionBy("machineId").orderBy(col("ts_us"), col("event_id"))
+    val isGap = col("_gap") > thresholdSeconds
+    telemetry
+      .select(col("machineId"), col("ts_us"), col("event_id"), col("es"))
+      .withColumn("_gap", col("es") - lag(col("es"), 1).over(w))
+      .groupBy(col("machineId"))
+      .agg(
+        count(lit(1)).as("n_readings"),
+        sum(when(isGap, 1L).otherwise(0L)).as("n_gaps"),
+        max(when(isGap, col("_gap"))).as("max_gap_seconds"),
+        sum(when(isGap, col("_gap")).otherwise(0L)).as("gap_seconds_total"))
+  }
+
+  /**
+   * Status-transition matrix per line: how often each (from → to)
+   * status change occurs — the Markov-ish "what follows a DOWN" view
+   * maintenance planning reads. Change-point semantics (equal-value
+   * runs are not transitions); key space is #lines × |status|².
+   */
+  def transitionMatrix(telemetry: DataFrame): DataFrame = {
+    val w = Window.partitionBy("machineId").orderBy(col("ts_us"), col("status"))
+    telemetry
+      .select(col("machineId"), col("ts_us"), col("status"))
+      .withColumn("_prev", lag(col("status"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_prev") =!= col("status"))
+      .groupBy(
+        lineOf(col("machineId")).as("lineId"),
+        col("_prev").as("from_status"),
+        col("status").as("to_status"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /**
    * Shift rollup: (line × 8-hour shift-of-day) production span and
    * downtime counts. Two-level aggregation — per (line, shift,
    * machine) first so the production span (max−min counter) is

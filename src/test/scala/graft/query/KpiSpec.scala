@@ -135,6 +135,39 @@ class KpiSpec extends SparkTestBase {
       ("line0", 1L, 200L, 200L, 0.0)))
   }
 
+  test("gap report flags only above-threshold silences, keeps healthy machines") {
+    val rows = Seq(
+      ("s0/a0/line0/A", 0L), ("s0/a0/line0/A", 100L), ("s0/a0/line0/A", 100000L),
+      ("s0/a0/line0/A", 100200L), ("s0/a0/line0/A", 300000L),
+      ("s0/a0/line0/B", 0L), ("s0/a0/line0/B", 10L))
+      .toDF("machineId", "es")
+      .withColumn("ts_us", col("es") * 1000000L)
+      .withColumn("event_id", col("es"))
+    val out = Kpi.gapReport(rows, thresholdSeconds = 86400L)
+      .select("machineId", "n_readings", "n_gaps", "max_gap_seconds", "gap_seconds_total")
+      .as[(String, Long, Long, Option[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("s0/a0/line0/A", 5L, 2L, Some(199800L), 299700L),
+      ("s0/a0/line0/B", 2L, 0L, None, 0L)))
+  }
+
+  test("transition matrix counts change-points only, keyed by line") {
+    val rows = Seq(
+      ("s0/a0/line0/m1", 0L, "UP"), ("s0/a0/line0/m1", 10L, "DOWN"),
+      ("s0/a0/line0/m1", 20L, "UP"), ("s0/a0/line0/m1", 30L, "UP"), // run: no transition
+      ("s0/a0/line0/m1", 40L, "IDLE"),
+      ("s0/a0/line0/m2", 0L, "UP"), ("s0/a0/line0/m2", 10L, "DOWN"))
+      .toDF("machineId", "es", "status")
+      .withColumn("ts_us", col("es") * 1000000L)
+    val out = Kpi.transitionMatrix(rows)
+      .select("lineId", "from_status", "to_status", "n_transitions")
+      .as[(String, String, String, Long)].collect().sortBy(t => (t._2, t._3)).toSeq
+    assert(out === Seq(
+      ("line0", "DOWN", "UP", 1L),
+      ("line0", "UP", "DOWN", 2L),
+      ("line0", "UP", "IDLE", 1L)))
+  }
+
   test("downtime heatmap splits DOWN segments at hour boundaries only") {
     // DOWN [3500, 7300) spans hours 0/1/2 with 100/3600/100 seconds;
     // the UP segment must not appear at all
