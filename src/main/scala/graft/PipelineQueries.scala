@@ -472,6 +472,25 @@ object PipelineQueries {
         emb.filter(col("vec_id") < 20), k = 10, nProbe = 4)
     }),
 
+    // Recall evaluation as a first-class query: stage-1 IVF top-k vs
+    // the exact brute-force top-k, per query — "measure, don't guess"
+    // for the serving index (the number you tune nProbe against).
+    // Both sides reuse the existing operators; the comparison is a
+    // fleet-of-queries-sized left join + groupBy.
+    "e8_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+      val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopKIndexed(s, ivfIndexPath(s, d), queries, k = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id")).withColumn("_hit", lit(1))
+      bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("_hit")).as("n_matched"), count(lit(1)).as("_k"))
+        .select(col("query_id"), col("n_matched"),
+          round(col("n_matched").cast("double") / col("_k").cast("double"), 6).as("recall"))
+    }),
+
     // Filtered ANN: top-k among vectors satisfying a metadata
     // predicate (label parity here) — the "search within a slice"
     // serving shape. The predicate is pushed into the SAME
@@ -1945,6 +1964,7 @@ object PipelineQueries {
       "n3_ann_ivf" -> ivfOracleSql(centroids, k = 10, nProbe = 4),
       "n11_ann_filtered" -> ivfFilteredOracleSql(centroids, k = 10, nProbe = 4,
         predSql = "e.label IN (1, 3, 5, 7, 9)"),
+      "e8_ann_recall" -> annRecallOracleSql(centroids, k = 10, nProbe = 4),
       "n6_ann_ivf_sq8" -> ivfSq8OracleSql(centroids, k = 10, nProbe = 4, rerankFactor = 3),
       "n7_ann_pq" -> pqOracleSql(pqCodebooks(spark, sfDir), dim = 64, k = 10, rerankFactor = 3),
       "n8_ann_ivf_pq" -> ivfPqOracleSql(centroids, pqCodebooks(spark, sfDir),
@@ -2356,6 +2376,30 @@ object PipelineQueries {
        |FROM assigned a JOIN probes p ON a.cell = p.cell
        |WHERE p.query_id <> a.neighbor_id
        |QUALIFY rank <= $k""".stripMargin
+
+  /** e8 generated oracle: per-query overlap of the IVF top-k (n3's
+   * exact ranking clause) with the brute-force top-k (n1's). */
+  private def annRecallOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int,
+      nProbe: Int): String =
+    s"""WITH ${ivfCtesSql(centroids, nProbe)},
+       |ivf AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE p.query_id <> a.neighbor_id
+       |  QUALIFY row_number() OVER (PARTITION BY p.query_id
+       |    ORDER BY ${cosSql("a.embedding", "p.qv")} DESC, a.neighbor_id) <= $k),
+       |bf AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q
+       |  WHERE q.vec_id <> c.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosSql("c.embedding", "q.embedding")} DESC, c.vec_id) <= $k)
+       |SELECT b.query_id,
+       |  CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+       |  round(CAST(count(i.neighbor_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |FROM bf b LEFT JOIN ivf i
+       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |GROUP BY 1""".stripMargin
 
   /** n11 generated oracle: n3's probe ranking restricted to corpus
    * vectors satisfying the metadata predicate — filter BEFORE rank,

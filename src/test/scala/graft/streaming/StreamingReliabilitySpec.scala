@@ -79,7 +79,9 @@ final class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[
   override def getOption: Option[S] = v
   override def update(newState: S): Unit = { v = Some(newState) }
   override def remove(): Unit = { v = None }
-  override def hasTimedOut: Boolean = false
+  private var timedOut: Boolean = false
+  def setTimedOut(b: Boolean): Unit = { timedOut = b }
+  override def hasTimedOut: Boolean = timedOut
   override def setTimeoutDuration(durationMs: Long): Unit = ()
   override def setTimeoutDuration(duration: String): Unit = ()
   override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
