@@ -415,8 +415,15 @@ object PipelineQueries {
     // Cross-source duplication matrix: distinct exact-dup texts shared
     // by each source pair — the mirror-host audit. Only 32-byte
     // digests shuffle; pair space bounded by digests in >= 2 sources.
+    // The corpus is deterministically AUGMENTED with a mirror host
+    // (every doc_id % 11 doc re-sourced) so the overlap is exercised
+    // on real rows — the raw testdata has no cross-source exact dups.
     "t34_source_overlap" -> ((s, d) => {
-      Curation.sourceOverlap(Tables.documents(s, d), col("source"), col("text"))
+      val docs = Tables.documents(s, d).select(col("source"), col("text"),
+        col("doc_id"))
+      val mirrored = docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("source", concat(lit("mirror-"), col("source")))
+      Curation.sourceOverlap(docs.unionByName(mirrored), col("source"), col("text"))
     }),
 
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
@@ -1259,7 +1266,11 @@ object PipelineQueries {
     },
 
     "t34_source_overlap" ->
-      """WITH ds AS (SELECT DISTINCT md5(text) AS digest, source FROM documents)
+      """WITH aug AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror-' || source AS source, text FROM documents WHERE doc_id % 11 = 0),
+        |ds AS (SELECT DISTINCT md5(text) AS digest, source FROM aug)
         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_texts
         |FROM ds a JOIN ds b ON a.digest = b.digest AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,

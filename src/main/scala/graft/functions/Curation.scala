@@ -161,15 +161,20 @@ object Curation {
    * #distinct-texts × #sources rows, and only digests present in ≥ 2
    * sources survive to the join output.
    */
-  def sourceOverlap(docs: DataFrame, sourceCol: Column, textCol: Column): DataFrame = {
-    val ds = docs.select(md5(textCol).as("_digest"), sourceCol.as("_src")).distinct()
-    val a = ds.select(col("_digest"), col("_src").as("source_a"))
-    val b = ds.select(col("_digest"), col("_src").as("source_b"))
-    a.join(b, Seq("_digest"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
+  def sourceOverlap(docs: DataFrame, sourceCol: Column, textCol: Column): DataFrame =
+    docs
+      .select(md5(textCol).as("_digest"), sourceCol.as("_src"))
+      .groupBy(col("_digest"))
+      .agg(sort_array(collect_set(col("_src"))).as("_srcs"))
+      .filter(size(col("_srcs")) >= 2)
+      // unordered source pairs, map-side: a digest in s sources yields
+      // s·(s−1)/2 rows (s is tiny — the hosts sharing one exact text)
+      .select(explode(expr(
+        """flatten(transform(_srcs,
+          |  (a, i) -> transform(slice(_srcs, i + 2, size(_srcs)),
+          |    b -> struct(a AS source_a, b AS source_b))))""".stripMargin)).as("_p"))
+      .groupBy(col("_p.source_a").as("source_a"), col("_p.source_b").as("source_b"))
       .agg(count(lit(1)).as("shared_texts"))
-  }
 
   def mixtureWeights(docs: DataFrame, sourceCol: Column, tokenCol: Column): DataFrame = {
     val per = docs.groupBy(sourceCol.as("source")).agg(
