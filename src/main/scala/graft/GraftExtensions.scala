@@ -85,6 +85,22 @@ object GraftExtensions {
             "graft_shingles(text, n) takes a text column and a literal int n")
         }
         GraftColumns.toExpression(Dedup.shingles(GraftColumns.column(exprs.head), n))
+      }),
+    // graft_zorder(bits, c1, c2, ...): Morton clustering key over
+    // pre-bucketed BIGINT dims; bits must be a literal (it fixes the
+    // generated bit-loop shape at plan time)
+    (
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[graft.functions.expressions.ZOrderInterleave].getName,
+        "graft_zorder"),
+      (exprs: Seq[Expression]) => {
+        val bits = exprs.headOption match {
+          case Some(Literal(v: Int, IntegerType)) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_zorder(bits, cols...) needs a literal int bits first")
+        }
+        require(exprs.length >= 3, "graft_zorder takes bits plus at least two columns")
+        graft.functions.expressions.ZOrderInterleave(exprs.tail, bits)
       }))
 
   /** Register into a live session (getOrCreate ignores withExtensions

@@ -233,6 +233,14 @@ object SparkEntry {
       Kpi.availabilityTrend(Downtime.durations(t))
     }),
 
+    // X18: outage-duration percentiles per line (SLA view)
+    "x18_outage_percentiles" -> ((s, d) => {
+      val t = Tables.telemetry(s, d).select(
+        col("machineId").as("id"), lit("status").as("tag"),
+        col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
+      Kpi.outagePercentiles(Downtime.durations(t))
+    }),
+
     // X16: sensor-liveness gap report — silent stretches beyond a day
     // per machine (the TTL-staleness audit, server-side)
     "x16_gap_report" -> ((s, d) =>
@@ -840,6 +848,26 @@ object SparkEntry {
         |  round(1.0 - CAST(sum(CASE WHEN value = 'DOWN' THEN sec ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(sec) AS DOUBLE), 6) AS availability
         |FROM ov GROUP BY 1, 2""".stripMargin),
+
+    "x18_outage_percentiles" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, ts_us, status AS value,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
+        |  FROM telemetry),
+        |cp AS (
+        |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
+        |seg AS (
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us, value) AS next_es
+        |  FROM cp),
+        |closed AS (
+        |  SELECT id, CAST(next_es - es AS DOUBLE) AS dur
+        |  FROM seg WHERE next_es IS NOT NULL AND value = 'DOWN')
+        |SELECT split_part(id, '/', 3) AS lineId,
+        |  count(*) AS n_outages,
+        |  round(quantile_cont(dur, 0.5), 4) AS p50_seconds,
+        |  round(quantile_cont(dur, 0.9), 4) AS p90_seconds,
+        |  max(dur) AS max_seconds
+        |FROM closed GROUP BY 1""".stripMargin),
 
     "x16_gap_report" -> (T +
       """, g AS (

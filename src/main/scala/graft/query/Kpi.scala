@@ -234,6 +234,24 @@ object Kpi {
   }
 
   /**
+   * Outage-duration percentiles per line (p50/p90/max over closed DOWN
+   * segments) — the SLA view: "a typical outage vs a bad one". Exact
+   * sort-based percentiles with linear interpolation (this is a
+   * report over the line-keyed AGGREGATE population, small enough to
+   * sort per group; the sketch tier's approx_percentile is the
+   * hot-path variant). Rounded 4dp so the interpolation arithmetic
+   * hashes identically cross-engine.
+   */
+  def outagePercentiles(durationsDf: DataFrame, downValue: String = "DOWN"): DataFrame =
+    durationsDf.filter(col("value") === downValue)
+      .groupBy(lineOf(col("id")).as("lineId"))
+      .agg(
+        count(lit(1)).as("n_outages"),
+        expr("round(percentile(duration_seconds, 0.5), 4)").as("p50_seconds"),
+        expr("round(percentile(duration_seconds, 0.9), 4)").as("p90_seconds"),
+        max(col("duration_seconds")).as("max_seconds"))
+
+  /**
    * Sensor-liveness gap report: per machine, silent stretches longer
    * than `thresholdSeconds` between consecutive readings — the data-
    * quality audit behind the reference's TTL-based machine-liveness

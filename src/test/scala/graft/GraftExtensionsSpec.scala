@@ -80,4 +80,25 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("literal int"))
   }
+
+  test("graft_zorder in SQL matches ZOrder.key and requires literal bits") {
+    GraftExtensions.registerTemp(spark)
+    val rows = spark.sql(
+      """SELECT graft_zorder(4, CAST(x AS BIGINT), CAST(y AS BIGINT)) AS z, x, y
+        |FROM VALUES (3, 5), (0, 15), (9, 9) AS t(x, y)""".stripMargin)
+      .select("z", "x", "y").collect()
+    rows.foreach { r =>
+      val (z, x, y) = (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong)
+      var exp = 0L
+      for (j <- 0 until 4) {
+        exp |= ((x >>> j) & 1L) << (2 * j)
+        exp |= ((y >>> j) & 1L) << (2 * j + 1)
+      }
+      assert(z === exp, s"($x,$y)")
+    }
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_zorder(cast(rand()*3 as int), 1L, 2L)").head()
+    }
+    assert(e.getMessage.contains("literal int"))
+  }
 }

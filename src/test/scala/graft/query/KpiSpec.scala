@@ -135,6 +135,22 @@ class KpiSpec extends SparkTestBase {
       ("line0", 1L, 200L, 200L, 0.0)))
   }
 
+  test("outage percentiles interpolate over closed DOWN segments per line") {
+    // DOWN durations on line0: 10, 20, 30, 40 (each closed by an UP)
+    val rows = Seq(10L, 20L, 30L, 40L).zipWithIndex.flatMap { case (dur, i) =>
+      val base = i.toLong * 1000L
+      Seq((s"s0/a0/line0/m$i", base, "DOWN"), (s"s0/a0/line0/m$i", base + dur, "UP"))
+    }
+    val series = rows.toDF("id", "es", "value")
+      .select(col("id"), lit("status").as("tag"), col("value"),
+        lit("GOOD").as("quality"), timestamp_seconds(col("es")).as("timestamp"))
+    val out = Kpi.outagePercentiles(Downtime.durations(series))
+      .select("lineId", "n_outages", "p50_seconds", "p90_seconds", "max_seconds")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // linear interpolation at index q*(n-1): p50 -> 25.0, p90 -> 37.0
+    assert(out === Seq(("line0", 4L, 25.0, 37.0, 40.0)))
+  }
+
   test("gap report flags only above-threshold silences, keeps healthy machines") {
     val rows = Seq(
       ("s0/a0/line0/A", 0L), ("s0/a0/line0/A", 100L), ("s0/a0/line0/A", 100000L),
