@@ -3,6 +3,7 @@ package graft
 import graft.functions.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -394,6 +395,22 @@ object PipelineQueries {
       Curation.budgetSelect(scored, col("doc_id"), col("logit"), col("n_tokens"), budget = 5000L)
     }),
 
+    // Language × source mixture table: the multilingual data-mixing
+    // view (doc/token counts + within-source token share per lang).
+    // ONE map-side-combinable aggregation; the within-source
+    // normalizer is a window over the (source × lang)-sized aggregate,
+    // not the corpus.
+    "t35_lang_mixture" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("_tok"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"))
+        .withColumn("lang_share",
+          round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w).cast("double"), 6))
+    }),
+
     // Seeded deterministic global shuffle — the reproducible training
     // order. Two-pass GlobalRank (range-partitioned sort +
     // zipWithIndex), no single-partition Window.
@@ -477,6 +494,25 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopKIndexed(s, ivfIndexPath(s, d),
         emb.filter(col("vec_id") < 20), k = 10, nProbe = 4)
+    }),
+
+    // IVF index health: cell-occupancy census (count/min/max/avg +
+    // imbalance = hottest cell vs uniform). The number that tells you
+    // when to refit the coarse quantizer — a skewed cell is a probe
+    // hotspot (probe cost scales with the cells you touch).
+    "e9_cell_stats" -> ((s, d) => {
+      val assigned = Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d))
+      assigned.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("_n")).as("n_vectors"),
+          min(col("_n")).as("min_cell"),
+          max(col("_n")).as("max_cell"))
+        .withColumn("avg_cell",
+          round(col("n_vectors").cast("double") / col("n_cells").cast("double"), 6))
+        .withColumn("imbalance",
+          round(col("max_cell").cast("double") * col("n_cells").cast("double")
+            / col("n_vectors").cast("double"), 6))
     }),
 
     // Recall evaluation as a first-class query: stage-1 IVF top-k vs
@@ -1236,6 +1272,18 @@ object PipelineQueries {
          |QUALIFY cum_tokens <= 5000""".stripMargin
     },
 
+    "t35_lang_mixture" ->
+      s"""WITH $toksCte,
+         |per AS (
+         |  SELECT d.source, d.lang, count(*) AS n_docs,
+         |    CAST(sum(len(t.t)) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN toks t USING (doc_id)
+         |  GROUP BY 1, 2)
+         |SELECT source, lang, n_docs, n_tokens,
+         |  round(CAST(n_tokens AS DOUBLE) /
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source) AS DOUBLE), 6) AS lang_share
+         |FROM per""".stripMargin,
+
     "t32_training_order" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (
@@ -1976,6 +2024,7 @@ object PipelineQueries {
       "n11_ann_filtered" -> ivfFilteredOracleSql(centroids, k = 10, nProbe = 4,
         predSql = "e.label IN (1, 3, 5, 7, 9)"),
       "e8_ann_recall" -> annRecallOracleSql(centroids, k = 10, nProbe = 4),
+      "e9_cell_stats" -> cellStatsOracleSql(centroids),
       "n6_ann_ivf_sq8" -> ivfSq8OracleSql(centroids, k = 10, nProbe = 4, rerankFactor = 3),
       "n7_ann_pq" -> pqOracleSql(pqCodebooks(spark, sfDir), dim = 64, k = 10, rerankFactor = 3),
       "n8_ann_ivf_pq" -> ivfPqOracleSql(centroids, pqCodebooks(spark, sfDir),
@@ -2387,6 +2436,20 @@ object PipelineQueries {
        |FROM assigned a JOIN probes p ON a.cell = p.cell
        |WHERE p.query_id <> a.neighbor_id
        |QUALIFY rank <= $k""".stripMargin
+
+  /** e9 generated oracle: cell-occupancy census over the literal-
+   * centroid assignment (the probes CTE is unreferenced and unrun). */
+  private def cellStatsOracleSql(centroids: Seq[(Int, Seq[Float])]): String =
+    s"""WITH ${ivfCtesSql(centroids, nProbe = 1)},
+       |per AS (SELECT cell, count(*) AS n FROM assigned GROUP BY 1)
+       |SELECT count(*) AS n_cells,
+       |  CAST(sum(n) AS BIGINT) AS n_vectors,
+       |  CAST(min(n) AS BIGINT) AS min_cell,
+       |  CAST(max(n) AS BIGINT) AS max_cell,
+       |  round(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_cell,
+       |  round(CAST(max(n) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+       |    / CAST(sum(n) AS DOUBLE), 6) AS imbalance
+       |FROM per""".stripMargin
 
   /** e8 generated oracle: per-query overlap of the IVF top-k (n3's
    * exact ranking clause) with the brute-force top-k (n1's). */
