@@ -59,7 +59,15 @@ object Kpi {
    * closed status segment yet have undefined availability and are
    * omitted (matching the segment-join formulation the oracle mirrors).
    */
-  def oee(telemetry: DataFrame): DataFrame = {
+  def oee(telemetry: DataFrame): DataFrame =
+    oeeFromAccounting(oeeMachineAccounting(telemetry))
+
+  /** The per-machine OEE accounting (closed-segment DOWN/total
+   * seconds via the row-gap identity, rollover-banked production,
+   * GOOD/total counts) — see [[oee]] for the semantics. Exposed so an
+   * incrementally-maintained store (StreamingOee) can feed the same
+   * line rollup. */
+  def oeeMachineAccounting(telemetry: DataFrame): DataFrame = {
     val wSeq = Window.partitionBy("machineId").orderBy(col("ts_us"), col("status"))
     val wCnt = Window.partitionBy("machineId").orderBy(col("ts_us"), col("cnt"))
     val wAll = Window.partitionBy("machineId")
@@ -70,7 +78,7 @@ object Kpi {
       .withColumn("_gap", (lead(col("es"), 1).over(wSeq) - col("es")).cast("double"))
       .withColumn("_is_cp", prevStatus.isNull || prevStatus =!= col("status"))
       .withColumn("_prev_cnt", lag(col("cnt"), 1).over(wCnt))
-    val perMachine = marked
+    marked
       .withColumn("_last_cp_rn", max(when(col("_is_cp"), col("_rn"))).over(wAll))
       .groupBy(col("machineId"))
       .agg(
@@ -81,6 +89,11 @@ object Kpi {
           + max_by(col("cnt"), struct(col("ts_us"), col("cnt")))).as("_prod"),
         sum(when(col("quality") === "GOOD", 1L).otherwise(0L)).as("_good"),
         count(lit(1)).as("_n"))
+  }
+
+  /** Line-level OEE rollup over [[oeeMachineAccounting]]-shaped rows
+   * (columns machineId, _down, _tot, _prod, _good, _n). */
+  def oeeFromAccounting(perMachine: DataFrame): DataFrame = {
     val perLine = perMachine
       .groupBy(lineOf(col("machineId")).as("lineId"))
       .agg(sum(col("_down")).as("_down"), sum(col("_tot")).as("_tot"),

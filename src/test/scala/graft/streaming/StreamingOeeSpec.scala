@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.query.Kpi
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingOeeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // the KpiSpec OEE fixture (two lines, rollover on m2) plus a
+  // machine with tie transitions and a third line
+  private val events: Seq[(String, Long, String, Long)] = Seq(
+    ("s0/a0/line0/m1", 0L, "UP", 0L), ("s0/a0/line0/m1", 60L, "DOWN", 10L),
+    ("s0/a0/line0/m1", 120L, "UP", 20L), ("s0/a0/line0/m1", 180L, "UP", 30L),
+    ("s0/a0/line1/m2", 0L, "UP", 0L), ("s0/a0/line1/m2", 60L, "IDLE", 10L),
+    ("s0/a0/line1/m2", 120L, "UP", 3L), ("s0/a0/line1/m2", 180L, "UP", 8L),
+    ("s0/a0/line2/m3", 0L, "DOWN", 5L), ("s0/a0/line2/m3", 0L, "UP", 5L),
+    ("s0/a0/line2/m3", 90L, "DOWN", 7L))
+
+  private def decorate(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("ts_us", col("es") * 1000000L)
+      .withColumn("quality", when(col("cnt") % 3L === 0L, "GOOD").otherwise("BAD"))
+
+  private def telemetryDf(rows: Seq[(String, Long, String, Long)]) =
+    decorate(rows.toDF("machineId", "es", "status", "cnt"))
+
+  private def runStream(batches: Seq[Seq[(String, Long, String, Long)]], name: String) = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String, Long)]
+    val query = StreamingOee.accountingStream(
+        decorate(input.toDF().toDF("machineId", "es", "status", "cnt")))
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+    query.stop()
+    // the freshest (max as_of) row per machine is the store's current row
+    spark.table(name)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("machineId")
+          .orderBy(col("as_of").desc, col("_n").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  test("streamed per-machine accounting equals the batch windows on the same prefix") {
+    val batchAcc = Kpi.oeeMachineAccounting(telemetryDf(events))
+      .as[(String, Double, Double, Long, Long, Long)].collect().toSet
+    val store = runStream(events.grouped(4).toSeq, "oee_a")
+      .select("machineId", "_down", "_tot", "_prod", "_good", "_n")
+      .as[(String, Double, Double, Long, Long, Long)].collect().toSet
+    assert(store === batchAcc)
+  }
+
+  test("line OEE read off the streamed store is bit-identical to batch Kpi.oee") {
+    val expected = Kpi.oee(telemetryDf(events))
+      .as[(String, Double, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    // a different batch split must converge to the same store
+    val store = runStream(Seq(events.filter(_._2 < 100), events.filter(_._2 >= 100)), "oee_b")
+    val streamed = StreamingOee.lineOee(store)
+      .as[(String, Double, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed === expected)
+    assert(streamed.nonEmpty)
+  }
+
+  test("pure fold: tie transition closes a zero-length segment; rollover banks") {
+    import StreamingOee._
+    val st = new TestGroupState[OeeState]
+    val out = foldOee("m", Iterator(
+      OeeObs("m", 0L, "DOWN", 5L, "GOOD"), OeeObs("m", 0L, "UP", 5L, "GOOD"),
+      OeeObs("m", 90L, "DOWN", 2L, "BAD")), st).toSeq
+    // DOWN [0,0) closed (0s), UP [0,90) closed (90s); cnt 5,5,2 banks 5
+    assert(out === Seq(OeeMachine("m", 0.0, 90.0, 5L + 2L, 2L, 3L, 90L)))
+  }
+}
