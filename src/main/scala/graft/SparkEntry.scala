@@ -125,6 +125,19 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
     }),
 
+    // TPC-H Q6 shape: 3-predicate scan + single scalar aggregate —
+    // the canonical predicate-pushdown/codegen showcase (every
+    // conjunct reaches the parquet scan; decimal-exact double sum)
+    "q6_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // Multi-join analytics: 3-way join tree + aggregation (Catalyst
     // join reorder / AQE surface)
     "q3_order_revenue" -> ((s, d) => {
@@ -635,6 +648,13 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
         |GROUP BY 1""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
 
     "q3_order_revenue" ->
       """SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch, o_orderpriority,

@@ -312,6 +312,20 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("Q6: every conjunct reaches the parquet scan as a pushed filter") {
+    // the rendered plan truncates PushedFilters — read the scan node's
+    // full metadata instead
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+    val pushed = collectLeaves(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata("PushedFilters")
+    }.mkString
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach { f =>
+      assert(pushed.contains(f), s"missing $f in: ${pushed.take(600)}")
+    }
+  }
+
   test("rate anomaly: both window passes share ONE machine-keyed shuffle (X13)") {
     val df = SparkEntry.queries("x13_rate_anomaly")(spark, sf)
     assert(countShuffles(df) === 1, df.queryExecution.executedPlan.toString.take(1200))
