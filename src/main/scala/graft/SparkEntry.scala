@@ -138,6 +138,19 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // TPC-H Q13 shape: outer-join count distribution — customers
+    // bucketed by how many orders they have, INCLUDING the zero-order
+    // customers only the left join preserves. Two aggregations, the
+    // second over the customer-cardinality intermediate.
+    "q9_order_count_histogram" -> ((s, d) => {
+      val perCustomer = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCustomer.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     // Multi-join analytics: 3-way join tree + aggregation (Catalyst
     // join reorder / AQE surface)
     "q3_order_revenue" -> ((s, d) => {
@@ -655,6 +668,14 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+
+    "q9_order_count_histogram" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1""".stripMargin,
 
     "q3_order_revenue" ->
       """SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS od_epoch, o_orderpriority,
