@@ -51,13 +51,19 @@ object ZOrder {
    * free after that.
    */
   def clusteredWrite(df: DataFrame, dims: Seq[Column], bits: Int,
-      numFiles: Int, path: String): Unit = {
+      numFiles: Int, path: String): Unit =
+    cluster(df, dims, bits, numFiles)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+
+  /** The clustering itself (range-partition + in-partition sort on the
+   * Z-key, key dropped) — reusable by any writer, e.g. the warehouse
+   * compactor's pluggable layout. */
+  def cluster(df: DataFrame, dims: Seq[Column], bits: Int, numFiles: Int): DataFrame = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
     df.withColumn("_zkey", key(bits, dims: _*))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
       .drop("_zkey")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(path)
   }
 }

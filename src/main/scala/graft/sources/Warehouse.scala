@@ -176,7 +176,8 @@ object Warehouse {
    */
   def compactPartition(spark: SparkSession, path: String,
       year: Int, month: Int, day: Int,
-      targetFileBytes: Long = 128L << 20): Int = {
+      targetFileBytes: Long = 128L << 20,
+      layout: (DataFrame, Int) => DataFrame = defaultCompactLayout): Int = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -246,9 +247,7 @@ object Warehouse {
     val part = spark.read.parquet(partDir.toString)
     val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).toInt.max(1)
-    part
-      .repartitionByRange(nFiles, col("id"), col("timestamp"))
-      .sortWithinPartitions(col("id"), col("timestamp"))
+    layout(part, nFiles)
       .write.mode(SaveMode.Overwrite)
       .parquet(tmpDir.toString)
     // Guarantee the completeness marker recovery keys on, even under a
@@ -260,4 +259,32 @@ object Warehouse {
       throw new java.io.IOException(s"compaction swap failed: $tmpDir -> $partDir")
     nFiles
   }
+
+  /** Default compaction layout: range-sort by (id, timestamp) — serves
+   * per-series scans and per-series time ranges. */
+  def defaultCompactLayout(part: DataFrame, nFiles: Int): DataFrame =
+    part
+      .repartitionByRange(nFiles, col("id"), col("timestamp"))
+      .sortWithinPartitions(col("id"), col("timestamp"))
+
+  /**
+   * Z-order compaction layout: cluster on the Morton interleave of a
+   * hashed-id bucket and an event-time bucket, so BOTH pure-time
+   * predicates (fleet-wide windows) and pure-id predicates (one
+   * machine's history) prune files via min/max stats — the layout the
+   * lexicographic (id, timestamp) sort cannot give time-only queries.
+   * `tsFormat` parses the warehouse's string timestamp (F7 shape).
+   */
+  def zorderCompactLayout(bits: Int = 10,
+      tsFormat: String = "yyyy/MM/dd HH:mm:ss.SSSSSS"): (DataFrame, Int) => DataFrame =
+    (part, nFiles) => {
+      val cells = 1L << bits
+      val idBucket = pmod(xxhash64(col("id")), lit(cells))
+      val tsSec = unix_timestamp(to_timestamp(col("timestamp"), tsFormat))
+      val minMax = part.agg(
+        coalesce(min(tsSec), lit(0L)).as("mn"), coalesce(max(tsSec), lit(0L)).as("mx")).head()
+      val (mn, mx) = (minMax.getLong(0), minMax.getLong(1))
+      val tsBucket = graft.functions.ZOrder.bucket(tsSec, mn, math.max(mx, mn + 1), bits)
+      graft.functions.ZOrder.cluster(part, Seq(idBucket, tsBucket), bits, nFiles)
+    }
 }

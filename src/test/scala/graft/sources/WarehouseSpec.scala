@@ -116,6 +116,37 @@ class WarehouseSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq == rowsAfter) // recovered losslessly
   }
 
+  test("z-order compaction layout preserves rows and tightens BOTH id and time per file") {
+    val tmp = Files.createTempDirectory("graft-compact-z").toString
+    // 40 machines x 50 timestamps, appended time-sliced so raw files
+    // are time-clustered but id-scattered
+    val rows = for (t <- 0 until 50; m <- 0 until 40) yield
+      ("GOOD", s"$t", f"2021/03/05 ${t / 3600}%02d:${(t / 60) % 60}%02d:${t % 60}%02d.000000",
+        "status", f"m$m%03d", 2021, 3, 5)
+    rows.grouped(400).foreach { g =>
+      g.toSeq.toDF("quality", "value", "timestamp", "tag", "id", "year", "month", "day")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("year", "month", "day").parquet(s"$tmp/wh")
+    }
+    val rowsBefore = spark.read.parquet(s"$tmp/wh").count()
+    // force a multi-file layout so per-file locality is observable
+    val n = Warehouse.compactPartition(spark, s"$tmp/wh", 2021, 3, 5,
+      targetFileBytes = 4L << 10, layout = Warehouse.zorderCompactLayout(bits = 6))
+    assert(n >= 4, s"want a multi-file layout, got $n")
+    val after = spark.read.parquet(s"$tmp/wh")
+    assert(after.count() == rowsBefore) // lossless
+    // every file covers a narrow slice of BOTH dimensions
+    val spans = after
+      .groupBy(input_file_name().as("f"))
+      .agg((countDistinct(col("id"))).as("ids"),
+        (countDistinct(col("timestamp"))).as("tss"))
+      .select("ids", "tss").as[(Long, Long)].collect()
+    val avgIds = spans.map(_._1).sum.toDouble / spans.length / 40.0
+    val avgTss = spans.map(_._2).sum.toDouble / spans.length / 50.0
+    assert(avgIds < 0.8, s"id locality $avgIds")
+    assert(avgTss < 0.8, s"time locality $avgTss")
+  }
+
   test("compacting an absent day never touches other partitions") {
     val tmp = Files.createTempDirectory("graft-compact-miss").toString
     Seq(("GOOD", "1", "2021/03/06 00:00:01.000000", "status", "m1", 2021, 3, 6))
