@@ -825,6 +825,22 @@ object PipelineQueries {
         md5(col("text").cast("binary")).as("digest"))
     }),
 
+    // M2: frame census over byte-window "frame sampling"
+    // (Multimodal.frameSample — the shape-preserving stand-in for
+    // video frame extraction; pure expressions, zero shuffles). Frame
+    // signatures go through hex so the oracle can mirror BYTE windows
+    // with plain string arithmetic (DuckDB has no blob substring).
+    "m2_frame_census" -> ((s, d) => {
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.frameSample(media, "payload", frameBytes = 64, stride = 48)
+        .withColumn("_sigs", transform(col("frames"), f => md5(hex(f))))
+        .select(col("doc_id"),
+          size(col("frames")).as("n_frames"),
+          size(array_distinct(col("_sigs"))).as("n_distinct_frames"),
+          element_at(col("_sigs"), 1).as("first_sig"))
+    }),
+
     // Gopher-style repetition signals: duplicated-token / duplicated-
     // 5-gram fractions (map-only) + most-frequent-bigram share
     // (explode → two-level hash agg) — the quality rules that catch
@@ -1271,6 +1287,22 @@ object PipelineQueries {
          |FROM sc
          |QUALIFY cum_tokens <= 5000""".stripMargin
     },
+
+    "m2_frame_census" ->
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(0, greatest((nb - 64) // 48, 0)),
+        |      i -> md5(substring(hx, i*48*2 + 1, 64*2))) AS sigs
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(len(sigs) AS INTEGER) AS n_frames,
+        |  CAST(len(list_distinct(sigs)) AS INTEGER) AS n_distinct_frames,
+        |  sigs[1] AS first_sig
+        |FROM fr""".stripMargin,
 
     "t35_lang_mixture" ->
       s"""WITH $toksCte,
