@@ -515,6 +515,27 @@ object PipelineQueries {
             / col("n_vectors").cast("double"), 6))
     }),
 
+    // The nProbe tuning curve: mean stage-1 recall at nProbe ∈
+    // {1,2,4,8} in ONE query — what you read before picking the
+    // probe budget. Brute-force truth computed once; each sweep point
+    // is a probe-pruned scan + queries-sized join.
+    "e10_probe_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+      val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      Seq(1, 2, 4, 8).map { p =>
+        val ivf = Similarity.ivfTopKIndexed(s, ivfIndexPath(s, d), queries, k = 10, nProbe = p)
+          .select(col("query_id"), col("neighbor_id")).withColumn("_hit", lit(1))
+        bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(col("_hit")).as("_m"), count(lit(1)).as("_k"))
+          .agg(count(lit(1)).as("n_queries"), sum(col("_m")).as("_sm"), sum(col("_k")).as("_sk"))
+          .select(lit(p).as("n_probe"), col("n_queries"),
+            round(col("_sm").cast("double") / col("_sk").cast("double"), 6).as("mean_recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     // Recall evaluation as a first-class query: stage-1 IVF top-k vs
     // the exact brute-force top-k, per query — "measure, don't guess"
     // for the serving index (the number you tune nProbe against).
@@ -2057,6 +2078,7 @@ object PipelineQueries {
         predSql = "e.label IN (1, 3, 5, 7, 9)"),
       "e8_ann_recall" -> annRecallOracleSql(centroids, k = 10, nProbe = 4),
       "e9_cell_stats" -> cellStatsOracleSql(centroids),
+      "e10_probe_sweep" -> probeSweepOracleSql(centroids, k = 10, probes = Seq(1, 2, 4, 8)),
       "n6_ann_ivf_sq8" -> ivfSq8OracleSql(centroids, k = 10, nProbe = 4, rerankFactor = 3),
       "n7_ann_pq" -> pqOracleSql(pqCodebooks(spark, sfDir), dim = 64, k = 10, rerankFactor = 3),
       "n8_ann_ivf_pq" -> ivfPqOracleSql(centroids, pqCodebooks(spark, sfDir),
@@ -2482,6 +2504,48 @@ object PipelineQueries {
        |  round(CAST(max(n) AS DOUBLE) * CAST(count(*) AS DOUBLE)
        |    / CAST(sum(n) AS DOUBLE), 6) AS imbalance
        |FROM per""".stripMargin
+
+  /** e10 generated oracle: the nProbe recall curve — ONE ranked probe
+   * CTE (the prank column), one block per sweep point filtering
+   * `prank <= p` with n3's exact within-cells ranking, one bf truth. */
+  private def probeSweepOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int,
+      probes: Seq[Int]): String = {
+    def vc(v: String, cvec: String) =
+      s"list_sum(list_transform(list_zip($v, $cvec), p -> p[1]::DOUBLE * p[2]))"
+    val ivfCtes = probes.map { p =>
+      s"""ivf$p AS (
+         |  SELECT pr.query_id, a.neighbor_id
+         |  FROM assigned a JOIN pr ON a.cell = pr.cell AND pr.prank <= $p
+         |  WHERE pr.query_id <> a.neighbor_id
+         |  QUALIFY row_number() OVER (PARTITION BY pr.query_id
+         |    ORDER BY ${cosSql("a.embedding", "pr.qv")} DESC, a.neighbor_id) <= $k)""".stripMargin
+    }.mkString(",\n")
+    val blocks = probes.map { p =>
+      s"""SELECT $p AS n_probe, count(*) AS n_queries,
+         |  round(CAST(sum(m) AS DOUBLE) / CAST(sum(kk) AS DOUBLE), 6) AS mean_recall
+         |FROM (
+         |  SELECT b.query_id, count(i.neighbor_id) AS m, count(*) AS kk
+         |  FROM bf b LEFT JOIN ivf$p i
+         |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |  GROUP BY 1)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${ivfCtesSql(centroids, 1)},
+       |pr AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY (${vc("q.embedding", "c.cv")} /
+       |        (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) * c.sqrtcc)) DESC,
+       |        c.cell ASC) AS INTEGER) AS prank
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q CROSS JOIN centroids c),
+       |bf AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 20) q
+       |  WHERE q.vec_id <> c.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosSql("c.embedding", "q.embedding")} DESC, c.vec_id) <= $k),
+       |$ivfCtes
+       |$blocks""".stripMargin
+  }
 
   /** e8 generated oracle: per-query overlap of the IVF top-k (n3's
    * exact ranking clause) with the brute-force top-k (n1's). */

@@ -22,7 +22,7 @@ class EntrySmokeSpec extends SparkTestBase {
     assert(rowsOnly == Set("n3_ann_ivf", "n11_ann_filtered", "n6_ann_ivf_sq8", "n7_ann_pq",
       "n8_ann_ivf_pq", "e2_kmeans_step", "e3_semdedup", "e4_knn_graph",
       "n10_ann_ivf_rpq", "e5_semdedup_xcell", "e6_knn_graph_xcell",
-      "e7_cell_balanced_sample", "e8_ann_recall", "e9_cell_stats",
+      "e7_cell_balanced_sample", "e8_ann_recall", "e9_cell_stats", "e10_probe_sweep",
       // genuinely rows-only (no SQL mirror exists): float-log LM score,
       // iterative-argmax BPE fit + its apply — each pinned by a spec
       // against an independent reference implementation instead
