@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming face of the status-transition matrix
+ * (`Kpi.transitionMatrix`, oracle `x17_transition_matrix`): every
+ * change point emits one immutable (from → to) transition fact,
+ * append-mode, keyed by (machine, at, from, to) for replay collapse
+ * (unique by construction — same-second flaps collapse in the
+ * deterministic (ts, status) sort before folding); the matrix
+ * is a read-time count rollup of the fact store — the same
+ * change-point semantics as the batch lag/filter formulation (equal-
+ * value runs emit nothing, the first observation opens without a
+ * transition). State per machine is O(1): the last folded status.
+ */
+object StreamingTransitions {
+
+  final case class StatusObs(machineId: String, epochSeconds: Long, value: String)
+
+  final case class TransState(lastStatus: String, lastEs: Long)
+
+  /** One change-point fact; `at` is the event-time second the new
+   * status took effect. */
+  final case class TransitionFact(machineId: String, from_status: String,
+      to_status: String, at: Long)
+
+  def foldTransitions(machineId: String, msgs: Iterator[StatusObs],
+      state: GroupState[TransState]): Iterator[TransitionFact] = {
+    val sorted = msgs.toSeq.sortBy(m => (m.epochSeconds, m.value))
+    var st = state.getOption.getOrElse(TransState(null, Long.MinValue))
+    val out = Seq.newBuilder[TransitionFact]
+    sorted.foreach { m =>
+      if (st.lastStatus == null) st = TransState(m.value, m.epochSeconds)
+      else if (m.epochSeconds >= st.lastEs) {
+        if (m.value != st.lastStatus)
+          out += TransitionFact(machineId, st.lastStatus, m.value, m.epochSeconds)
+        st = TransState(m.value, m.epochSeconds)
+      } // stale: drop
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  def factStream(statusStream: DataFrame): Dataset[TransitionFact] = {
+    val spark = statusStream.sparkSession
+    import spark.implicits._
+    statusStream
+      .selectExpr("machineId", "epochSeconds", "value")
+      .as[StatusObs]
+      .groupByKey(_.machineId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldTransitions)
+  }
+
+  /** Line-keyed matrix off the fact store (batch-identical rollup),
+   * at-least-once replays collapsed by the (machine, at) identity. */
+  def matrix(facts: DataFrame): DataFrame =
+    facts
+      .dropDuplicates("machineId", "at", "from_status", "to_status")
+      .groupBy(
+        split_part(col("machineId"), lit("/"), lit(3)).as("lineId"),
+        col("from_status"), col("to_status"))
+      .agg(count(lit(1)).as("n_transitions"))
+}

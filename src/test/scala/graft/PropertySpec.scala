@@ -334,4 +334,27 @@ class PropertySpec extends SparkTestBase {
       assert(bounded == global, s"width=$width")
     }
   }
+
+  test("z-order key is a bijection: de-interleaving recovers every input exactly") {
+    // random (n, bits, values): interleave via the Expression, then
+    // recover each input by picking its bit lanes back out — any
+    // dropped/duplicated/misplaced bit breaks the round trip
+    val caseGen = for {
+      n <- Gen.choose(2, 5)
+      bits <- Gen.choose(1, 62 / n) // keep n*bits <= 62 so 1L << (n*bits) stays positive
+      vals <- Gen.listOfN(n, Gen.choose(0L, (1L << bits) - 1))
+    } yield (n, bits, vals)
+    forAll(caseGen, n = 24) { case (n, bits, vals) =>
+      val df = Seq(1).toDF("one")
+      val cols = vals.map(v => lit(v))
+      val z = df.select(graft.functions.ZOrder.key(bits, cols: _*).as("z"))
+        .as[Long].head()
+      val recovered = (0 until n).map { k =>
+        (0 until bits).foldLeft(0L)((acc, j) => acc | (((z >>> (j * n + k)) & 1L) << j))
+      }
+      assert(recovered == vals, s"n=$n bits=$bits vals=$vals z=$z")
+      // keys fit the value bits: no overflow into the sign bit
+      assert(z >= 0L && z < (1L << (n * bits)), s"z=$z out of range")
+    }
+  }
 }
