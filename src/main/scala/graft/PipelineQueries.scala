@@ -395,6 +395,27 @@ object PipelineQueries {
       Curation.budgetSelect(scored, col("doc_id"), col("logit"), col("n_tokens"), budget = 5000L)
     }),
 
+    // Dedup-impact report: per source, how many documents/tokens exact
+    // dedup would REMOVE (non-keeper copies under the d1 min-id keep
+    // rule) — the "is dedup worth it here" sizing table. One digest
+    // shuffle for keeper election + a map-side-combinable source agg;
+    // text never joins, only (digest, keep_id) travels.
+    "t37_dedup_savings" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("_tok"),
+        md5(col("text")).as("_digest"))
+      val keepers = docs.groupBy(col("_digest")).agg(min(col("doc_id")).as("_keep_id"))
+      docs.join(keepers, Seq("_digest"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("_tok")).as("n_tokens"),
+          sum(when(col("doc_id") =!= col("_keep_id"), 1L).otherwise(0L)).as("dup_docs"),
+          sum(when(col("doc_id") =!= col("_keep_id"), col("_tok")).otherwise(0L)).as("dup_tokens"))
+        .withColumn("savings_frac",
+          round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+    }),
+
     // Language × source mixture table: the multilingual data-mixing
     // view (doc/token counts + within-source token share per lang).
     // ONE map-side-combinable aggregation; the within-source
@@ -1324,6 +1345,22 @@ object PipelineQueries {
         |  CAST(len(list_distinct(sigs)) AS INTEGER) AS n_distinct_frames,
         |  sigs[1] AS first_sig
         |FROM fr""".stripMargin,
+
+    "t37_dedup_savings" ->
+      s"""WITH $toksCte,
+         |dg AS (
+         |  SELECT t.doc_id, t.source, CAST(len(t.t) AS BIGINT) AS tok, md5(t.text) AS digest
+         |  FROM toks t),
+         |kp AS (SELECT digest, min(doc_id) AS keep_id FROM dg GROUP BY 1)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+         |  CAST(sum(CASE WHEN doc_id <> keep_id THEN tok ELSE 0 END) AS BIGINT) AS dup_tokens,
+         |  round(CAST(sum(CASE WHEN doc_id <> keep_id THEN tok ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(tok) AS DOUBLE), 6) AS savings_frac
+         |FROM dg JOIN kp USING (digest)
+         |GROUP BY 1""".stripMargin,
 
     "t35_lang_mixture" ->
       s"""WITH $toksCte,
