@@ -363,6 +363,16 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(ex.nonEmpty && !ex.exists(_.contains("text")), ex.mkString("\n"))
   }
 
+  test("gap report and transition matrix stay on bounded shuffles (X16/X17)") {
+    // x16: window + agg share the machine partitioning — one exchange
+    val g = SparkEntry.queries("x16_gap_report")(spark, sf)
+    assert(countShuffles(g) === 1, g.queryExecution.executedPlan.toString.take(1000))
+    // x17: machine window + line-keyed rollup — two, never more
+    val t = SparkEntry.queries("x17_transition_matrix")(spark, sf)
+    assert(countShuffles(t) <= 2, t.queryExecution.executedPlan.toString.take(1000))
+    assert(!t.queryExecution.executedPlan.toString.contains("SinglePartition"))
+  }
+
   test("z-order key stays inside whole-stage codegen (O9)") {
     val p = plan("o9_zorder_key")
     // the key computation must sit under a WholeStageCodegen span (the

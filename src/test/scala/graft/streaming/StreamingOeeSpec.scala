@@ -61,6 +61,38 @@ class StreamingOeeSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stop/restart from the checkpoint continues the accounting exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-oee-ckpt").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-oee-store").toString
+    val input = MemoryStream[(String, Long, String, Long)]
+    // the memory sink cannot recover from a checkpoint — use the
+    // foreachBatch upsert shape (what a real deployment does)
+    def start() = StreamingOee.accountingStream(
+        decorate(input.toDF().toDF("machineId", "es", "status", "cnt")))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingOee.OeeMachine], _: Long) =>
+        b.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(storeDir): Unit
+      }.start()
+    val (firstHalf, secondHalf) = events.splitAt(6)
+    val q1 = start()
+    input.addData(firstHalf: _*); q1.processAllAvailable(); q1.stop()
+    // a new query from the SAME checkpoint resumes state, not restarts
+    val q2 = start()
+    input.addData(secondHalf: _*); q2.processAllAvailable(); q2.stop()
+    val store = spark.read.parquet(storeDir)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("machineId")
+          .orderBy(col("as_of").desc, col("_n").desc)))
+      .filter(col("_rn") === 1)
+      .select("machineId", "_down", "_tot", "_prod", "_good", "_n")
+      .as[(String, Double, Double, Long, Long, Long)].collect().toSet
+    val batchAcc = Kpi.oeeMachineAccounting(telemetryDf(events))
+      .as[(String, Double, Double, Long, Long, Long)].collect().toSet
+    assert(store === batchAcc)
+  }
+
   test("pure fold: tie transition closes a zero-length segment; rollover banks") {
     import StreamingOee._
     val st = new TestGroupState[OeeState]
