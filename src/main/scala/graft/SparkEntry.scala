@@ -259,6 +259,24 @@ object SparkEntry {
       Kpi.availabilityTrend(Downtime.durations(t))
     }),
 
+    // X19: the three longest outages per line with machine attribution
+    // — the incident-review list. Per-line rank with a <= k filter, so
+    // WindowGroupLimit prunes each line to k before any full sort.
+    "x19_top_outages" -> ((s, d) => {
+      val t = Tables.telemetry(s, d).select(
+        col("machineId").as("id"), lit("status").as("tag"),
+        col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
+      val w = Window.partitionBy("lineId")
+        .orderBy(col("duration_seconds").desc, col("machineId"), col("start_s"))
+      Downtime.durations(t).filter(col("value") === "DOWN")
+        .select(split_part(col("id"), lit("/"), lit(3)).as("lineId"),
+          col("id").as("machineId"),
+          unix_timestamp(col("timestamp")).as("start_s"),
+          col("duration_seconds"))
+        .withColumn("outage_rank", row_number().over(w))
+        .filter(col("outage_rank") <= 3)
+    }),
+
     // X18: outage-duration percentiles per line (SLA view)
     "x18_outage_percentiles" -> ((s, d) => {
       val t = Tables.telemetry(s, d).select(
@@ -889,6 +907,26 @@ object SparkEntry {
         |  round(1.0 - CAST(sum(CASE WHEN value = 'DOWN' THEN sec ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(sec) AS DOUBLE), 6) AS availability
         |FROM ov GROUP BY 1, 2""".stripMargin),
+
+    "x19_top_outages" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, ts_us, status AS value,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
+        |  FROM telemetry),
+        |cp AS (
+        |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
+        |seg AS (
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us, value) AS next_es
+        |  FROM cp),
+        |closed AS (
+        |  SELECT split_part(id, '/', 3) AS lineId, id AS machineId,
+        |    es AS start_s, CAST(next_es - es AS DOUBLE) AS duration_seconds
+        |  FROM seg WHERE next_es IS NOT NULL AND value = 'DOWN')
+        |SELECT lineId, machineId, start_s, duration_seconds,
+        |  CAST(row_number() OVER (PARTITION BY lineId
+        |    ORDER BY duration_seconds DESC, machineId, start_s) AS INTEGER) AS outage_rank
+        |FROM closed
+        |QUALIFY outage_rank <= 3""".stripMargin),
 
     "x18_outage_percentiles" -> (T +
       """, series AS (

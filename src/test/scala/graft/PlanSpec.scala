@@ -373,6 +373,12 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!t.queryExecution.executedPlan.toString.contains("SinglePartition"))
   }
 
+  test("top outages per line are WindowGroupLimit-pruned (X19)") {
+    val p = plan("x19_top_outages")
+    assert(p.contains("WindowGroupLimit"), p.take(1000))
+    assert(!p.contains("SinglePartition"), p.take(800))
+  }
+
   test("z-order key stays inside whole-stage codegen (O9)") {
     val p = plan("o9_zorder_key")
     // the key computation must sit under a WholeStageCodegen span (the
