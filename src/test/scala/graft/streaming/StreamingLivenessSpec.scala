@@ -50,6 +50,37 @@ class StreamingLivenessSpec extends SparkTestBase {
     assert(alerts.count(_._1 == "B") === 0)
   }
 
+  test("restart from the checkpoint keeps armed timeouts and pending staleness") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lv-ckpt").toString
+    val store = java.nio.file.Files.createTempDirectory("graft-lv-store").toString
+    val input = MemoryStream[(String, Long)]
+    def start() = StreamingLiveness.alertStream(
+        input.toDF().toDF("machineId", "es")
+          .select(col("machineId"), timestamp_seconds(col("es")).as("ts")),
+        ttlSeconds = Ttl)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamingLiveness.LivenessAlert], _: Long) =>
+        b.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(store): Unit
+      }.start()
+    val q1 = start()
+    input.addData(("A", t0), ("B", t0)); q1.processAllAvailable()
+    input.addData(("B", t0 + 300)); q1.processAllAvailable()
+    q1.stop() // A's timeout is armed but not yet fired
+    val q2 = start()
+    input.addData(("B", t0 + 310)); q2.processAllAvailable() // watermark passes A's expiry
+    input.addData(("A", t0 + 400)); q2.processAllAvailable()
+    q2.stop()
+    val alerts = spark.read.parquet(store)
+      .select("machineId", "kind", "last_seen", "as_of")
+      .as[(String, String, Long, Long)].collect().toSeq.sortBy(_._4)
+    assert(alerts.filter(_._1 == "A") === Seq(
+      ("A", "STALE", t0, t0 + Ttl), ("A", "RECOVERED", t0 + 400, t0 + 400)),
+      s"got $alerts")
+    assert(alerts.count(_._1 == "B") === 0)
+  }
+
   test("pure fold: timeout emits STALE once, revival emits RECOVERED") {
     import StreamingLiveness._
     val st = new TestGroupState[LiveState]
