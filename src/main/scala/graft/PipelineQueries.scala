@@ -644,11 +644,11 @@ object PipelineQueries {
 
     // Corpus-trained char-bigram LM score (perplexity-proxy quality
     // filter, the KenLM-filtering shape). LM stats broadcast; per-doc
-    // cost linear in characters. NOT oracle-checked: ln() differs at
-    // the last ulp across engines — semantics pinned by
-    // TextAnalysisSpec against an independent in-memory model; the
-    // nano-unit integer sums keep the result partition-deterministic,
-    // so the driver's rows-only check is stable.
+    // cost linear in characters. GENERATED oracle (bigramLmOracleSql):
+    // the oracle engine re-derives all bigram counting/summing itself;
+    // only the nano-rounded ln terms are frozen literals (ln is the
+    // one engine-specific op). Semantics additionally pinned by
+    // TextAnalysisSpec against an independent in-memory model.
     "t19_lm_perplexity" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d), "doc_id", "text")),
 
@@ -659,11 +659,11 @@ object PipelineQueries {
 
     // Distributed BPE tokenizer fitting: 12 merges learned on the
     // word-frequency vocab (one corpus pass; iterations touch the
-    // vocab only). NOT oracle-checked — iterative argmax has no
-    // tractable SQL mirror; BpeSpec pins fit/apply against an
-    // independent reference implementation, and determinism
-    // (count DESC, lexicographic ties) keeps the rows-only check
-    // stable across runs.
+    // vocab only). GENERATED oracle: an independent in-memory
+    // reference fit (referenceBpeFit — second implementation of the
+    // algorithm, not a replay of this one) frozen as a literal merge
+    // table; determinism (count DESC, lexicographic ties) makes the
+    // refit exact. BpeSpec pins the same contract in-suite.
     "t22_bpe_merges" -> ((s, d) => {
       val (merges, _) = Bpe.fit(Tables.documents(s, d), "text", nMerges = 12)
       import s.implicits._
@@ -672,7 +672,9 @@ object PipelineQueries {
 
     // Apply the fitted tokenizer: per-doc subword stream via the
     // broadcast word→segmentation join (no merge replay at apply
-    // time); OOV falls back to chars.
+    // time); OOV falls back to chars. GENERATED oracle: the oracle
+    // engine re-tokenizes and renumbers everything itself against the
+    // reference fit's literal segmentations (bpeTokenizeOracleSql).
     "t23_bpe_tokenize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val (_, fitted) = Bpe.fit(docs, "text", nMerges = 12)
@@ -2127,7 +2129,10 @@ object PipelineQueries {
       "e4_knn_graph" -> knnGraphOracleSql(centroids, k = 3),
       "e5_semdedup_xcell" -> semDedupXcellOracleSql(centroids, XcellMargin, threshold = 0.35),
       "e6_knn_graph_xcell" -> knnGraphXcellOracleSql(centroids, XcellMargin, k = 3),
-      "e7_cell_balanced_sample" -> cellBalancedSampleOracleSql(centroids))
+      "e7_cell_balanced_sample" -> cellBalancedSampleOracleSql(centroids),
+      "t19_lm_perplexity" -> bigramLmOracleSql(lmTermNanos(spark, sfDir)),
+      "t22_bpe_merges" -> bpeMergesOracleSql(bpeReference(spark, sfDir)._1),
+      "t23_bpe_tokenize" -> bpeTokenizeOracleSql(bpeReference(spark, sfDir)._2))
   }
 
   /** e7 generated oracle: n3's literal-centroid assignment CTEs +
@@ -2689,4 +2694,173 @@ object PipelineQueries {
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  // ---- t22/t23 generated oracles (independent in-memory BPE refit) --------
+
+  /**
+   * In-memory reference BPE fit — deliberately INDEPENDENT of
+   * [[Bpe]]'s distributed fold (plain Scala collections, no Spark
+   * expressions), so the generated t22/t23 oracles pin the
+   * distributed implementation against a second implementation of the
+   * algorithm, not against itself. Same determinism contract:
+   * argmax by (count DESC, then (l, r) lexicographic); greedy
+   * left-to-right non-overlapping merge inside each word.
+   */
+  private def referenceBpeFit(wordCounts: Seq[(String, Long)], nMerges: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) = {
+    var vocab: Map[String, (Long, Vector[String])] =
+      wordCounts.map { case (w, c) =>
+        w -> (c, w.map(_.toString).toVector :+ Bpe.EndOfWord) }.toMap
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.values.foreach { case (c, syms) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pairCounts((p(0), p(1))) = pairCounts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), n) = pairCounts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+        merges += ((rank, l, r, n))
+        vocab = vocab.map { case (w, (c, syms)) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+            else out += x
+          }
+          w -> (c, out.toVector)
+        }
+        rank += 1
+      }
+    }
+    (merges.result(), vocab.map { case (w, (_, syms)) => w -> syms })
+  }
+
+  /** Fit-once memo for the reference BPE (t22/t23 oracles). The only
+   * Spark input is the word-frequency vocab — a distinct-words-sized
+   * collect (bounded: ≪ corpus; the synthetic corpus has a few dozen
+   * words at any SF); the iterative merge learning is re-derived
+   * in-memory by [[referenceBpeFit]]. */
+  private val bpeRefMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, String, String, Long)], Map[String, Vector[String]])]()
+  private def bpeReference(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) =
+    bpeRefMemo.computeIfAbsent(d, _ => {
+      val wc = Bpe.wordVocab(Tables.documents(s, d), "text")
+        .select(col("word"), col("wc")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      referenceBpeFit(wc, nMerges = 12)
+    })
+
+  /** t22 generated oracle: the independently-refit merge table as a
+   * literal VALUES relation — rank/left/right/merged/n must match the
+   * distributed fit row-for-row (full hash check). */
+  private def bpeMergesOracleSql(
+      merges: Seq[(Int, String, String, Long)]): String = {
+    val rows = merges.map { case (rank, l, r, n) =>
+      s"($rank, ${sqlStr(l)}, ${sqlStr(r)}, ${sqlStr(l + r)}, CAST($n AS BIGINT))"
+    }.mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $rows) AS m(rank, "left", "right", merged, n)""".stripMargin
+  }
+
+  /** t23 generated oracle: DuckDB re-tokenizes every document itself
+   * (whitespace words with positions), then joins each word to its
+   * reference-fit segmentation (a literal VALUES relation — symbols
+   * are whitespace-free by construction, so a space-joined string
+   * round-trips exactly) and re-derives the per-doc subword stream +
+   * positions. Only the fitted segmentations are literals; the
+   * explode/join/number machinery runs in the oracle engine. */
+  private def bpeTokenizeOracleSql(segs: Map[String, Vector[String]]): String = {
+    val rows = segs.toSeq.sortBy(_._1).map { case (w, syms) =>
+      s"(${sqlStr(w)}, ${sqlStr(syms.mkString(" "))})"
+    }.mkString(",\n  ")
+    s"""WITH $toksCte,
+       |seg AS (SELECT * FROM (VALUES
+       |  $rows) AS s(word, segs)),
+       |w AS (
+       |  SELECT doc_id,
+       |    unnest([{'wpos': i, 'word': t[i]} for i in range(1, len(t)+1)],
+       |           recursive := true)
+       |  FROM toks),
+       |sp AS (
+       |  SELECT doc_id, wpos, string_split(segs, ' ') AS sg
+       |  FROM w JOIN seg USING (word)),
+       |tok AS (
+       |  SELECT doc_id, wpos,
+       |    unnest([{'spos': j, 'token': sg[j]} for j in range(1, len(sg)+1)],
+       |           recursive := true)
+       |  FROM sp)
+       |SELECT doc_id, token,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos)
+       |       AS INTEGER) AS pos
+       |FROM tok""".stripMargin
+  }
+
+  // ---- t19 generated oracle (literal ln terms, engine-side counting) ------
+
+  /** Fit-once memo for the bigram-LM per-term nano NLLs. The corpus
+   * bigram/context counts are exact integers (re-derived by the
+   * oracle's own engine-side counting); only ln — the one
+   * engine-specific operation — is evaluated here with the SAME JVM
+   * Math.log Spark's codegen calls, then frozen as integer literals.
+   * Charset²-bounded collect. */
+  private val lmTermMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  private def lmTermNanos(s: SparkSession, d: String): Seq[(String, Long)] =
+    lmTermMemo.computeIfAbsent(d, _ => {
+      val docs = Tables.documents(s, d)
+      val bigrams = when(length(col("text")) < 2, array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+      val bgCounts = docs.select(explode(bigrams).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("cab"))
+        .withColumn("ctx", substring(col("bg"), 1, 1))
+      val ctxCounts = bgCounts.groupBy(col("ctx")).agg(sum(col("cab")).as("ca"))
+      val v = bgCounts.select(countDistinct(col("ctx"))).head().getLong(0)
+      bgCounts.join(ctxCounts, "ctx").select(col("bg"), col("cab"), col("ca"))
+        .collect().map { r =>
+          val (bg, cab, ca) = (r.getString(0), r.getLong(1), r.getLong(2))
+          // exactly TextAnalysis.bigramLmScore's term arithmetic:
+          // -ln((cab+1)/(ca+V)) nano-rounded, all double ops IEEE-exact
+          val term = -math.log((cab + 1).toDouble / (ca + v).toDouble)
+          bg -> math.floor(term * 1e9 + 0.5).toLong
+        }.toSeq
+    })
+
+  /** t19 generated oracle: DuckDB re-derives each doc's bigram
+   * multiplicities and the integer sums itself; the literal table
+   * contributes only the per-bigram nano-rounded ln terms (frozen
+   * from the same JVM Math.log the Spark expression uses — ln is the
+   * single non-portable op that kept t19 rows-only until now). The
+   * avg is two IEEE double divisions in the same order on both
+   * sides, so the hash check is exact. */
+  private def bigramLmOracleSql(terms: Seq[(String, Long)]): String = {
+    val rows = terms.sortBy(_._1).map { case (bg, nano) =>
+      s"(${sqlStr(bg)}, CAST($nano AS BIGINT))"
+    }.mkString(",\n  ")
+    s"""WITH term AS (SELECT * FROM (VALUES
+       |  $rows) AS t(bg, nano)),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest([substring(text, i, 2) for i in range(1, length(text))]) AS bg
+       |  FROM documents),
+       |m AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(m * nano) AS BIGINT) AS nll_nanos
+       |  FROM m JOIN term USING (bg) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(sc.nll_nanos, 0) AS nll_nanos,
+       |  CASE WHEN sc.n_bigrams > 0
+       |       THEN CAST(sc.nll_nanos AS DOUBLE) / 1e9 / sc.n_bigrams
+       |  END AS avg_nll
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
 }

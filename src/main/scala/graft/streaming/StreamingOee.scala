@@ -22,18 +22,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * Tie handling mirrors the batch windows exactly: within a batch the
  * status fold orders by (ts, status) and the production fold by
  * (ts, cnt) — the two deterministic orderings the batch query uses.
- * Stale messages (before the machine's fold horizon) are dropped.
+ * Stale messages are dropped by BOTH folds, each against its own
+ * horizon (the status fold's `lastEs`; the production fold's last
+ * accepted (ts, cnt) key) — so parity holds over the in-order
+ * subsequence each fold accepts, and out-of-order arrival can never
+ * masquerade as a counter rollover.
  */
 object StreamingOee {
 
   final case class OeeObs(machineId: String, epochSeconds: Long,
       status: String, cnt: Long, quality: String)
 
-  /** Open status segment + accumulated accounting for one machine. */
+  /** Open status segment + accumulated accounting for one machine.
+   * `(prodEs, lastCnt)` is the production fold's horizon — the last
+   * (epochSeconds, cnt) key it accepted, mirroring the status fold's
+   * `lastEs` — so a late message in a later batch can't be mistaken
+   * for a counter rollover (see [[foldOee]]). */
   final case class OeeState(
       openStatus: String, openSince: Long, lastEs: Long,
       downSeconds: Double, totalSeconds: Double,
-      banked: Long, lastCnt: Long, hasCnt: Boolean,
+      banked: Long, lastCnt: Long, prodEs: Long, hasCnt: Boolean,
       nGood: Long, n: Long, lastSeen: Long)
 
   /** Per-machine accounting upsert (columns match
@@ -51,7 +59,7 @@ object StreamingOee {
     else {
       var st = state.getOption.getOrElse(OeeState(
         null, Long.MinValue, Long.MinValue,
-        0.0, 0.0, 0L, 0L, hasCnt = false, 0L, 0L, Long.MinValue))
+        0.0, 0.0, 0L, 0L, Long.MinValue, hasCnt = false, 0L, 0L, Long.MinValue))
 
       // status/segment fold — batch tie order (ts, status). The row-gap
       // identity: the gap from each observation to the next belongs to
@@ -79,13 +87,23 @@ object StreamingOee {
       }
 
       // production fold — batch tie order (ts, cnt); rollover banks the
-      // previous counter value
+      // previous counter value. Cross-batch stale messages (before the
+      // fold's last accepted (ts, cnt) key) are DROPPED, like the
+      // status fold and StreamingRateAnomaly.foldRate — a late reading
+      // with an older ts and lower cnt is out-of-order arrival, not a
+      // counter rollover; banking it would permanently inflate _prod.
       batch.sortBy(m => (m.epochSeconds, m.cnt)).foreach { m =>
-        if (!st.hasCnt) st = st.copy(lastCnt = m.cnt, hasCnt = true)
-        else if (m.cnt < st.lastCnt) st = st.copy(banked = st.banked + st.lastCnt, lastCnt = m.cnt)
-        else st = st.copy(lastCnt = m.cnt)
-        if (m.quality == "GOOD") st = st.copy(nGood = st.nGood + 1)
-        st = st.copy(n = st.n + 1)
+        val stale = st.hasCnt &&
+          (m.epochSeconds < st.prodEs ||
+            (m.epochSeconds == st.prodEs && m.cnt < st.lastCnt))
+        if (!stale) {
+          if (!st.hasCnt) st = st.copy(lastCnt = m.cnt, prodEs = m.epochSeconds, hasCnt = true)
+          else if (m.cnt < st.lastCnt)
+            st = st.copy(banked = st.banked + st.lastCnt, lastCnt = m.cnt, prodEs = m.epochSeconds)
+          else st = st.copy(lastCnt = m.cnt, prodEs = m.epochSeconds)
+          if (m.quality == "GOOD") st = st.copy(nGood = st.nGood + 1)
+          st = st.copy(n = st.n + 1)
+        }
       }
 
       state.update(st)

@@ -93,6 +93,36 @@ class StreamingOeeSpec extends SparkTestBase {
     assert(store === batchAcc)
   }
 
+  test("cross-batch late message is dropped by the production fold, not banked as a rollover") {
+    import StreamingOee._
+    val st = new TestGroupState[OeeState]
+    // batch 1: in-order counter 0 → 10 → 20 (qualities follow
+    // decorate's cnt%3 rule so the batch-parity check below lines up)
+    foldOee("m", Iterator(
+      OeeObs("m", 0L, "UP", 0L, "GOOD"), OeeObs("m", 60L, "UP", 10L, "BAD"),
+      OeeObs("m", 120L, "UP", 20L, "BAD")), st).toSeq
+    // batch 2: a LATE message (ts 90, cnt 15) arrives after the fold
+    // horizon advanced to (120, 20). Before the horizon fix this
+    // looked like a rollover: banked += 20 and lastCnt regressed to
+    // 15 — permanently inflating _prod to 20 + 25 = 45.
+    val out2 = foldOee("m", Iterator(
+      OeeObs("m", 90L, "UP", 15L, "GOOD"), OeeObs("m", 180L, "UP", 25L, "BAD")), st).toSeq
+    assert(out2.head._prod === 25L, "late message must not bank a phantom rollover")
+    assert(out2.head._n === 4L, "dropped message must not count toward totals")
+    assert(out2.head._good === 1L)
+    // parity: the store equals the batch accounting over the ACCEPTED
+    // (in-order) subsequence — exactly what a batch recompute over the
+    // retention-filtered, ordered prefix would produce
+    val accepted = Seq(
+      ("m", 0L, "UP", 0L), ("m", 60L, "UP", 10L),
+      ("m", 120L, "UP", 20L), ("m", 180L, "UP", 25L))
+    val batchAcc = Kpi.oeeMachineAccounting(telemetryDf(accepted))
+      .as[(String, Double, Double, Long, Long, Long)].collect().toSet
+    val streamed = out2.map(o =>
+      (o.machineId, o._down, o._tot, o._prod, o._good, o._n)).toSet
+    assert(streamed === batchAcc)
+  }
+
   test("pure fold: tie transition closes a zero-length segment; rollover banks") {
     import StreamingOee._
     val st = new TestGroupState[OeeState]
