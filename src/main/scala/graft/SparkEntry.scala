@@ -1003,8 +1003,10 @@ object SparkEntry {
         s"((by // ${1L << j}) % 2) * ${1L << (2 * j + 1)}")).mkString(" + ")
       s"""WITH b AS (
          |  SELECT event_id,
-         |    least(1023, greatest(0, CAST(floor((user_id * 1024) * 1.0 / 2048) AS BIGINT))) AS bx,
-         |    least(1023, greatest(0, CAST(floor((event_id * 1024) * 1.0 / 1048576) AS BIGINT))) AS by
+         |    CASE WHEN user_id < 0 THEN 0 WHEN user_id > 2047 THEN 1023
+         |         ELSE CAST((user_id * 1024) // 2048 AS BIGINT) END AS bx,
+         |    CASE WHEN event_id < 0 THEN 0 WHEN event_id > 1048575 THEN 1023
+         |         ELSE CAST((event_id * 1024) // 1048576 AS BIGINT) END AS by
          |  FROM events)
          |SELECT event_id, bx, by, CAST($terms AS BIGINT) AS zkey FROM b""".stripMargin
     },

@@ -22,11 +22,16 @@ import org.apache.spark.sql.types.LongType
  */
 object GlobalRank {
 
-  /** Append a 1-based global rank column ordered by `sortCols`. */
+  /** Append a 1-based global rank column ordered by `sortCols`.
+   * The sorted lineage is persisted across zipWithIndex's two passes
+   * (its eager partition-count job, then the result map) — same
+   * bracket as [[withRankAndRunningSum]] — so the range-partitioned
+   * sort executes ONCE, not twice. */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame = {
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     sorted.sparkSession.createDataFrame(ranked, schema)
   }
 

@@ -28,13 +28,30 @@ object ZOrder {
 
   /** Equi-width bucket of `c` over `[min, max]` into `2^bits` cells —
    * the dimension-reduction in front of [[key]]. Values are clamped
-   * into range so stragglers land in the edge cells. */
+   * into range so stragglers land in the edge cells.
+   *
+   * All-integral arithmetic: `(c − min) · cells div span` — IEEE
+   * double division would lose bucket boundaries once the product
+   * exceeds 2^53 (e.g. microsecond timestamps over years), so the
+   * quotient is an exact integral divide, out-of-range values
+   * short-circuit BEFORE the subtraction (no ANSI overflow on wild
+   * inputs), and the one product that remains is bounded by the
+   * `require` below: span · 2^bits must fit in a Long — coarser bits
+   * or a narrower range otherwise (fail fast, never silent drift). */
   def bucket(c: Column, min: Long, max: Long, bits: Int): Column = {
     require(max > min, s"need max > min, got [$min, $max]")
     val cells = 1L << bits
     val span = max - min + 1L
-    least(lit(cells - 1L), greatest(lit(0L),
-      ((c.cast("long") - min) * cells / span).cast("long")))
+    require(span > 0L && BigInt(span) * cells <= BigInt(Long.MaxValue),
+      s"span($span) * 2^$bits overflows Long — use fewer bits or a narrower [min, max]")
+    val cl = c.cast("long")
+    val idiv = GraftColumns.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftColumns.expression((cl - min) * cells),
+        GraftColumns.expression(lit(span))))
+    when(cl < min, lit(0L))
+      .when(cl > max, lit(cells - 1L))
+      .otherwise(idiv)
   }
 
   /**

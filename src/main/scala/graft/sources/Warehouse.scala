@@ -281,9 +281,19 @@ object Warehouse {
       val cells = 1L << bits
       val idBucket = pmod(xxhash64(col("id")), lit(cells))
       val tsSec = unix_timestamp(to_timestamp(col("timestamp"), tsFormat))
+      // Fail FAST if the timestamp column doesn't parse with tsFormat:
+      // an all-null tsSec would otherwise make every Z-key null and
+      // repartitionByRange silently degrade the whole partition to one
+      // giant unsorted file — a format mismatch is a caller bug, not a
+      // layout choice.
       val minMax = part.agg(
-        coalesce(min(tsSec), lit(0L)).as("mn"), coalesce(max(tsSec), lit(0L)).as("mx")).head()
-      val (mn, mx) = (minMax.getLong(0), minMax.getLong(1))
+        min(tsSec).as("mn"), max(tsSec).as("mx"),
+        count(lit(1)).as("n"), count(tsSec).as("nParsed")).head()
+      require(minMax.getLong(3) == minMax.getLong(2),
+        s"zorderCompactLayout: ${minMax.getLong(2) - minMax.getLong(3)} of " +
+          s"${minMax.getLong(2)} timestamps failed to parse with format '$tsFormat'")
+      val (mn, mx) = if (minMax.getLong(2) == 0L) (0L, 0L)
+        else (minMax.getLong(0), minMax.getLong(1))
       val tsBucket = graft.functions.ZOrder.bucket(tsSec, mn, math.max(mx, mn + 1), bits)
       graft.functions.ZOrder.cluster(part, Seq(idBucket, tsBucket), bits, nFiles)
     }

@@ -19,10 +19,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object StreamingAvailability {
 
-  final case class StatusObs(machineId: String, epochSeconds: Long, value: String)
+  /** `tsUs` is the full-resolution event time — the fold orders by
+   * (ts_us, value) exactly like the batch change-point windows, so
+   * parity holds for sub-second readings too (not only when event
+   * times happen to be second-aligned). */
+  final case class StatusObs(machineId: String, tsUs: Long, value: String)
 
-  /** Open segment only — O(1) per machine. */
-  final case class AvailState(openStatus: String, openSince: Long, lastEs: Long)
+  /** Open segment only — O(1) per machine. Times in microseconds;
+   * emission floors to seconds exactly like the batch
+   * `unix_timestamp`-based segment derivation. */
+  final case class AvailState(openStatus: String, openSinceUs: Long, lastTsUs: Long)
 
   /** One closed segment × day overlap fact. `seg_start` keys replay
    * collapse (a segment closes exactly once per (machine, start)). */
@@ -40,21 +46,27 @@ object StreamingAvailability {
         start)
     }
 
-  /** Fold one machine's batch; emits facts for segments that CLOSED. */
+  /** Fold one machine's batch; emits facts for segments that CLOSED.
+   * Ordering and the stale horizon use the batch windows' exact
+   * (ts_us, value) key; segment endpoints floor to seconds at
+   * emission (the batch `unix_timestamp` granularity). */
   def foldAvailability(machineId: String, msgs: Iterator[StatusObs],
       state: GroupState[AvailState]): Iterator[DayFact] = {
-    val sorted = msgs.toSeq.sortBy(m => (m.epochSeconds, m.value))
+    val sorted = msgs.toSeq.sortBy(m => (m.tsUs, m.value))
     var st = state.getOption.getOrElse(AvailState(null, Long.MinValue, Long.MinValue))
     val out = Seq.newBuilder[DayFact]
     sorted.foreach { m =>
+      val stale = st.openStatus != null &&
+        (m.tsUs < st.lastTsUs || (m.tsUs == st.lastTsUs && m.value < st.openStatus))
       if (st.openStatus == null) {
-        st = AvailState(m.value, m.epochSeconds, m.epochSeconds)
-      } else if (m.epochSeconds >= st.lastEs) {
+        st = AvailState(m.value, m.tsUs, m.tsUs)
+      } else if (!stale) {
         if (m.value != st.openStatus) {
-          out ++= daySplit(machineId, st.openStatus, st.openSince, m.epochSeconds)
-          st = AvailState(m.value, m.epochSeconds, m.epochSeconds)
+          out ++= daySplit(machineId, st.openStatus,
+            Math.floorDiv(st.openSinceUs, 1000000L), Math.floorDiv(m.tsUs, 1000000L))
+          st = AvailState(m.value, m.tsUs, m.tsUs)
         } else {
-          st = st.copy(lastEs = m.epochSeconds)
+          st = st.copy(lastTsUs = m.tsUs)
         }
       } // stale: drop
     }
@@ -62,13 +74,13 @@ object StreamingAvailability {
     out.result().iterator
   }
 
-  /** Attach to a status stream (columns machineId, epochSeconds,
-   * value) → append-mode per-day segment facts. */
+  /** Attach to a status stream (columns machineId, tsUs, value) →
+   * append-mode per-day segment facts. */
   def factStream(statusStream: DataFrame): Dataset[DayFact] = {
     val spark = statusStream.sparkSession
     import spark.implicits._
     statusStream
-      .selectExpr("machineId", "epochSeconds", "value")
+      .selectExpr("machineId", "tsUs", "value")
       .as[StatusObs]
       .groupByKey(_.machineId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldAvailability)

@@ -18,26 +18,32 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object StreamingTransitions {
 
-  final case class StatusObs(machineId: String, epochSeconds: Long, value: String)
+  /** `tsUs` is the full-resolution event time — the fold orders by
+   * (ts_us, value), the batch windows' exact key, so sub-second
+   * readings tie-break identically to the batch sort. */
+  final case class StatusObs(machineId: String, tsUs: Long, value: String)
 
-  final case class TransState(lastStatus: String, lastEs: Long)
+  final case class TransState(lastStatus: String, lastTsUs: Long)
 
-  /** One change-point fact; `at` is the event-time second the new
-   * status took effect. */
+  /** One change-point fact; `at_us` is the full-resolution event time
+   * the new status took effect — microseconds so replay identity
+   * stays exact even for same-second flap sequences. */
   final case class TransitionFact(machineId: String, from_status: String,
-      to_status: String, at: Long)
+      to_status: String, at_us: Long)
 
   def foldTransitions(machineId: String, msgs: Iterator[StatusObs],
       state: GroupState[TransState]): Iterator[TransitionFact] = {
-    val sorted = msgs.toSeq.sortBy(m => (m.epochSeconds, m.value))
+    val sorted = msgs.toSeq.sortBy(m => (m.tsUs, m.value))
     var st = state.getOption.getOrElse(TransState(null, Long.MinValue))
     val out = Seq.newBuilder[TransitionFact]
     sorted.foreach { m =>
-      if (st.lastStatus == null) st = TransState(m.value, m.epochSeconds)
-      else if (m.epochSeconds >= st.lastEs) {
+      val stale = st.lastStatus != null &&
+        (m.tsUs < st.lastTsUs || (m.tsUs == st.lastTsUs && m.value < st.lastStatus))
+      if (st.lastStatus == null) st = TransState(m.value, m.tsUs)
+      else if (!stale) {
         if (m.value != st.lastStatus)
-          out += TransitionFact(machineId, st.lastStatus, m.value, m.epochSeconds)
-        st = TransState(m.value, m.epochSeconds)
+          out += TransitionFact(machineId, st.lastStatus, m.value, m.tsUs)
+        st = TransState(m.value, m.tsUs)
       } // stale: drop
     }
     state.update(st)
@@ -48,17 +54,17 @@ object StreamingTransitions {
     val spark = statusStream.sparkSession
     import spark.implicits._
     statusStream
-      .selectExpr("machineId", "epochSeconds", "value")
+      .selectExpr("machineId", "tsUs", "value")
       .as[StatusObs]
       .groupByKey(_.machineId)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(foldTransitions)
   }
 
   /** Line-keyed matrix off the fact store (batch-identical rollup),
-   * at-least-once replays collapsed by the (machine, at) identity. */
+   * at-least-once replays collapsed by the (machine, at_us) identity. */
   def matrix(facts: DataFrame): DataFrame =
     facts
-      .dropDuplicates("machineId", "at", "from_status", "to_status")
+      .dropDuplicates("machineId", "at_us", "from_status", "to_status")
       .groupBy(
         split_part(col("machineId"), lit("/"), lit(3)).as("lineId"),
         col("from_status"), col("to_status"))

@@ -291,6 +291,17 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!p.contains("SinglePartition"), p.take(800))
   }
 
+  test("kNN-graph per-src rank is WindowGroupLimit-pruned (E4/E6)") {
+    // the dominant sf1 growth curves on the board: candidates per src
+    // must be pruned to top-k BEFORE the full window sort, or the
+    // cell-bounded pair space (N×cap) pays candidates×log(candidates)
+    // per src at 100× scale
+    for (q <- Seq("e4_knn_graph", "e6_knn_graph_xcell")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q: ${p.take(1200)}")
+    }
+  }
+
   test("epoch expansion is a broadcast join + map-side explode (T31)") {
     val p = plan("t31_epoch_expand")
     assert(p.contains("BroadcastHashJoin"), p.take(1000))

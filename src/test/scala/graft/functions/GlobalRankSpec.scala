@@ -62,4 +62,19 @@ class GlobalRankSpec extends SparkTestBase {
     assert(!sortPlan.contains("SinglePartition"), sortPlan.take(600))
     assert(ranked.count() === 10000L)
   }
+
+  test("withGlobalRank persists the sorted lineage so the sort runs once (tripwire)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val df = spark.range(0, 5000).repartition(3).select(col("id"), (col("id") % 13).as("k"))
+    val ranked = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "rn")
+    // zipWithIndex's eager count job + the result map must share ONE
+    // materialization of the range-partitioned sort — the persist is
+    // registered at build time, so its absence is visible here even
+    // before any action runs
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
+      "sorted lineage must be persisted across the two rank passes")
+    assert(ranked.count() === 5000L)
+    (sc.getPersistentRDDs.keySet -- before).foreach(id => sc.getPersistentRDDs(id).unpersist(false))
+  }
 }

@@ -52,6 +52,25 @@ class ZOrderSpec extends SparkTestBase {
     assert(out === Seq(0L, 0L, 1L, 512L, 1023L, 1023L))
   }
 
+  test("bucket is exact on wide ranges where double division drifts; overflow fails fast") {
+    // span 2^43-1 (a realistic microsecond range, NOT a power of two):
+    // (c*cells) exceeds 2^53, so the old IEEE-double quotient rounds
+    // across a bucket boundary — c = 8796025913343 divides to
+    // 1048568 under double arithmetic but 1048567 exactly
+    val mx = (1L << 43) - 2L
+    val c = 8796025913343L
+    val got = Seq(c).toDF("v")
+      .select(ZOrder.bucket(col("v"), 0L, mx, 20).as("b")).as[Long].head()
+    assert(got === (c * (1L << 20)) / ((1L << 43) - 1L))
+    assert(got === 1048567L)
+    // span * 2^bits beyond Long: refuse loudly instead of silently
+    // mis-bucketing (the 100 TB-layout contract)
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.bucket(col("v"), 0L, Long.MaxValue - 1L, 20)
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
+
   test("clusteredWrite gives EVERY dimension per-file locality; a single-column sort does not") {
     val tmp = Files.createTempDirectory("graft-zorder").toString
     val df = spark.range(0, 20000).select(

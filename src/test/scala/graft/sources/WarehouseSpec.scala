@@ -147,6 +147,21 @@ class WarehouseSpec extends SparkTestBase {
     assert(avgTss < 0.8, s"time locality $avgTss")
   }
 
+  test("z-order layout fails fast on unparseable timestamps instead of degrading silently") {
+    val tmp = Files.createTempDirectory("graft-compact-zbad").toString
+    // ISO timestamps do NOT match the layout's 'yyyy/MM/dd' format —
+    // before the guard every Z-key went null and the whole partition
+    // collapsed into one unsorted file; now the format mismatch throws
+    Seq(("GOOD", "1", "2021-03-05T00:00:01", "status", "m1", 2021, 3, 5))
+      .toDF("quality", "value", "timestamp", "tag", "id", "year", "month", "day")
+      .write.partitionBy("year", "month", "day").parquet(s"$tmp/wh")
+    val e = intercept[Exception] {
+      Warehouse.compactPartition(spark, s"$tmp/wh", 2021, 3, 5,
+        layout = Warehouse.zorderCompactLayout(bits = 6))
+    }
+    assert(e.getMessage != null)
+  }
+
   test("compacting an absent day never touches other partitions") {
     val tmp = Files.createTempDirectory("graft-compact-miss").toString
     Seq(("GOOD", "1", "2021/03/06 00:00:01.000000", "status", "m1", 2021, 3, 6))

@@ -8,24 +8,27 @@ import org.apache.spark.sql.functions._
 class StreamingTransitionsSpec extends SparkTestBase {
   import spark.implicits._
 
+  // microsecond event times; m3 has an exact-tie flap (value
+  // tie-break) and m4 a SUB-SECOND pair whose micro order disagrees
+  // with a second-truncated sort — the batch-parity case that needs
+  // the (ts_us, value) fold key
   private val events: Seq[(String, Long, String)] = Seq(
-    ("s0/a0/line0/m1", 0L, "UP"), ("s0/a0/line0/m1", 10L, "DOWN"),
-    ("s0/a0/line0/m1", 20L, "UP"), ("s0/a0/line0/m1", 30L, "UP"),
-    ("s0/a0/line0/m1", 40L, "IDLE"),
-    ("s0/a0/line0/m2", 0L, "UP"), ("s0/a0/line0/m2", 10L, "DOWN"),
-    ("s0/a0/line1/m3", 5L, "DOWN"), ("s0/a0/line1/m3", 5L, "UP")) // same-second tie
+    ("s0/a0/line0/m1", 0L, "UP"), ("s0/a0/line0/m1", 10000000L, "DOWN"),
+    ("s0/a0/line0/m1", 20000000L, "UP"), ("s0/a0/line0/m1", 30000000L, "UP"),
+    ("s0/a0/line0/m1", 40000000L, "IDLE"),
+    ("s0/a0/line0/m2", 0L, "UP"), ("s0/a0/line0/m2", 10000000L, "DOWN"),
+    ("s0/a0/line1/m3", 5000000L, "DOWN"), ("s0/a0/line1/m3", 5000000L, "UP"),
+    ("s0/a0/line1/m4", 5100000L, "UP"), ("s0/a0/line1/m4", 5200000L, "DOWN"))
 
   private def batchMatrix(prefix: Seq[(String, Long, String)]) =
-    Kpi.transitionMatrix(
-        prefix.toDF("machineId", "es", "status")
-          .withColumn("ts_us", col("es") * 1000000L))
+    Kpi.transitionMatrix(prefix.toDF("machineId", "ts_us", "status"))
       .as[(String, String, String, Long)].collect().toSet
 
   test("matrix off the streamed facts equals the batch matrix; replays collapse") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, String)]
     val query = StreamingTransitions.factStream(
-        input.toDF().toDF("machineId", "epochSeconds", "value"))
+        input.toDF().toDF("machineId", "tsUs", "value"))
       .writeStream.format("memory").queryName("tr_a").outputMode("append").start()
     events.grouped(3).foreach { b => input.addData(b: _*); query.processAllAvailable() }
     query.stop()
@@ -47,5 +50,11 @@ class StreamingTransitionsSpec extends SparkTestBase {
     // sorted (5,DOWN),(5,UP),(9,UP): one DOWN->UP transition at 5
     assert(out === Seq(TransitionFact("m", "DOWN", "UP", 5L)))
     assert(st.get === TransState("UP", 9L))
+    // sub-second pair: micro order (5.1 UP, 5.2 DOWN) must fold
+    // UP-first — a second-truncated sort would flip it to DOWN->UP
+    val st2 = new TestGroupState[TransState]
+    val out2 = foldTransitions("m", Iterator(
+      StatusObs("m", 5200000L, "DOWN"), StatusObs("m", 5100000L, "UP")), st2).toSeq
+    assert(out2 === Seq(TransitionFact("m", "UP", "DOWN", 5200000L)))
   }
 }
