@@ -383,19 +383,65 @@ object Multimodal {
    * for everything downstream ([[decodeImage]], [[resizeImage]]). */
   final case class FrameRow(media_id: Long, frame_idx: Int, frame_png: Array[Byte])
 
+  /**
+   * A loaded video frame-decoder session — in a real deployment a
+   * native codec handle (ffmpeg/VideoToolbox); NOT serializable, so it
+   * is constructed per partition via a [[FrameDecoderLoader]] and
+   * closed at task completion, the same lifecycle as
+   * [[EmbeddingModel]]. The shipped stand-in is the in-JVM animated-
+   * GIF compositor ([[GifFrameDecoderLoader]]).
+   */
+  trait FrameDecoder {
+    def name: String
+    /** Frames the payload decodes to (0 = not multi-frame video). Must
+     * only scan headers — called on every row to dispatch modality. */
+    def frameCount(payload: Array[Byte]): Int
+    /** Up to `maxFrames` evenly-spaced frames, re-encoded PNG. */
+    def sampleFrames(payload: Array[Byte], maxFrames: Int): Seq[Array[Byte]]
+    def close(): Unit
+  }
+
+  /** Serializable factory shipped to executors — the seam a native
+   * codec plugs into without touching the Spark plumbing. */
+  trait FrameDecoderLoader extends Serializable {
+    def load(): FrameDecoder
+  }
+
+  /** The shipped stand-in decoder: animated GIF via the in-JVM
+   * compositor ([[videoFrames]]/[[videoFrameCount]]); stateless, so
+   * close is a no-op. */
+  case object GifFrameDecoderLoader extends FrameDecoderLoader {
+    def load(): FrameDecoder = new FrameDecoder {
+      val name = "gif-imageio"
+      def frameCount(payload: Array[Byte]): Int = videoFrameCount(payload)
+      def sampleFrames(payload: Array[Byte], maxFrames: Int): Seq[Array[Byte]] =
+        videoFrames(payload, maxFrames)
+      def close(): Unit = ()
+    }
+  }
+
   /** Distributed frame sampling: each video row explodes into up to
    * `maxFrames` evenly-spaced composited PNG frames; non-video rows
-   * vanish. `mapPartitions` so decoder init amortizes per partition;
-   * payloads never shuffle — explode first, then prune the binary. */
-  def explodeFrames(media: Dataset[MediaRow], maxFrames: Int): Dataset[FrameRow] = {
+   * vanish. The decoder loads ONCE per non-empty partition through the
+   * pluggable loader and is closed at task completion (success or
+   * failure) via the task listener; payloads never shuffle — explode
+   * first, then prune the binary. */
+  def explodeFrames(media: Dataset[MediaRow], maxFrames: Int,
+      loader: FrameDecoderLoader = GifFrameDecoderLoader): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        // single-frame payloads are images, not video — skip (the
-        // count pass only scans headers, it decodes no rasters)
-        if (videoFrameCount(r.payload) <= 1) Iterator.empty
-        else videoFrames(r.payload, maxFrames).iterator.zipWithIndex.map {
-          case (png, i) => FrameRow(r.media_id, i, png)
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val decoder = loader.load()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
+        rows.flatMap { r =>
+          // single-frame payloads are images, not video — skip (the
+          // count pass only scans headers, it decodes no rasters)
+          if (decoder.frameCount(r.payload) <= 1) Iterator.empty
+          else decoder.sampleFrames(r.payload, maxFrames).iterator.zipWithIndex.map {
+            case (png, i) => FrameRow(r.media_id, i, png)
+          }
         }
       }
     }

@@ -117,6 +117,13 @@ object IngestPipeline {
       loadState: () => DataFrame = null,
       expirationHours: Int = 24,
       registerMachines: DataFrame => Unit = null)(implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery = {
+    // CONTRACT: loadState() returns the machine-reference table — a
+    // FLEET-sized dimension (one row per machine; thousands at plant
+    // scale), re-read per micro-batch for hot reload. The two per-batch
+    // reads below (registration anti-join, change suppression) are
+    // cheap ONLY under that bound — do not point loadState at a
+    // corpus/events-sized table; an events-scale state source belongs
+    // in mapGroupsWithState, not a per-batch full read.
     import spark.implicits._
     stream.writeStream
       .outputMode("append")

@@ -4,6 +4,31 @@ import graft.SparkTestBase
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
+/** JVM-global accounting for the frame-decoder lifecycle (local-mode
+ * executors share the JVM, so static counters observe executor-side
+ * loads — same pattern as EmbedCounters). */
+object FrameCounters {
+  val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { loads.set(0); closes.set(0) }
+}
+
+/** Counting fake over the shipped GIF decoder — proves explodeFrames
+ * drives the seam with the load-once / close-always contract. */
+final case class CountingFrameLoader() extends Multimodal.FrameDecoderLoader {
+  def load(): Multimodal.FrameDecoder = {
+    FrameCounters.loads.incrementAndGet()
+    val inner = Multimodal.GifFrameDecoderLoader.load()
+    new Multimodal.FrameDecoder {
+      val name = "counting-" + inner.name
+      def frameCount(payload: Array[Byte]): Int = inner.frameCount(payload)
+      def sampleFrames(payload: Array[Byte], maxFrames: Int): Seq[Array[Byte]] =
+        inner.sampleFrames(payload, maxFrames)
+      def close(): Unit = { FrameCounters.closes.incrementAndGet(); inner.close() }
+    }
+  }
+}
+
 class MultimodalSpec extends SparkTestBase {
 
   private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
@@ -111,6 +136,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.length == 4)
     assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
     frames.foreach(fr => assert(Multimodal.decodeImage(fr.frame_png).nonEmpty))
+  }
+
+  test("explodeFrames decoder seam: loads once per non-empty partition, closes every load") {
+    import spark.implicits._
+    FrameCounters.reset()
+    val media = (1L to 12L).map { i =>
+      Multimodal.MediaRow(i, "video/gif", animatedGifBytes(4, 4, nFrames = 5), 4, 4)
+    }.toDS().repartition(3)
+    val frames = Multimodal.explodeFrames(media, maxFrames = 2,
+      loader = CountingFrameLoader()).collect()
+    assert(frames.length === 24) // 12 videos x 2 sampled frames
+    assert(FrameCounters.loads.get() > 0)
+    assert(FrameCounters.loads.get() <= 3, "at most one decoder load per partition")
+    assert(FrameCounters.closes.get() === FrameCounters.loads.get(),
+      "every loaded decoder must be closed at task completion")
   }
 
   test("real PNG decode: dimensions and channel means extracted") {

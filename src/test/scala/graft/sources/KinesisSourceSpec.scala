@@ -58,4 +58,33 @@ class KinesisSourceSpec extends SparkTestBase {
     assert(ex.getMessage.toLowerCase.contains("aws-kinesis") ||
       ex.getMessage.toLowerCase.contains("failed to find"))
   }
+
+  test("runIngest consumes the connector-shaped envelope unchanged (seam e2e)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val goodTs = "2021-03-05 18:16:10.517000+00:00"
+    val json =
+      s"""{"messages":[{"name":"s/a/l/m1/status","quality":"GOOD","timestamp":"$goodTs","value":"d"}]}"""
+    val machineConfigs = Seq(("s/a/l/m1", "status", "pc", "u", "d", "i"))
+      .toDF("machineId", "statusTag", "productionCountTag",
+        "statusUpValues", "statusDownValues", "statusIdleValues")
+    // connector record shape: raw bytes + kinesis metadata
+    val input = MemoryStream[(Array[Byte], String, String, String, java.sql.Timestamp)]
+    val envelopes = KinesisSource.toEnvelope(input.toDF().toDF(
+      "data", "streamName", "partitionKey", "sequenceNumber",
+      "approximateArrivalTimestamp"))
+    val merges = scala.collection.mutable.ArrayBuffer[graft.streaming.IngestPipeline.StatusUpdate]()
+    val query = graft.streaming.IngestPipeline.runIngest(
+      envelopes, "payload",
+      loadConfigs = () => (Seq(graft.model.MessageFormatConfig(id = "DEFAULT")), machineConfigs),
+      appendFacts = _ => (),
+      mergeStatuses = ds => merges.synchronized { merges ++= ds.collect() })
+    input.addData((json.getBytes("UTF-8"), "machine-data", "pk", "seq-1",
+      java.sql.Timestamp.valueOf("2021-03-05 18:16:10")))
+    query.processAllAvailable()
+    query.stop()
+    assert(merges.toSeq ==
+      Seq(graft.streaming.IngestPipeline.StatusUpdate("s/a/l/m1", "DOWN", 1614968170L)))
+  }
 }

@@ -143,6 +143,47 @@ class IngestPipelineSpec extends SparkTestBase {
       ("s/a/l/m2", "MACHINE", None, None, 999L)))
   }
 
+  test("state reads per batch are bounded: loadState is dimension-sized and read at most twice") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val goodTs = "2021-03-05 18:16:10.517000+00:00"
+    def payload(tag: String, value: String): String = {
+      val json = s"""{"messages":[{"name":"s/a/l/m1/$tag","quality":"GOOD","timestamp":"$goodTs","value":"$value"}]}"""
+      java.util.Base64.getEncoder.encodeToString(json.getBytes("UTF-8"))
+    }
+    val machineConfigs = Seq(("s/a/l/m1", "status", "pc", "u", "d", "i"))
+      .toDF("machineId", "statusTag", "productionCountTag",
+        "statusUpValues", "statusDownValues", "statusIdleValues")
+    val stateReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    var batches = 0
+    val input = MemoryStream[String]
+    val query = IngestPipeline.runIngest(
+      input.toDF().withColumnRenamed("value", "payload"),
+      "payload",
+      loadConfigs = () => (Seq(MessageFormatConfig(id = "DEFAULT")), machineConfigs),
+      appendFacts = _ => { batches += 1 },
+      mergeStatuses = ds => { ds.collect(); () },
+      // the CONTRACT (IngestPipeline.runIngest doc): loadState serves a
+      // fleet-sized dimension. The pipeline may re-read it for hot
+      // reload, but only a BOUNDED number of times per micro-batch —
+      // one read per consumer (registration anti-join + change
+      // suppression), never per row
+      loadState = () => {
+        stateReads.incrementAndGet()
+        Seq(("s/a/l/m1", "UP")).toDF("machineId", "machineStatus")
+      },
+      registerMachines = ids => { ids.collect(); () })
+    input.addData(payload("status", "d"))
+    query.processAllAvailable()
+    input.addData(payload("status", "u"), payload("status", "d"))
+    query.processAllAvailable()
+    query.stop()
+    assert(batches >= 2)
+    assert(stateReads.get() <= 2 * batches,
+      s"loadState read ${stateReads.get()} times over $batches batches — " +
+        "the per-batch full-table read count must stay bounded (≤ 2/batch)")
+  }
+
   test("TTL compaction retains only unexpired rows") {
     val rt = Seq(("STATUS_m", 100L, "UP", 1000L), ("STATUS_m", 200L, "DOWN", 2000L))
       .toDF("id", "messageTimestamp", "value", "expirationTimestamp")
