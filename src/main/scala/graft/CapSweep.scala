@@ -52,28 +52,37 @@ object CapSweep {
         .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
-        .select(col("src"), col("dst"))
+        .select(col("src"), col("dst"), col("cosine"))
     }
 
     def pairCount(bucketed: DataFrame, bucket: String): Long =
       bucketed.groupBy(col(bucket)).agg(count(lit(1)).as("n"))
         .agg(sum(col("n") * (col("n") - 1))).head().getLong(0)
 
-    val truth = knn(assigned, "cell").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truthRows = knn(assigned, "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val truth = truthRows.map(t => (t._1, t._2)).toSet
+    // per-src WORST true top-k cosine: an edge at/above it is quality-
+    // equivalent to a true edge even if tie-breaking picked another id
+    // (the exact-clone sf1 regime has massive cosine ties)
+    val kthCos: Map[Long, Double] =
+      truthRows.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._3).min }
     println(s"CAPSWEEP sf=$sf vectors=${assigned.count()} truth_edges=${truth.size} " +
       s"uncapped_pairs=${pairCount(assigned, "cell")}")
 
     caps.foreach { cap =>
       val t0 = System.nanoTime()
       val bounded = Similarity.boundCells(assigned, cap)
-      val got = knn(bounded, "subcell").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotRows = knn(bounded, "subcell").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       val sec = (System.nanoTime() - t0) / 1e9
+      val got = gotRows.map(t => (t._1, t._2)).toSet
       val recall = if (truth.isEmpty) 1.0
         else got.intersect(truth).size.toDouble / truth.size
+      val qual = if (truth.isEmpty) 1.0
+        else gotRows.count(g => kthCos.get(g._1).exists(g._3 >= _)).toDouble / truth.size
       println(f"CAPSWEEP cap=$cap%5d pairs=${pairCount(bounded, "subcell")}%10d " +
-        f"recall=$recall%.4f wall=$sec%.2f s")
+        f"recall=$recall%.4f quality_recall=$qual%.4f wall=$sec%.2f s")
     }
     spark.stop()
   }
