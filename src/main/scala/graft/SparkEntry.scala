@@ -613,6 +613,53 @@ object SparkEntry {
         .withColumn("zkey", ZOrder.key(10, col("bx"), col("by")))
     }),
 
+    // O10: incremental distinct counting — per-shard HLL sketches
+    // (the nightly sketch-store build) MERGED per group at read time.
+    // Two-level on purpose: the oracle recomputes the registers FLAT,
+    // so a hash-match proves merge == recompute (mergeability), not
+    // just that one aggregation ran. 1 KiB of state per (group,
+    // shard) regardless of input size; linear-counting branch at this
+    // cardinality (150 users).
+    "o10_hll_distinct_users" -> ((s, d) => {
+      import graft.functions.Hll
+      val perShard = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .withColumn("shard", pmod(col("event_id"), lit(8)))
+        .groupBy(col("event_type"), col("shard"))
+        .agg(Hll.sketch(col("user_id").cast("string")).as("sk"))
+      perShard.groupBy(col("event_type"))
+        .agg(Hll.merge(col("sk")).as("sk"))
+        .select(col("event_type"), Hll.stats(col("sk")).as("st"))
+        .select(col("event_type"), col("st.v").as("v"), col("st.s").as("s"),
+          col("st.estimate").as("estimate"))
+    }),
+
+    // O11: the raw-estimate branch of the same sketch (cardinality
+    // above 2.5·m): distinct doc ids per source, single-level.
+    "o11_hll_distinct_docs" -> ((s, d) => {
+      import graft.functions.Hll
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(Hll.sketch(col("doc_id").cast("string")).as("sk"))
+        .select(col("source"), Hll.stats(col("sk")).as("st"))
+        .select(col("source"), col("st.v").as("v"), col("st.s").as("s"),
+          col("st.estimate").as("estimate"))
+    }),
+
+    // O12: the raw harmonic-estimate branch end-to-end (o10/o11 stay
+    // in linear-counting range at test SF): 5000 distinct event ids
+    // per half > 2.5·m, so the oracle must reproduce the frozen-
+    // numerator IEEE division exactly.
+    "o12_hll_raw_branch" -> ((s, d) => {
+      import graft.functions.Hll
+      Tables.events(s, d)
+        .groupBy(pmod(col("event_id"), lit(2)).as("half"))
+        .agg(Hll.sketch(col("event_id").cast("string")).as("sk"))
+        .select(col("half"), Hll.stats(col("sk")).as("st"))
+        .select(col("half"), col("st.v").as("v"), col("st.s").as("s"),
+          col("st.estimate").as("estimate"))
+    }),
+
     // S2+P1+P2+F1-F4: full parse path — envelope JSON → base64 → strict
     // config-driven parse → alias split → epoch
     "p1_parse_roundtrip" -> ((s, d) => {
@@ -659,6 +706,58 @@ object SparkEntry {
     }))
 
   // ---- oracles ------------------------------------------------------------
+
+  /**
+   * Register-exact DuckDB mirror of the HLL sketch queries (o10/o11):
+   * the oracle re-derives every register itself — md5 hex-nibble fold
+   * to the top 52 digest bits, integer shifts for the index/rank
+   * window, `length(bin(w))` for the exact leading-zero rank — and
+   * computes the SAME estimate arithmetic as HllSketch.stats: the
+   * harmonic sum is an exact BIGINT (registers cap at RankCap so
+   * Σ 2^(RankCap−M) ≤ 2^51), the raw estimate is one IEEE division by
+   * a frozen numerator literal, and the linear-counting ln appears
+   * only as per-V literals computed with this JVM's Math.log (the
+   * same Math.log the Spark eval calls). The oracle computes the
+   * registers FLAT — so for the two-level o10 a hash match proves
+   * sketch mergeability, not just agreement of one aggregation.
+   */
+  private def hllOracleSql(src: String, groupCol: String, valueSql: String,
+      extraWhere: String = "TRUE", groupOut: String = null): String = {
+    val gOut = Option(groupOut).getOrElse(groupCol)
+    import graft.functions.expressions.HllSketch
+    val m = HllSketch.M
+    val cap = HllSketch.RankCap
+    val wMask = (1L << HllSketch.W) - 1L
+    // ::DOUBLE on every literal: a bare decimal literal is DECIMAL in
+    // DuckDB and would round the last ulp away from the frozen double
+    val lnCase = (1 until m).map { v =>
+      s"WHEN $v THEN ${m.toDouble * math.log(m.toDouble / v)}::DOUBLE"
+    }.mkString(" ")
+    val num = HllSketch.AlphaNumerator.toString
+    s"""WITH h AS (
+       |  SELECT $groupCol AS g, md5(CAST($valueSql AS VARCHAR)) AS hx
+       |  FROM $src WHERE $extraWhere),
+       |b AS (
+       |  SELECT g, list_sum([ (strpos('0123456789abcdef', substring(hx, i, 1)) - 1)::BIGINT
+       |                       << (4*(13 - i)) for i in range(1, 14) ]) AS hv
+       |  FROM h),
+       |reg AS (
+       |  SELECT g, hv >> ${52 - HllSketch.P} AS idx,
+       |    max(CASE WHEN ((hv >> 2) & $wMask) = 0 THEN $cap
+       |             ELSE $cap - length(bin((hv >> 2) & $wMask)) END) AS mr
+       |  FROM b GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT g,
+       |    CAST($m - count(*) AS INTEGER) AS v,
+       |    CAST(sum(1::BIGINT << ($cap - mr))
+       |         + ($m - count(*)) * (1::BIGINT << $cap) AS BIGINT) AS s
+       |  FROM reg GROUP BY 1)
+       |SELECT g AS $gOut, v, s,
+       |  CASE WHEN v > 0 AND $num / CAST(s AS DOUBLE) <= ${HllSketch.LinearThreshold}
+       |       THEN CASE v $lnCase END
+       |       ELSE $num / CAST(s AS DOUBLE) END AS estimate
+       |FROM agg""".stripMargin
+  }
 
   private def coreOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -996,6 +1095,14 @@ object SparkEntry {
         |  CAST(sum(sec) AS BIGINT) AS down_seconds,
         |  count(*) AS n_segments
         |FROM ov GROUP BY 1, 2""".stripMargin),
+
+    "o10_hll_distinct_users" -> hllOracleSql("events", "event_type",
+      "user_id", extraWhere = "user_id IS NOT NULL"),
+
+    "o11_hll_distinct_docs" -> hllOracleSql("documents", "source", "doc_id"),
+
+    "o12_hll_raw_branch" -> hllOracleSql("events", "(event_id % 2)", "event_id",
+      groupOut = "half"),
 
     "o9_zorder_key" -> {
       val terms = (0 until 10).flatMap(j => Seq(

@@ -302,6 +302,15 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("HLL sketches aggregate object-hash with map-side partials (O10)") {
+    val p = plan("o10_hll_distinct_users")
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass — the sketch merges map-side, so the shuffle moves
+    // 1 KiB registers per (group, shard), never raw values
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert(!p.contains("SinglePartition"), p.take(800))
+  }
+
   test("epoch expansion is a broadcast join + map-side explode (T31)") {
     val p = plan("t31_epoch_expand")
     assert(p.contains("BroadcastHashJoin"), p.take(1000))
