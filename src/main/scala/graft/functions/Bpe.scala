@@ -74,8 +74,20 @@ object Bpe {
    * Fit `nMerges` BPE merges on the corpus. Returns the merge table
    * (rank-ordered) and the fitted vocab (word, wc, syms) whose `syms`
    * are the post-merge segmentations.
+   *
+   * Scale-adaptive dispatch (same pattern as
+   * [[Dedup.connectedComponentsStar]]): the corpus pass always runs
+   * distributed, but when the resulting VOCAB is small
+   * (≤ `inMemoryVocabThreshold` distinct words) the iterative merge
+   * learning folds in memory on the driver — 12 sequential
+   * vocab-sized Spark jobs are pure scheduler overhead at that size —
+   * and the fitted vocab is parallelized back. Both paths implement
+   * the identical deterministic rule (count DESC, then (l, r)
+   * lexicographic; greedy left-to-right merge), so the dispatch is
+   * invisible in results (BpeSpec pins small==distributed).
    */
-  def fit(df: DataFrame, textCol: String, nMerges: Int): (Seq[Merge], DataFrame) = {
+  def fit(df: DataFrame, textCol: String, nMerges: Int,
+      inMemoryVocabThreshold: Long = 200000L): (Seq[Merge], DataFrame) = {
     require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
     // Size the vocab's partitioning to the VOCAB, not the corpus: the
     // iterations run tens of sequential small jobs, and per-task
@@ -84,6 +96,8 @@ object Bpe {
     // executors busy at real scale and collapses to 1 task at test SF.
     val raw = wordVocab(df, textCol)
     val nWords = raw.count()
+    if (nWords <= inMemoryVocabThreshold)
+      return fitInMemory(df.sparkSession, raw, nMerges)
     val parts = math.max(1, math.min(
       df.sparkSession.sparkContext.defaultParallelism, (nWords / 100000L).toInt + 1))
     var vocab = raw.repartition(parts).localCheckpoint(true)
@@ -107,6 +121,47 @@ object Bpe {
       }
     }
     (merges.result(), vocab)
+  }
+
+  /** Driver-side merge learning for vocab-bounded corpora — the
+   * identical algorithm as the distributed fold, on the collected
+   * (word, wc) vocab. The collect is vocab-sized (≤ the dispatch
+   * threshold by construction), never corpus-sized. */
+  private def fitInMemory(spark: org.apache.spark.sql.SparkSession, raw: DataFrame,
+      nMerges: Int): (Seq[Merge], DataFrame) = {
+    import spark.implicits._
+    val wc = raw.select(col("word"), col("wc")).as[(String, Long)].collect()
+    var vocab: Array[(String, Long, Vector[String])] =
+      wc.map { case (w, c) => (w, c, w.map(_.toString).toVector :+ EndOfWord) }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (_, c, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val ((l, r), n) = pairCounts.minBy { case ((a, b), m) => (-m, a, b) }
+        merges += Merge(rank, l, r, l + r, n)
+        vocab = vocab.map { case (w, c, syms) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+            else out += x
+          }
+          (w, c, out.toVector)
+        }
+        rank += 1
+      }
+    }
+    (merges.result(), vocab.toSeq.toDF("word", "wc", "syms"))
   }
 
   /**

@@ -62,6 +62,17 @@ class BpeSpec extends SparkTestBase {
     assert(gotSegs === expSegs)
   }
 
+  test("scale dispatch: in-memory fit equals the distributed fold exactly") {
+    val df = corpus.toDF("doc_id", "text")
+    // threshold 0 forces the distributed path; default takes in-memory
+    val (mDist, vDist) = Bpe.fit(df, "text", 12, inMemoryVocabThreshold = 0L)
+    val (mMem, vMem) = Bpe.fit(df, "text", 12)
+    assert(mMem === mDist)
+    def segs(v: org.apache.spark.sql.DataFrame) =
+      v.select("word", "wc", "syms").as[(String, Long, Seq[String])].collect().toSet
+    assert(segs(vMem) === segs(vDist))
+  }
+
   test("fit is partitioning-invariant and stops when no pairs remain") {
     val df = corpus.toDF("doc_id", "text")
     val a = Bpe.fit(df.repartition(1), "text", 6)._1
