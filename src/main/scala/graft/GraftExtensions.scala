@@ -86,6 +86,35 @@ object GraftExtensions {
         }
         GraftColumns.toExpression(Dedup.shingles(GraftColumns.column(exprs.head), n))
       }),
+    // graft_hll_sketch / graft_hll_merge / graft_hll_stats: the
+    // mergeable distinct-count sketch as SQL aggregates + reader —
+    // the analyzer wraps a bare AggregateFunction from a registry
+    // builder in its AggregateExpression, so these work directly in
+    // GROUP BY queries
+    (
+      new FunctionIdentifier("graft_hll_sketch"),
+      new ExpressionInfo(classOf[graft.functions.expressions.HllSketchAgg].getName,
+        "graft_hll_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_hll_sketch(stringCol)")
+        graft.functions.expressions.HllSketchAgg(exprs.head)
+      }),
+    (
+      new FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[graft.functions.expressions.HllMergeAgg].getName,
+        "graft_hll_merge"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_hll_merge(sketchCol)")
+        graft.functions.expressions.HllMergeAgg(exprs.head)
+      }),
+    (
+      new FunctionIdentifier("graft_hll_stats"),
+      new ExpressionInfo(classOf[graft.functions.expressions.HllStats].getName,
+        "graft_hll_stats"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_hll_stats(sketchCol)")
+        graft.functions.expressions.HllStats(exprs.head)
+      }),
     // graft_zorder(bits, c1, c2, ...): Morton clustering key over
     // pre-bucketed BIGINT dims; bits must be a literal (it fixes the
     // generated bit-loop shape at plan time)

@@ -101,4 +101,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("literal int"))
   }
+
+  test("graft_hll_* SQL aggregates: two-level sketch/merge matches the Column API") {
+    GraftExtensions.registerTemp(spark)
+    spark.range(0, 4000)
+      .select(concat(lit("u"), col("id") % 350).as("v"), (col("id") % 5).as("shard"))
+      .createOrReplaceTempView("hll_in")
+    val sqlEst = spark.sql(
+      """SELECT graft_hll_stats(graft_hll_merge(sk)).estimate AS est
+        |FROM (SELECT shard, graft_hll_sketch(v) AS sk FROM hll_in GROUP BY shard)""".stripMargin)
+      .head().getDouble(0)
+    val colEst = spark.table("hll_in")
+      .agg(graft.functions.Hll.sketch(col("v")).as("sk"))
+      .select(graft.functions.Hll.stats(col("sk")).getField("estimate"))
+      .head().getDouble(0)
+    assert(sqlEst === colEst)
+    assert(math.abs(sqlEst - 350.0) / 350.0 < 0.13)
+  }
 }
