@@ -285,6 +285,26 @@ object SparkEntry {
       Kpi.outagePercentiles(Downtime.durations(t))
     }),
 
+    // X20: outage-duration quantiles from the MERGEABLE log-histogram
+    // sketch — the 100 TB path beside x18's exact percentiles: the
+    // stored form is per-MACHINE bin counts (≤ ~488 rows each,
+    // regardless of outage count), additive-merged to the line before
+    // the quantile walk. The oracle computes the line bins FLAT, so
+    // the hash match proves sketch mergeability like o10 does for HLL.
+    "x20_outage_quantile_sketch" -> ((s, d) => {
+      import graft.functions.LogHistogram
+      val t = Tables.telemetry(s, d).select(
+        col("machineId").as("id"), lit("status").as("tag"),
+        col("status").as("value"), col("quality"), col("timestamp"), col("event_id"))
+      val segs = Downtime.durations(t).filter(col("value") === "DOWN")
+        .select(col("id"), col("duration_seconds").cast("long").as("dur"))
+      val perMachine = LogHistogram.sketch(segs, Seq(col("id")), col("dur"))
+      val perLine = perMachine
+        .groupBy(split_part(col("id"), lit("/"), lit(3)).as("lineId"), col("bin"))
+        .agg(sum(col("n")).as("n"))
+      LogHistogram.quantiles(perLine, Seq("lineId"), Seq(0.5, 0.9, 0.99))
+    }),
+
     // X16: sensor-liveness gap report — silent stretches beyond a day
     // per machine (the TTL-staleness audit, server-side)
     "x16_gap_report" -> ((s, d) =>
@@ -1046,6 +1066,47 @@ object SparkEntry {
         |  round(quantile_cont(dur, 0.9), 4) AS p90_seconds,
         |  max(dur) AS max_seconds
         |FROM closed GROUP BY 1""".stripMargin),
+
+    // x20: same closed-DOWN population as x18, binned with the exact
+    // integer log-histogram arithmetic (bit length via length(bin()),
+    // integer shifts — no float log), computed FLAT per line; the
+    // quantile walk mirrors LogHistogram.quantiles' ⌈q·total⌉ rank
+    // with the multiplication forced to DOUBLE so both engines round
+    // the same product.
+    "x20_outage_quantile_sketch" -> (T +
+      """, series AS (
+        |  SELECT machineId AS id, es, ts_us, status AS value,
+        |         lag(status) OVER (PARTITION BY machineId ORDER BY ts_us, status) AS prev
+        |  FROM telemetry),
+        |cp AS (
+        |  SELECT id, es, ts_us, value FROM series WHERE prev IS NULL OR prev <> value),
+        |seg AS (
+        |  SELECT id, es, value, lead(es) OVER (PARTITION BY id ORDER BY ts_us, value) AS next_es
+        |  FROM cp),
+        |closed AS (
+        |  SELECT split_part(id, '/', 3) AS lineId, CAST(next_es - es AS BIGINT) AS dur
+        |  FROM seg WHERE next_es IS NOT NULL AND value = 'DOWN'),
+        |b AS (
+        |  SELECT lineId,
+        |    CASE WHEN dur < 16 THEN dur
+        |         ELSE (length(bin(dur)) - 4)::BIGINT * 8 + (dur >> (length(bin(dur)) - 4)) END AS bin,
+        |    count(*) AS n
+        |  FROM closed GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lineId, bin, n,
+        |    sum(n) OVER (PARTITION BY lineId ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY lineId) AS tot
+        |  FROM b),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+        |hit AS (
+        |  SELECT c.lineId, q.q, min(c.bin) AS bin
+        |  FROM c CROSS JOIN q
+        |  WHERE c.cum >= CAST(ceil(CAST(c.tot AS DOUBLE) * q.q::DOUBLE) AS BIGINT)
+        |  GROUP BY 1, 2)
+        |SELECT lineId, q::DOUBLE AS q,
+        |  CASE WHEN bin < 16 THEN bin
+        |       ELSE (8 + bin % 8) << ((bin // 8) - 1)::INTEGER END AS value
+        |FROM hit""".stripMargin),
 
     "x16_gap_report" -> (T +
       """, g AS (
