@@ -82,17 +82,19 @@ object LogHistogram {
     val g = groupCols.map(col)
     val w = Window.partitionBy(g: _*).orderBy(col("bin"))
     val wAll = Window.partitionBy(g: _*)
-    val cum = sketch
+    // ONE pass: explode the q list onto the (tiny) cum rows instead of
+    // a per-q union — a union of filtered branches would re-execute
+    // the sketch's whole upstream lineage once per quantile, which at
+    // warehouse scale means re-scanning the fact table |qs| times.
+    // The rank threshold ⌈q·total⌉ stays exact-integer: the float
+    // only scales the total, never compares two derived floats.
+    sketch
       .withColumn("_cum", sum(col("n")).over(w))
       .withColumn("_tot", sum(col("n")).over(wAll))
-    qs.map { q =>
-      // rank threshold ⌈q·total⌉ as exact integer arithmetic: floats
-      // only scale the total, never compare two derived floats
-      val need = ceil(col("_tot") * lit(q)).cast("long")
-      cum.filter(col("_cum") >= need)
-        .groupBy(g: _*)
-        .agg(min(col("bin")).as("_bin"))
-        .select(g :+ lit(q).as("q") :+ binLowerBound(col("_bin")).as("value"): _*)
-    }.reduce(_.unionByName(_))
+      .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+      .filter(col("_cum") >= ceil(col("_tot") * col("q")).cast("long"))
+      .groupBy(g :+ col("q"): _*)
+      .agg(min(col("bin")).as("_bin"))
+      .select(g :+ col("q") :+ binLowerBound(col("_bin")).as("value"): _*)
   }
 }

@@ -302,6 +302,14 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("quantile sketch reads its fact scan ONCE for all quantiles (X20)") {
+    val p = plan("x20_outage_quantile_sketch")
+    // the q-list is exploded onto the tiny bin rows — a per-q union of
+    // filtered branches would re-scan events once per quantile
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one fact scan, got $scans:\n${p.take(1200)}")
+  }
+
   test("HLL sketches aggregate object-hash with map-side partials (O10)") {
     val p = plan("o10_hll_distinct_users")
     // TypedImperativeAggregate plans as ObjectHashAggregate with a
