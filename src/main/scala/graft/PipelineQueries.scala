@@ -464,6 +464,23 @@ object PipelineQueries {
       Curation.sourceOverlap(docs.unionByName(mirrored), col("source"), col("text"))
     }),
 
+    // Count-Min token frequencies: the frequency member of the
+    // mergeable-sketch family (o10 HLL distinct, x20 quantiles) —
+    // approximate per-token counts from a depth×width counter table
+    // regardless of corpus size. Width 16 is DELIBERATELY undersized
+    // for the vocab so collisions occur and the one-sided guarantee
+    // (est ≥ true, deterministic) is actually exercised; the oracle
+    // recomputes every counter and every min exactly.
+    "t36_cms_token_counts" -> ((s, d) => {
+      import graft.functions.CountMin
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val sk = CountMin.sketch(toks, Seq.empty, col("tok"), depth = 4, width = 16)
+      val truth = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_true"))
+      CountMin.estimate(sk, truth, col("tok"), depth = 4, width = 16)
+        .select(col("tok"), col("n_true"), col("est"))
+    }),
+
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
     // deterministically AUGMENTED with synthetic PII derived from
     // doc_id (same construction in the oracle) so the redaction is
@@ -1403,6 +1420,23 @@ object PipelineQueries {
          |    md5('seed8:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rep_idx AS VARCHAR)),
          |    doc_id, rep_idx) AS BIGINT) AS train_rank
          |FROM reps""".stripMargin
+    },
+
+    "t36_cms_token_counts" -> {
+      val h = md5Hash32Sql("CAST(dd.d AS VARCHAR) || ':' || tok")
+      s"""WITH $toksCte,
+         |tk AS (SELECT unnest(t) AS tok FROM toks),
+         |dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         |sk AS (
+         |  SELECT dd.d, $h % 16 AS bucket, count(*) AS n
+         |  FROM tk CROSS JOIN dd GROUP BY 1, 2),
+         |truth AS (SELECT tok, count(*) AS n_true FROM tk GROUP BY 1)
+         |SELECT t.tok, t.n_true, CAST(min(s.n) AS BIGINT) AS est
+         |FROM truth t
+         |CROSS JOIN dd
+         |JOIN sk s ON s.d = dd.d
+         |  AND s.bucket = ${md5Hash32Sql("CAST(dd.d AS VARCHAR) || ':' || t.tok")} % 16
+         |GROUP BY 1, 2""".stripMargin
     },
 
     "t34_source_overlap" ->
