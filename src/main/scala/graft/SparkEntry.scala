@@ -680,6 +680,41 @@ object SparkEntry {
           col("st.estimate").as("estimate"))
     }),
 
+    // O13: KMV (bottom-k / theta) distinct sketch — the set-algebra
+    // sibling of o10's HLL: k=64 < the 150-user population so the
+    // (k−1)/θ estimator branch actually fires. Sketch rows are plain
+    // hashes ranked by a WindowGroupLimit-prunable window.
+    "o13_kmv_distinct_users" -> ((s, d) => {
+      import graft.functions.Kmv
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      val sk = Kmv.sketch(ev, Seq("event_type"), col("uid"), k = 64)
+      Kmv.estimate(sk, Seq("event_type"), k = 64)
+    }),
+
+    // O14: what HLL cannot do — set algebra on stored sketches:
+    // |click ∪ purchase| from the bottom-k of the two sketches'
+    // union, |click ∩ purchase| by inclusion-exclusion. One row.
+    "o14_kmv_intersection" -> ((s, d) => {
+      import graft.functions.Kmv
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      val sk = Kmv.sketch(ev, Seq("event_type"), col("uid"), k = 64)
+      val perType = Kmv.estimate(sk, Seq("event_type"), k = 64)
+        .groupBy()
+        .agg(
+          max(when(col("event_type") === "click", col("estimate"))).as("est_click"),
+          max(when(col("event_type") === "purchase", col("estimate"))).as("est_purchase"))
+      val union = Kmv.estimate(Kmv.merge(sk, Seq.empty, k = 64), Seq.empty, k = 64)
+        .select(col("estimate").as("est_union"))
+      perType.crossJoin(union)
+        .select(col("est_click"), col("est_purchase"), col("est_union"),
+          (col("est_click") + col("est_purchase") - col("est_union"))
+            .as("est_intersection"))
+    }),
+
     // S2+P1+P2+F1-F4: full parse path — envelope JSON → base64 → strict
     // config-driven parse → alias split → epoch
     "p1_parse_roundtrip" -> ((s, d) => {
@@ -741,6 +776,31 @@ object SparkEntry {
    * registers FLAT — so for the two-level o10 a hash match proves
    * sketch mergeability, not just agreement of one aggregation.
    */
+  /** DuckDB mirror of Dedup.md5Hash32 (first 8 md5 hex digits as a
+   * long) — same construction as PipelineQueries' private helper. */
+  private def md5Hash32Sql(e: String): String =
+    (1 to 8).map { kk =>
+      s"(strpos('0123456789abcdef', substr(md5($e), $kk, 1)) - 1) * ${math.pow(16, 8 - kk).toLong}"
+    }.mkString("(", " + ", ")")
+
+  /** KMV oracle CTE prefix: per-event_type bottom-`k` sketch over the
+   * hashed user ids — o13 reads the per-group estimates, o14 adds the
+   * union/intersection algebra. */
+  private def kmvSketchCtes(k: Int, typeFilter: String = "TRUE"): String =
+    s"""h AS (
+       |  SELECT event_type AS g, ${md5Hash32Sql("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events WHERE user_id IS NOT NULL AND $typeFilter
+       |  GROUP BY 1, 2),
+       |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM h),
+       |sk AS (SELECT g, h FROM r WHERE rk <= $k)""".stripMargin
+
+  /** The per-group estimate SELECT over an `agg(g, n_hashes, hmax)`
+   * CTE — exact below k, (k−1)/θ at k, both engines bit-identical. */
+  private def kmvEstimateSql(k: Int): String =
+    s"""CASE WHEN n_hashes < $k THEN CAST(n_hashes AS DOUBLE)
+       |     ELSE ${(k - 1).toDouble}::DOUBLE / (CAST(hmax + 1 AS DOUBLE) / 4294967296.0::DOUBLE)
+       |END""".stripMargin
+
   private def hllOracleSql(src: String, groupCol: String, valueSql: String,
       extraWhere: String = "TRUE", groupOut: String = null): String = {
     val gOut = Option(groupOut).getOrElse(groupCol)
@@ -1164,6 +1224,27 @@ object SparkEntry {
 
     "o12_hll_raw_branch" -> hllOracleSql("events", "(event_id % 2)", "event_id",
       groupOut = "half"),
+
+    "o13_kmv_distinct_users" ->
+      s"""WITH ${kmvSketchCtes(64)},
+         |agg AS (SELECT g, count(*) AS n_hashes, max(h) AS hmax FROM sk GROUP BY 1)
+         |SELECT g AS event_type, n_hashes, ${kmvEstimateSql(64)} AS estimate
+         |FROM agg""".stripMargin,
+
+    "o14_kmv_intersection" ->
+      s"""WITH ${kmvSketchCtes(64, "event_type IN ('click', 'purchase')")},
+         |agg AS (SELECT g, count(*) AS n_hashes, max(h) AS hmax FROM sk GROUP BY 1),
+         |est AS (SELECT g, ${kmvEstimateSql(64)} AS e FROM agg),
+         |mr AS (SELECT h, row_number() OVER (ORDER BY h) AS rk
+         |       FROM (SELECT DISTINCT h FROM sk)),
+         |uagg AS (SELECT count(*) AS n_hashes, max(h) AS hmax FROM mr WHERE rk <= 64),
+         |uest AS (SELECT ${kmvEstimateSql(64)} AS e FROM uagg)
+         |SELECT
+         |  (SELECT e FROM est WHERE g = 'click') AS est_click,
+         |  (SELECT e FROM est WHERE g = 'purchase') AS est_purchase,
+         |  (SELECT e FROM uest) AS est_union,
+         |  (SELECT e FROM est WHERE g = 'click') + (SELECT e FROM est WHERE g = 'purchase')
+         |    - (SELECT e FROM uest) AS est_intersection""".stripMargin,
 
     "o9_zorder_key" -> {
       val terms = (0 until 10).flatMap(j => Seq(

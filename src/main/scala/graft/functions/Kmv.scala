@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * KMV (k-minimum-values / bottom-k) distinct-count sketch (Bar-Yossef
+ * et al. 2002; the theta-sketch construction) — the set-algebra
+ * member of the mergeable-sketch family: where [[Hll]] only counts a
+ * set, KMV sketches COMPOSE — the union of two sketches is the
+ * bottom-k of their union, so |A∪B| is estimated directly and |A∩B|
+ * falls out by inclusion-exclusion. "How many users appear in BOTH
+ * day A and day B" at warehouse scale, from two k-row sketches.
+ *
+ * Spark-first and engine-portable like its siblings: a sketch is just
+ * the k smallest distinct [[Dedup.md5Hash32]] values per group —
+ * plain rows, built with a rank window that WindowGroupLimit prunes;
+ * merge is union→distinct→re-rank (idempotent AND commutative, so a
+ * streaming store needs no replay bookkeeping — [[graft.streaming.StreamingHll]]'s
+ * property, not the histogram's). The estimator is the classic
+ * (k−1)/θ with θ = h_(k)/2^32 — one exact integer ratio per group,
+ * reproduced by a DuckDB oracle to the last bit.
+ */
+object Kmv {
+
+  /** 2^32 as double — md5Hash32's value space, the θ normalizer. */
+  val HashSpace: Double = 4294967296.0
+
+  /** Bottom-k sketch: `(groupCols..., h)` rows, ≤ k per group, h the
+   * distinct 32-bit hashes in ascending rank. */
+  def sketch(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      k: Int = 256): DataFrame = {
+    require(k > 0, s"need positive k, got $k")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("h"))
+    df.select(g :+ Dedup.md5Hash32(valueCol).as("h"): _*)
+      .distinct()
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /** Merge sketches keyed by `groupCols` (e.g. day sketches rolled to
+   * a month, or two sides unioned for set algebra): bottom-k of the
+   * union — same row shape, composable further. */
+  def merge(sketches: DataFrame, groupCols: Seq[String], k: Int = 256): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("h"))
+    sketches.select(g :+ col("h"): _*)
+      .distinct()
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
+  /**
+   * Distinct estimate per group: exact count when the sketch holds
+   * fewer than k hashes (the sketch IS the distinct set), else
+   * (k−1)/θ with θ = (h_max+1)/2^32 — deterministic double
+   * arithmetic both engines share. Output: (groupCols..., n_hashes,
+   * estimate).
+   */
+  def estimate(sk: DataFrame, groupCols: Seq[String], k: Int = 256): DataFrame = {
+    val g = groupCols.map(col)
+    sk.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_hashes"), max(col("h")).as("_hmax"))
+      .select(g :+ col("n_hashes") :+
+        when(col("n_hashes") < k, col("n_hashes").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ((col("_hmax") + 1L).cast("double") / HashSpace)).as("estimate"): _*)
+  }
+}

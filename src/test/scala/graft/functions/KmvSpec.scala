@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class KmvSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact below k; estimator within the KMV envelope above k") {
+    for ((n, k) <- Seq((100, 256), (5000, 256), (20000, 512))) {
+      val df = spark.range(0, n.toLong).select(lit("g").as("g"),
+        concat(lit("u"), col("id")).as("v"))
+      val est = Kmv.estimate(Kmv.sketch(df, Seq("g"), col("v"), k), Seq("g"), k)
+        .select("estimate").as[Double].head()
+      if (n < k) assert(est === n.toDouble, s"below k must be exact, n=$n")
+      else {
+        val err = math.abs(est - n) / n
+        // std error ~ 1/sqrt(k-2); allow 4 sigma
+        assert(err < 4.0 / math.sqrt(k - 2.0), s"n=$n k=$k est=$est err=$err")
+      }
+    }
+  }
+
+  test("merge is idempotent and commutative — the streaming-safe algebra") {
+    val a = spark.range(0, 3000).select(lit("g").as("g"), concat(lit("a"), col("id") % 900).as("v"))
+    val b = spark.range(0, 3000).select(lit("g").as("g"), concat(lit("b"), col("id") % 400).as("v"))
+    val (ska, skb) = (Kmv.sketch(a, Seq("g"), col("v"), 128), Kmv.sketch(b, Seq("g"), col("v"), 128))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "h").as[(String, Long)].collect().toSet
+    val ab = Kmv.merge(ska.unionByName(skb), Seq("g"), 128)
+    val ba = Kmv.merge(skb.unionByName(ska), Seq("g"), 128)
+    assert(rows(ab) === rows(ba), "commutative")
+    val replay = Kmv.merge(ab.unionByName(ska), Seq("g"), 128)
+    assert(rows(replay) === rows(ab), "idempotent under replay")
+    // theta property: merge of sketches == sketch of the union
+    val flat = Kmv.sketch(a.unionByName(b), Seq("g"), col("v"), 128)
+    assert(rows(ab) === rows(flat), "bottom-k of sketches == bottom-k of union")
+  }
+
+  test("inclusion-exclusion intersection tracks the true overlap") {
+    // A = 0..1999, B = 1000..2999 → |A∩B| = 1000
+    val a = spark.range(0, 2000).select(lit("A").as("g"), concat(lit("u"), col("id")).as("v"))
+    val b = spark.range(1000, 3000).select(lit("B").as("g"), concat(lit("u"), col("id")).as("v"))
+    val k = 512
+    val sk = Kmv.sketch(a.unionByName(b), Seq("g"), col("v"), k)
+    val est = Kmv.estimate(sk, Seq("g"), k)
+      .select("g", "estimate").as[(String, Double)].collect().toMap
+    val u = Kmv.estimate(Kmv.merge(sk, Seq.empty, k), Seq.empty, k)
+      .select("estimate").as[Double].head()
+    val inter = est("A") + est("B") - u
+    assert(math.abs(inter - 1000.0) / 1000.0 < 0.35,
+      s"A=${est("A")} B=${est("B")} U=$u inter=$inter")
+  }
+}
