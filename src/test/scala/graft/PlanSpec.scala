@@ -310,6 +310,13 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(scans == 1, s"expected one fact scan, got $scans:\n${p.take(1200)}")
   }
 
+  test("KMV bottom-k rank is WindowGroupLimit-pruned (O13)") {
+    // the sketch keeps k rows per group — the rank window must prune
+    // to k below the sort, not rank the full distinct-hash population
+    val p = plan("o13_kmv_distinct_users")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("HLL sketches aggregate object-hash with map-side partials (O10)") {
     val p = plan("o10_hll_distinct_users")
     // TypedImperativeAggregate plans as ObjectHashAggregate with a
