@@ -48,26 +48,57 @@ object StreamingHll {
     }
   }
 
+  /**
+   * Read the current store, completing a half-finished swap first: a
+   * crash between delete(path) and rename(tmp, path) leaves the ONLY
+   * copy of the store in the hidden temp sibling — treating that as
+   * "no store yet" would silently reset every sketch (the same
+   * mid-swap crash state [[graft.sources.Warehouse.compactPartition]]
+   * recovers). Returns None only when neither location exists.
+   */
+  private[streaming] def readStore(path: String)(
+      implicit spark: SparkSession): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    if (!fs.exists(live) && fs.exists(tmp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(s"sketch store swap recovery failed: $tmp -> $path")
+    }
+    if (fs.exists(live)) Some(spark.read.parquet(path).localCheckpoint(true))
+    else None
+  }
+
+  /** The swap itself: write-new → delete-old → rename; shared by the
+   * HLL and KMV stores. */
+  private[streaming] def swapStore(next: DataFrame, path: String)(
+      implicit spark: SparkSession): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // guarantee the completeness marker the recovery path keys on
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(path)))
+      throw new java.io.IOException(s"sketch store swap failed: $tmp -> $path")
+  }
+
   /** Attach to a stream: per micro-batch, fold into the parquet store
-   * at `path` (atomic swap via temp dir + rename). */
+   * at `path` (atomic swap via temp dir + rename; mid-swap crashes
+   * recover on the next batch's read). */
   def attach(stream: DataFrame, groupCols: Seq[String], valueCol: String,
       path: String, checkpoint: String)(implicit spark: SparkSession)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val prior =
-          try Some(spark.read.parquet(path).localCheckpoint(true))
-          catch { case _: Exception => None } // first batch: no store yet
-        val next = mergeBatch(prior, batch, groupCols, valueCol)
+        val next = mergeBatch(readStore(path), batch, groupCols, valueCol)
           .localCheckpoint(true) // cut lineage off the files we replace
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-        next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(path)))
-          throw new java.io.IOException(s"sketch store swap failed: $tmp -> $path")
+        swapStore(next, path)
         ()
       }
       .start()

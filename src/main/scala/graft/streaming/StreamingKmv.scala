@@ -32,25 +32,19 @@ object StreamingKmv {
   }
 
   /** Attach to a stream: per micro-batch, fold into the parquet store
-   * at `path` (atomic swap — the [[StreamingHll.attach]] shape). */
+   * at `path` — shares [[StreamingHll.readStore]]/[[StreamingHll.swapStore]],
+   * including the mid-swap crash recovery (a crash between delete and
+   * rename leaves the only copy in the temp sibling; the next batch's
+   * read completes the swap instead of resetting the store). */
   def attach(stream: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int, path: String, checkpoint: String)(implicit spark: SparkSession)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val prior =
-          try Some(spark.read.parquet(path).localCheckpoint(true))
-          catch { case _: Exception => None }
-        val next = mergeBatch(prior, batch, groupCols, valueCol, k)
-          .localCheckpoint(true)
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-        next.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(path)))
-          throw new java.io.IOException(s"kmv store swap failed: $tmp -> $path")
+        val next = mergeBatch(StreamingHll.readStore(path), batch,
+          groupCols, valueCol, k).localCheckpoint(true)
+        StreamingHll.swapStore(next, path)
         ()
       }
       .start()

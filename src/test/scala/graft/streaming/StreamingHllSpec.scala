@@ -44,6 +44,30 @@ class StreamingHllSpec extends SparkTestBase {
     assert(regs(replayed) === regs(once))
   }
 
+  test("mid-swap crash recovery: a store stranded in the temp sibling is not reset") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-crash").toString
+    val path = s"$dir/store"
+    StreamingHll.swapStore(
+      StreamingHll.mergeBatch(None, rows.toDF("g", "v"), Seq("g"), "v"), path)
+    val before = StreamingHll.readStore(path).get
+      .as[(String, Array[Byte])].collect().map { case (g, sk) => g -> sk.toSeq }.toMap
+    // simulate dying between delete(path) and rename(tmp, path): the
+    // ONLY copy of the store lives in the hidden temp sibling
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".tmp")))
+    // before the recovery path this read returned None and the next
+    // batch silently RESET every sketch
+    val recovered = StreamingHll.readStore(path)
+    assert(recovered.isDefined, "stranded store must be recovered, not treated as empty")
+    val after = recovered.get.as[(String, Array[Byte])].collect()
+      .map { case (g, sk) => g -> sk.toSeq }.toMap
+    assert(after === before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".tmp")), "swap completed")
+  }
+
   test("attach: e2e store over micro-batches; estimates read like the batch path") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
