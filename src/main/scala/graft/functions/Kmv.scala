@@ -43,7 +43,10 @@ object Kmv {
 
   /** Merge sketches keyed by `groupCols` (e.g. day sketches rolled to
    * a month, or two sides unioned for set algebra): bottom-k of the
-   * union — same row shape, composable further. */
+   * union — same row shape, composable further. With empty
+   * `groupCols` the rank window is global (SinglePartition), which is
+   * FINE here by construction: the input is sketch rows, bounded at
+   * #input-groups × k, never data-sized. */
   def merge(sketches: DataFrame, groupCols: Seq[String], k: Int = 256): DataFrame = {
     val g = groupCols.map(col)
     val w = Window.partitionBy(g: _*).orderBy(col("h"))
