@@ -36,7 +36,10 @@ object CountMin {
   def sketch(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
       depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth > 0 && width > 0, s"need positive depth/width, got $depth/$width")
-    df.withColumn("_d", explode(array((0 until depth).map(lit(_)): _*)))
+    // null values are SKIPPED (the HllSketchAgg contract) — they would
+    // otherwise land in a null bucket row and skew nothing useful
+    df.filter(valueCol.isNotNull)
+      .withColumn("_d", explode(array((0 until depth).map(lit(_)): _*)))
       .groupBy(groupCols :+ col("_d").as("d")
         :+ bucketOf(col("_d"), valueCol, width).as("bucket"): _*)
       .agg(count(lit(1)).as("n"))

@@ -34,7 +34,10 @@ object Kmv {
     require(k > 0, s"need positive k, got $k")
     val g = groupCols.map(col)
     val w = Window.partitionBy(g: _*).orderBy(col("h"))
+    // null values are SKIPPED (the HllSketchAgg contract) — a null
+    // hash would otherwise sort first and burn a sketch slot
     df.select(g :+ Dedup.md5Hash32(valueCol).as("h"): _*)
+      .filter(col("h").isNotNull)
       .distinct()
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= k)

@@ -21,6 +21,16 @@ class KmvSpec extends SparkTestBase {
     }
   }
 
+  test("null values are skipped, never burn a sketch slot") {
+    val df = (Seq(Some("a"), None, Some("b")) ++ (1 to 50).map(i => Some(s"x$i")))
+      .toDF("v").select(lit("g").as("g"), col("v"))
+    val sk = Kmv.sketch(df, Seq("g"), col("v"), k = 256)
+    assert(sk.count() === 52L) // 52 distinct non-null values, no null row
+    assert(sk.filter(col("h").isNull).count() === 0L)
+    val est = Kmv.estimate(sk, Seq("g"), 256).select("estimate").as[Double].head()
+    assert(est === 52.0)
+  }
+
   test("merge is idempotent and commutative — the streaming-safe algebra") {
     val a = spark.range(0, 3000).select(lit("g").as("g"), concat(lit("a"), col("id") % 900).as("v"))
     val b = spark.range(0, 3000).select(lit("g").as("g"), concat(lit("b"), col("id") % 400).as("v"))
