@@ -1002,6 +1002,29 @@ object PipelineQueries {
         .select(col("src"), col("dst"), col("cosine"), col("rank").cast("int").as("rank"))
     }),
 
+    // Graph-centrality curation signal: exact-integer PageRank over
+    // the e4 kNN graph — high rank = dense semantic neighborhood
+    // (representative), leaves = outliers. Micro-unit integer
+    // arithmetic end-to-end, so the 5-round fixed iteration is
+    // bit-reproducible and the GENERATED oracle replays the identical
+    // rounds as unrolled CTEs.
+    "e11_knn_pagerank" -> ((s, d) => {
+      val assigned = Similarity.boundCells(
+        Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d)),
+        MaxCellPairSide)
+      val l = assigned.select(col("subcell"), col("vec_id").as("src"), col("embedding").as("_va"))
+      val r = assigned.select(col("subcell"), col("vec_id").as("dst"), col("embedding").as("_vb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      val edges = l.join(r, Seq("subcell")).filter(col("src") =!= col("dst"))
+        .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("dst"))
+      graft.functions.GraphRank.pageRankMicro(edges, "src", "dst", iterations = 5)
+        .select(col("node").as("vec_id"), col("rank_micro"))
+    }),
+
     // e3 with the cross-cell recall lever: near-boundary vectors also
     // probe their second-nearest cell (margin-based ghost rows), so
     // near-dup pairs straddling a cell boundary are no longer missed.
@@ -2164,6 +2187,7 @@ object PipelineQueries {
       "e5_semdedup_xcell" -> semDedupXcellOracleSql(centroids, XcellMargin, threshold = 0.35),
       "e6_knn_graph_xcell" -> knnGraphXcellOracleSql(centroids, XcellMargin, k = 3),
       "e7_cell_balanced_sample" -> cellBalancedSampleOracleSql(centroids),
+      "e11_knn_pagerank" -> knnPagerankOracleSql(centroids, k = 3, iterations = 5),
       "t19_lm_perplexity" -> bigramLmOracleSql(lmTermNanos(spark, sfDir)),
       "t22_bpe_merges" -> bpeMergesOracleSql(bpeReference(spark, sfDir)._1),
       "t23_bpe_tokenize" -> bpeTokenizeOracleSql(bpeReference(spark, sfDir)._2))
@@ -2315,6 +2339,36 @@ object PipelineQueries {
        |FROM bounded a JOIN bounded b
        |  ON a.subcell = b.subcell AND a.neighbor_id <> b.neighbor_id
        |QUALIFY rank <= $k""".stripMargin
+
+  /** e11 generated oracle: the e4 kNN edges (nested WITH subquery)
+   * feeding GraphRank's damped power iteration UNROLLED — one
+   * (contrib, rank) CTE pair per round, all integer arithmetic
+   * (`//` integral divides, exact sums), so 5 rounds replay
+   * bit-identically to the Spark loop. */
+  private def knnPagerankOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int,
+      iterations: Int): String = {
+    import graft.functions.GraphRank._
+    val rounds = (1 to iterations).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst, sum(p.r // d.deg) AS s
+         |  FROM r${i - 1} p
+         |  JOIN deg d ON d.src = p.node
+         |  JOIN edges e ON e.src = p.node
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT n.node,
+         |    $BaseMicro + ($DampNum * COALESCE(c.s, 0)) // $DampDen AS r
+         |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT src, dst FROM (${knnGraphOracleSql(centroids, k)})
+       |),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |r0 AS (SELECT node, ${NodeMassMicro}::BIGINT AS r FROM nodes),
+       |$rounds
+       |SELECT node AS vec_id, CAST(r AS BIGINT) AS rank_micro FROM r$iterations""".stripMargin
+  }
 
   /** e3 generated oracle: n3's literal-centroid assignment CTEs, pair
    * candidates bounded by cell, drop verdict via LEFT JOIN on
