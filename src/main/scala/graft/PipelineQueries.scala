@@ -2360,11 +2360,15 @@ object PipelineQueries {
          |    $BaseMicro + ($DampNum * COALESCE(c.s, 0)) // $DampDen AS r
          |  FROM nodes n LEFT JOIN c$i c ON c.dst = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS (
+    // AS MATERIALIZED is load-bearing: edges is referenced by deg,
+    // nodes, and every iteration round — inlined, the engine would
+    // recompute the cell-bounded cosine pair join once per reference
+    // (observed to exhaust temp storage at sf1)
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT src, dst FROM (${knnGraphOracleSql(centroids, k)})
        |),
-       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |r0 AS (SELECT node, ${NodeMassMicro}::BIGINT AS r FROM nodes),
        |$rounds
        |SELECT node AS vec_id, CAST(r AS BIGINT) AS rank_micro FROM r$iterations""".stripMargin
