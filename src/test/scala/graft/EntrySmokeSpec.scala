@@ -16,17 +16,23 @@ class EntrySmokeSpec extends SparkTestBase {
     }
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
-    // every query is oracle-backed except the generated-oracle set
-    // (centroid-literal SQL produced by dynamicOracleSql at Verify time)
+    // every query is oracle-backed except the GENERATED-oracle set —
+    // all of these get literal SQL from dynamicOracleSql at Verify
+    // time (centroid fits, the reference BPE refit, the ln-term
+    // freeze, the unrolled PageRank), so since round 9 the driver
+    // hash-checks EVERY query: zero genuinely rows-only checks remain
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("n3_ann_ivf", "n11_ann_filtered", "n6_ann_ivf_sq8", "n7_ann_pq",
       "n8_ann_ivf_pq", "e2_kmeans_step", "e3_semdedup", "e4_knn_graph",
       "n10_ann_ivf_rpq", "e5_semdedup_xcell", "e6_knn_graph_xcell",
       "e7_cell_balanced_sample", "e8_ann_recall", "e9_cell_stats", "e10_probe_sweep",
-      // genuinely rows-only (no SQL mirror exists): float-log LM score,
-      // iterative-argmax BPE fit + its apply — each pinned by a spec
-      // against an independent reference implementation instead
+      "e11_knn_pagerank",
       "t19_lm_perplexity", "t22_bpe_merges", "t23_bpe_tokenize"),
       s"unexpected rows-only queries: $rowsOnly")
+    // and the dynamic set must cover exactly those — no query without
+    // SOME oracle
+    val dyn = SparkEntry.dynamicOracleSql(spark, sf).keySet
+    assert((rowsOnly -- dyn).isEmpty,
+      s"queries with neither static nor generated oracle: ${rowsOnly -- dyn}")
   }
 }
