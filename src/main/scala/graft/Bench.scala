@@ -84,6 +84,9 @@ object Bench {
       // measured 4× slowdown on late-alphabet queries from eviction
       // pressure + cached-plan matching.
       spark.catalog.clearCache()
+      // RDD-level persists (GlobalRank's staged sorts) are invisible
+      // to clearCache — drop them explicitly per query.
+      graft.functions.GlobalRank.releaseStaged()
       (name, times)
     }
     val calibEnd = calibrate()

@@ -40,7 +40,10 @@ object Verify {
         // .ownStages contract) that a map-driven harness can't
         // individually release — drop them per query, as Bench does,
         // so caches never accumulate across the 91-query pass.
+        // clearCache only sees catalog-level caches; GlobalRank stages
+        // an RDD-level persist per call — release those too.
         spark.catalog.clearCache()
+        graft.functions.GlobalRank.releaseStaged()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -49,17 +49,34 @@ object CountMin {
    * Point estimates for probe values: min over the depth counters
    * each probe hashes to. `probes` carries one row per value to look
    * up (any other columns ride along); output appends `est`.
-   * The join is (d, bucket)-keyed against the depth·width-row sketch
-   * — broadcast-sized for any realistic configuration.
+   * The join is (groupCols..., d, bucket)-keyed against the
+   * depth·width-per-group sketch — broadcast-sized for any realistic
+   * configuration.
+   *
+   * `groupCols` MUST name the group columns the sketch was built with
+   * (by the names they carry in the sketch), and `probes` must carry
+   * the same columns: a probe only reads counters from its OWN group.
+   * Joining a multi-group sketch on (d, bucket) alone would let a
+   * probe match counter rows from every group, and the min could dip
+   * BELOW the item's true count in its group — silently breaking the
+   * one-sided est ≥ true guarantee. The schema `require` makes a
+   * mismatched sketch fail loud instead of undercounting.
    */
   def estimate(sk: DataFrame, probes: DataFrame, valueCol: Column,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+      depth: Int = 4, width: Int = 1024, groupCols: Seq[String] = Nil): DataFrame = {
+    val expected: Seq[String] = groupCols ++ Seq("d", "bucket", "n")
+    require(sk.columns.toSeq.sorted == expected.sorted,
+      s"sketch columns (${sk.columns.mkString(",")}) must be exactly " +
+        s"(${expected.mkString(",")}) — pass the sketch's group columns via groupCols")
+    groupCols.foreach(g => require(probes.columns.contains(g),
+      s"probes must carry group column '$g' to estimate within its group"))
     val keyed = probes
       .withColumn("_d", explode(array((0 until depth).map(lit(_)): _*)))
       .withColumn("_bucket", bucketOf(col("_d"), valueCol, width))
     keyed
-      .join(broadcast(sk.select(col("d").as("_d"), col("bucket").as("_bucket"),
-        col("n").as("_n"))), Seq("_d", "_bucket"), "left")
+      .join(broadcast(sk.select(groupCols.map(col)
+        :+ col("d").as("_d") :+ col("bucket").as("_bucket") :+ col("n").as("_n"): _*)),
+        groupCols ++ Seq("_d", "_bucket"), "left")
       .groupBy(probes.columns.map(col): _*)
       .agg(min(coalesce(col("_n"), lit(0L))).as("est"))
   }

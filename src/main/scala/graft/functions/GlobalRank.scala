@@ -22,15 +22,43 @@ import org.apache.spark.sql.types.LongType
  */
 object GlobalRank {
 
+  // Registry of the sorted lineages persisted by the two-pass methods.
+  // The persist is load-bearing WHILE the caller's action runs (it is
+  // what keeps the range-partitioned sort from executing twice), so it
+  // cannot be dropped inside the method — but RDD-level persists are
+  // invisible to `spark.catalog.clearCache()`, and without a handle a
+  // long-lived session (bench loops, Verify sweeps) pins one cached
+  // sort output per call until GC + ContextCleaner get to it. Callers
+  // that drive many queries (Verify/Bench, specs) call
+  // [[releaseStaged]] after each action — the same staged-cache
+  // ownership discipline DedupSpec enforces for Dedup's operators.
+  private val staged =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+
+  /** Unpersist every staged sorted lineage registered since the last
+   * release; returns how many were dropped. Safe while results are
+   * still referenced — a re-action just recomputes the sort. */
+  def releaseStaged(): Int = {
+    var n = 0
+    var r = staged.poll()
+    while (r != null) { r.unpersist(blocking = false); n += 1; r = staged.poll() }
+    n
+  }
+
+  /** Number of staged lineages currently registered (spec census). */
+  def stagedCount: Int = staged.size()
+
   /** Append a 1-based global rank column ordered by `sortCols`.
    * The sorted lineage is persisted across zipWithIndex's two passes
    * (its eager partition-count job, then the result map) — same
    * bracket as [[withRankAndRunningSum]] — so the range-partitioned
-   * sort executes ONCE, not twice. */
+   * sort executes ONCE, not twice. The persisted lineage is registered
+   * for [[releaseStaged]]; release it after the result's action. */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame = {
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    staged.add(rdd)
     val ranked = rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     sorted.sparkSession.createDataFrame(ranked, schema)
   }
@@ -56,6 +84,7 @@ object GlobalRank {
     val spark = df.sparkSession
     val sorted = df.withColumn("_rs_val", valueCol.cast("double")).orderBy(sortCols: _*)
     val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    staged.add(rdd)
     val valIdx = sorted.schema.fieldIndex("_rs_val")
     val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
       var n = 0L; var s = 0.0

@@ -35,4 +35,20 @@ class EntrySmokeSpec extends SparkTestBase {
     assert((rowsOnly -- dyn).isEmpty,
       s"queries with neither static nor generated oracle: ${rowsOnly -- dyn}")
   }
+
+  test("GlobalRank-backed queries leave no cached RDDs after action + release (census)") {
+    val sc = spark.sparkContext
+    graft.functions.GlobalRank.releaseStaged()
+    spark.catalog.clearCache()
+    val before = sc.getPersistentRDDs.keySet
+    // the three call sites that stage a persisted sort per invocation
+    Seq("o3_name_sort_rank", "t32_training_order", "x11_downtime_pareto").foreach { q =>
+      SparkEntry.queries(q)(spark, sf).count()
+    }
+    assert(graft.functions.GlobalRank.releaseStaged() >= 3,
+      "each GlobalRank call site must register its staged sort")
+    spark.catalog.clearCache()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "o3/t32/x11 must leave nothing cached after release")
+  }
 }

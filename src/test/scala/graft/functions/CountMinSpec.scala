@@ -47,4 +47,32 @@ class CountMinSpec extends SparkTestBase {
     // one-sided: a missing item's estimate is only whatever collided
     est.values.foreach(e => assert(e >= 0L))
   }
+
+  test("grouped estimate joins within the probe's own group (one-sided per group)") {
+    // group g1 holds many copies of the value; g0 holds one. An
+    // ungrouped (d,bucket) join would let g0's probe min() over g1's
+    // counters too — here the grouped join must keep est >= true IN
+    // THE PROBE'S GROUP for every (group, value).
+    val df = (Seq.fill(500)(("g1", "hot")) ++ Seq(("g0", "hot")) ++
+      items.map(v => ("g0", v))).toDF("g", "v")
+    val sk = CountMin.sketch(df, Seq(col("g")), col("v"), depth = 4, width = 64)
+    val truth = df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("n_true"))
+    val est = CountMin.estimate(sk, truth, col("v"), depth = 4, width = 64,
+        groupCols = Seq("g"))
+      .as[(String, String, Long, Long)].collect()
+    est.foreach { case (g, v, t, e) => assert(e >= t, s"($g,$v) est=$e true=$t") }
+    // and the hot value's g1 estimate reflects g1's mass, not g0's single copy
+    val hot = est.collect { case ("g1", "hot", t, e) => (t, e) }.head
+    assert(hot._1 === 500L && hot._2 >= 500L)
+  }
+
+  test("a grouped sketch without groupCols fails loud instead of undercounting") {
+    val df = Seq(("g0", "a"), ("g1", "a")).toDF("g", "v")
+    val sk = CountMin.sketch(df, Seq(col("g")), col("v"), depth = 2, width = 16)
+    val probes = Seq("a").toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      CountMin.estimate(sk, probes, col("v"), depth = 2, width = 16)
+    }
+    assert(e.getMessage.contains("groupCols"))
+  }
 }

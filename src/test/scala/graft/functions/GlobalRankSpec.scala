@@ -75,6 +75,27 @@ class GlobalRankSpec extends SparkTestBase {
     assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
       "sorted lineage must be persisted across the two rank passes")
     assert(ranked.count() === 5000L)
-    (sc.getPersistentRDDs.keySet -- before).foreach(id => sc.getPersistentRDDs(id).unpersist(false))
+    // deterministic cleanup: the registry drops exactly what was staged
+    assert(GlobalRank.releaseStaged() >= 1)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "releaseStaged must leave no staged sort cached")
+  }
+
+  test("releaseStaged leaves no cached RDDs after either two-pass method (census)") {
+    val sc = spark.sparkContext
+    GlobalRank.releaseStaged() // drain anything staged by earlier tests
+    val before = sc.getPersistentRDDs.keySet
+    val df = spark.range(0, 3000).repartition(4)
+      .select(col("id"), (col("id") % 11).as("k"), (col("id") % 5 + 1).cast("double").as("v"))
+    val a = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "rn")
+    val b = GlobalRank.withRankAndRunningSum(df, Seq(col("k"), col("id")), col("v"), "rn", "cum")
+    a.count(); b.count() // actions complete while staged caches are live
+    assert(GlobalRank.stagedCount >= 2)
+    assert(GlobalRank.releaseStaged() >= 2)
+    assert(GlobalRank.stagedCount === 0)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "no staged sort may remain cached after release")
+    // results stay usable after release (recompute path)
+    assert(a.count() === 3000L)
   }
 }
