@@ -65,11 +65,19 @@ object StreamingOee {
       // identity: the gap from each observation to the next belongs to
       // the CURRENT observation's status; gaps at/after the last change
       // point stay in the open segment (not yet accounted).
+      // cross-batch staleness is (ts, status)-keyed, mirroring the
+      // production fold's (ts, cnt) horizon and the Streaming
+      // Transitions/Availability folds: openStatus is always the
+      // status of the LAST ACCEPTED message, so a same-second arrival
+      // in a later batch with a smaller status sorts BEFORE it in the
+      // batch (ts, status) order — accepting it in arrival order would
+      // fold a 0-length segment flip the batch recompute never sees.
       batch.sortBy(m => (m.epochSeconds, m.status)).foreach { m =>
         if (st.openStatus == null) {
           st = st.copy(openStatus = m.status, openSince = m.epochSeconds,
             lastEs = m.epochSeconds)
-        } else if (m.epochSeconds >= st.lastEs) {
+        } else if (m.epochSeconds > st.lastEs ||
+            (m.epochSeconds == st.lastEs && m.status >= st.openStatus)) {
           if (m.status != st.openStatus) {
             // closing the open segment: everything from openSince to m
             // becomes closed time under the open status

@@ -123,6 +123,31 @@ class StreamingOeeSpec extends SparkTestBase {
     assert(streamed === batchAcc)
   }
 
+  test("cross-batch same-second status pair folds like the batch (ts, status) order") {
+    import StreamingOee._
+    // batch 1 delivers (0, UP); batch 2 late-delivers (0, DOWN), which
+    // sorts BEFORE the accepted (0, UP) in the batch (ts, status)
+    // order. Before the (ts, status)-keyed staleness rule the status
+    // fold accepted it in ARRIVAL order and flipped the open segment
+    // to DOWN — so the later DOWN at 90 closed nothing and the UP at
+    // 150 closed a phantom 150 s DOWN segment (down=150 instead of 60).
+    val st = new TestGroupState[OeeState]
+    foldOee("m", Iterator(OeeObs("m", 0L, "UP", 5L, "BAD")), st).toSeq
+    // stale to BOTH folds: status DOWN < open UP at the same second,
+    // cnt 3 < 5 at the same second for the production horizon
+    foldOee("m", Iterator(OeeObs("m", 0L, "DOWN", 3L, "GOOD")), st).toSeq
+    val out = foldOee("m", Iterator(
+      OeeObs("m", 90L, "DOWN", 7L, "BAD"), OeeObs("m", 150L, "UP", 8L, "BAD")), st).toSeq
+    assert(out.head._down === 60.0, "late same-second flip must not reopen as DOWN")
+    assert(out.head._tot === 150.0)
+    // and the accepted subsequence parity holds against the batch fold
+    val accepted = Seq(("m", 0L, "UP", 5L), ("m", 90L, "DOWN", 7L), ("m", 150L, "UP", 8L))
+    val batchAcc = Kpi.oeeMachineAccounting(telemetryDf(accepted))
+      .as[(String, Double, Double, Long, Long, Long)].collect().toSet
+    assert(out.map(o => (o.machineId, o._down, o._tot, o._prod, o._good, o._n)).toSet
+      === batchAcc)
+  }
+
   test("pure fold: tie transition closes a zero-length segment; rollover banks") {
     import StreamingOee._
     val st = new TestGroupState[OeeState]

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Bench-regression tripwire: run graft.Bench at a given SF dir and
 compare per-query wall times against a committed reference artifact
-(default BENCH_r08.json). Fails LOUD when a query regresses beyond the
+(default BENCH_r09.json). Fails LOUD when a query regresses beyond the
 tolerance, after normalizing for host-load drift with the bench's own
 noise-sentinel calibration when present.
 
@@ -11,7 +11,7 @@ regression shows up in the gate the same way TablesSchemaSpec catches
 schema drift, not in the judge's diff two rounds later.
 
 Usage:
-  python3 tools/bench_guard.py [sfDir] [--ref=BENCH_r08.json]
+  python3 tools/bench_guard.py [sfDir] [--ref=BENCH_r09.json]
       [--tolerance=2.5] [--from-json=path]   # compare an existing run
 """
 import json, re, subprocess, sys
@@ -20,7 +20,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 SF = next((a for a in sys.argv[1:] if not a.startswith("--")), "/root/testdata/sf0.1")
 REF = REPO / next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--ref=")),
-                  "BENCH_r08.json")
+                  "BENCH_r09.json")
 TOL = float(next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--tolerance=")),
                  "2.5"))
 FROM = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--from-json=")), None)
