@@ -1025,6 +1025,36 @@ object PipelineQueries {
         .select(col("node").as("vec_id"), col("rank_micro"))
     }),
 
+    // Dedup-first kNN composition: exact/near clones collapse to
+    // their d14 canonical BEFORE the pair generator, so a clone-skewed
+    // corpus (the sf1 10-way-clone regime) never piles identical
+    // vectors into one cell — the cell census, boundCells split, and
+    // pair join all run on the canonical subset. This is the
+    // composition SCALE.md's cap analysis argues for: the cap handles
+    // residual mode skew, dedup-first removes the clone mass that
+    // CREATED the skew. Generated oracle (d14 verdict + centroid
+    // literals).
+    "e12_knn_graph_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.5, maxShingleFreq = Some(ShingleFreqCap))
+      val canon = Dedup.canonicalRepresentatives(docs, "doc_id", pairs, "doc_a", "doc_b",
+          TextAnalysis.linearQualityScore(docs, "doc_id", "text"), "logit")
+        .filter(col("canonical")).select(col("doc_id").as("vec_id"))
+      val kept = Tables.embeddings(s, d).join(canon, Seq("vec_id"), "left_semi")
+      val assigned = Similarity.boundCells(
+        Similarity.assignCells(kept, ivfCentroids(s, d)), MaxCellPairSide)
+      val l = assigned.select(col("subcell"), col("vec_id").as("src"), col("embedding").as("_va"))
+      val r = assigned.select(col("subcell"), col("vec_id").as("dst"), col("embedding").as("_vb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      l.join(r, Seq("subcell")).filter(col("src") =!= col("dst"))
+        .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("dst"), col("cosine"), col("rank").cast("int").as("rank"))
+    }),
+
     // e3 with the cross-cell recall lever: near-boundary vectors also
     // probe their second-nearest cell (margin-based ghost rows), so
     // near-dup pairs straddling a cell boundary are no longer missed.
@@ -2188,6 +2218,7 @@ object PipelineQueries {
       "e6_knn_graph_xcell" -> knnGraphXcellOracleSql(centroids, XcellMargin, k = 3),
       "e7_cell_balanced_sample" -> cellBalancedSampleOracleSql(centroids),
       "e11_knn_pagerank" -> knnPagerankOracleSql(centroids, k = 3, iterations = 5),
+      "e12_knn_graph_canonical" -> knnGraphCanonicalOracleSql(centroids, k = 3),
       "t19_lm_perplexity" -> bigramLmOracleSql(lmTermNanos(spark, sfDir)),
       "t22_bpe_merges" -> bpeMergesOracleSql(bpeReference(spark, sfDir)._1),
       "t23_bpe_tokenize" -> bpeTokenizeOracleSql(bpeReference(spark, sfDir)._2))
@@ -2326,19 +2357,42 @@ object PipelineQueries {
        |         CAST(ceil(cn / $MaxCellPairSide.0) AS BIGINT) AS VARCHAR) AS subcell
        |  FROM assigned a JOIN cellsizes USING (cell))""".stripMargin
 
-  /** e4 generated oracle: cell-bounded pairs (n3's assignment CTEs +
-   * the boundCells sub-cell split), per-src rank via QUALIFY with the
-   * same (cosine DESC, dst ASC) tie-break as the Spark window. */
-  private def knnGraphOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int): String =
-    s"""WITH ${ivfCtesSql(centroids, nProbe = 1)},
-       |$boundedCteSql
-       |SELECT a.neighbor_id AS src, b.neighbor_id AS dst,
+  /** The kNN ranking body over the `bounded` CTE — shared by e4 and
+   * the dedup-first e12 variant. */
+  private def knnSelectSql(k: Int): String =
+    s"""SELECT a.neighbor_id AS src, b.neighbor_id AS dst,
        |  ${cosSql("a.embedding", "b.embedding")} AS cosine,
        |  CAST(row_number() OVER (PARTITION BY a.neighbor_id
        |    ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC, b.neighbor_id) AS INTEGER) AS rank
        |FROM bounded a JOIN bounded b
        |  ON a.subcell = b.subcell AND a.neighbor_id <> b.neighbor_id
        |QUALIFY rank <= $k""".stripMargin
+
+  /** e4 generated oracle: cell-bounded pairs (n3's assignment CTEs +
+   * the boundCells sub-cell split), per-src rank via QUALIFY with the
+   * same (cosine DESC, dst ASC) tie-break as the Spark window. */
+  private def knnGraphOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int): String =
+    s"""WITH ${ivfCtesSql(centroids, nProbe = 1)},
+       |$boundedCteSql
+       |${knnSelectSql(k)}""".stripMargin
+
+  /** e12 generated oracle: d14's canonical verdict (recursive-CTE
+   * clusters + quality argmax, embedded as a derived table) gates the
+   * vector set BEFORE cell assignment — so the cell-size census, the
+   * boundCells sub-split, and the pair join all see only canonical
+   * vectors, exactly like the Spark side. */
+  private def knnGraphCanonicalOracleSql(centroids: Seq[(Int, Seq[Float])],
+      k: Int): String =
+    s"""WITH canon AS MATERIALIZED (
+       |  SELECT doc_id AS vec_id FROM (
+       |${oracleSql("d14_canonical_docs")}
+       |  ) WHERE canonical),
+       |kept AS (
+       |  SELECT e.vec_id, e.embedding FROM embeddings e
+       |  SEMI JOIN canon c ON e.vec_id = c.vec_id),
+       |${ivfCtesSql(centroids, nProbe = 1, source = "kept")},
+       |$boundedCteSql
+       |${knnSelectSql(k)}""".stripMargin
 
   /** e11 generated oracle: the e4 kNN edges (nested WITH subquery)
    * feeding GraphRank's damped power iteration UNROLLED — one
@@ -2725,7 +2779,8 @@ object PipelineQueries {
 
   /** Centroid-literal CTEs shared by the n3/n6 generated oracles:
    * cell assignment of the corpus + nProbe probe cells per query. */
-  private def ivfCtesSql(centroids: Seq[(Int, Seq[Float])], nProbe: Int): String = {
+  private def ivfCtesSql(centroids: Seq[(Int, Seq[Float])], nProbe: Int,
+      source: String = "embeddings"): String = {
     def fmt(d: Double) = d.toString
     def vec(c: Seq[Float]) = c.map(x => fmt(x.toDouble)).mkString("[", ", ", "]")
     val rows = centroids.map { case (i, c) =>
@@ -2739,7 +2794,7 @@ object PipelineQueries {
        |      $rows) t),
        |assigned AS (
        |  SELECT e.vec_id AS neighbor_id, e.embedding, c.cell
-       |  FROM embeddings e CROSS JOIN centroids c
+       |  FROM $source e CROSS JOIN centroids c
        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY (c.cc - 2 * ${vc("e.embedding", "c.cv")}) ASC, c.cell ASC) = 1),
        |probes AS (

@@ -26,7 +26,7 @@ class EntrySmokeSpec extends SparkTestBase {
       "n8_ann_ivf_pq", "e2_kmeans_step", "e3_semdedup", "e4_knn_graph",
       "n10_ann_ivf_rpq", "e5_semdedup_xcell", "e6_knn_graph_xcell",
       "e7_cell_balanced_sample", "e8_ann_recall", "e9_cell_stats", "e10_probe_sweep",
-      "e11_knn_pagerank",
+      "e11_knn_pagerank", "e12_knn_graph_canonical",
       "t19_lm_perplexity", "t22_bpe_merges", "t23_bpe_tokenize"),
       s"unexpected rows-only queries: $rowsOnly")
     // and the dynamic set must cover exactly those — no query without
