@@ -902,6 +902,37 @@ object PipelineQueries {
           element_at(col("_sigs"), 1).as("first_sig"))
     }),
 
+    // M3: video near-dup END TO END through the multimodal stack —
+    // opaque payloads → pluggable frame decoder (the SQL-mirrorable
+    // ByteWindow codec through the same FrameDecoderLoader seam the
+    // GIF compositor uses) → per-frame EmbeddingModel forward pass
+    // (HashProjection stand-in, partition-amortized load) → the d5
+    // hyperplane-LSH embedding near-dup on frame vectors → frame
+    // pairs rolled up to cross-video verdicts. Every numeric step is
+    // either exact integer arithmetic or a fixed-order expression, so
+    // the whole chain hash-matches a DuckDB oracle — the multimodal
+    // column provably flows through the dedup stack.
+    "m3_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.syntheticMedia(s, Tables.documents(s, d), "doc_id", "text")
+      val frames = Multimodal.explodeFrames(media, maxFrames = 6,
+        Multimodal.ByteWindowFrameDecoderLoader(frameBytes = 64, stride = 48))
+      // composite vec_id = media_id·8 + frame_idx (frame_idx < 8)
+      val frameMedia = frames.map(f => Multimodal.MediaRow(
+        f.media_id * 8 + f.frame_idx, "frame/window", f.frame_png, 0, 0))
+      val emb = graft.functions.EmbeddingPipeline.asCorpus(
+        graft.functions.EmbeddingPipeline.embedMedia(frameMedia,
+          graft.functions.HashProjectionLoader(dimIn = 16, dimOut = 8, seed = 7)))
+      val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        dim = 8, threshold = 0.98, planes = 8)
+      pairs
+        .withColumn("video_a", (col("doc_a") / 8).cast("long"))
+        .withColumn("video_b", (col("doc_b") / 8).cast("long"))
+        .filter(col("video_a") =!= col("video_b"))
+        .groupBy(col("video_a"), col("video_b"))
+        .agg(count(lit(1)).as("n_frame_pairs"), max(col("cosine")).as("max_cosine"))
+    }),
+
     // Gopher-style repetition signals: duplicated-token / duplicated-
     // 5-gram fractions (map-only) + most-frequent-bigram share
     // (explode → two-level hash agg) — the quality rules that catch
@@ -1417,6 +1448,68 @@ object PipelineQueries {
         |  CAST(len(list_distinct(sigs)) AS INTEGER) AS n_distinct_frames,
         |  sigs[1] AS first_sig
         |FROM fr""".stripMargin,
+
+    // m3: the decode→embed→near-dup chain mirrored step for step —
+    // byte-window frame FINGERPRINTS (m2's hex arithmetic through the
+    // even-spaced sampler, then md5 of the window hex = the decoder's
+    // pHash stand-in), the 16-bucket high-nibble histogram of the
+    // digest bytes (DuckDB md5 output is lowercase hex: odd positions
+    // ARE the digest's high nibbles), the ±1 HashProjection weights
+    // frozen as literals (computed from the same md5 derivation the
+    // model uses), fixed-order normalization, then the d5
+    // hyperplane-LSH pair join rolled up per video pair.
+    "m3_video_neardup" -> {
+      val signs = (0 until 8).map(j => (0 until 16).map(i =>
+        graft.functions.HashProjectionModel.signOf(7L, j, i).toInt))
+      val sCols = (0 until 8).map { j =>
+        val terms = (0 until 16).map { i =>
+          val op = if (signs(j)(i) > 0) "+" else "-"
+          s"$op f[${i + 1}]::DOUBLE"
+        }.mkString(" ")
+        s"(0 $terms) AS s$j"
+      }.mkString(",\n    ")
+      val histExprs = "0123456789abcdef".map { c =>
+        s"CAST(CAST(len(list_filter(cs, c -> c = '$c')) AS DOUBLE) / 16 AS REAL)"
+      }.mkString("[", ",\n     ", "]")
+      val nrmExpr = (0 until 8).map(j => s"s$j * s$j").mkString(" + ")
+      val evList = (0 until 8).map(j =>
+        s"CAST(CASE WHEN nrm = 0 THEN 0 ELSE s$j / nrm END AS REAL)").mkString("[", ", ", "]")
+      s"""WITH h AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+         |  FROM documents),
+         |v AS (
+         |  SELECT doc_id, hx, greatest((nb - 64) // 48, 0) + 1 AS nwin FROM h
+         |  WHERE greatest((nb - 64) // 48, 0) + 1 > 1),
+         |fr0 AS (
+         |  SELECT doc_id,
+         |    unnest([{'fi': j, 'wx': substr(hx,
+         |        ((j * (nwin - 1)) // greatest(least(6, nwin) - 1, 1)) * 96 + 1, 128)}
+         |      for j in range(0, least(6, nwin))]) AS u
+         |  FROM v),
+         |fr AS (SELECT doc_id, u.fi AS frame_idx, md5(u.wx) AS fp FROM fr0),
+         |hn AS (
+         |  SELECT doc_id, frame_idx,
+         |    [substr(fp, 2 * k + 1, 1) for k in range(0, 16)] AS cs
+         |  FROM fr),
+         |ft AS (
+         |  SELECT doc_id, frame_idx,
+         |    $histExprs AS f
+         |  FROM hn),
+         |es AS (
+         |  SELECT doc_id, frame_idx,
+         |    $sCols
+         |  FROM ft),
+         |en AS (SELECT *, sqrt($nrmExpr) AS nrm FROM es),
+         |ev AS (
+         |  SELECT doc_id, frame_idx, $evList AS e
+         |  FROM en),
+         |sg AS (SELECT doc_id, frame_idx, e, ${sigSql("e", 8, 8)} AS sig FROM ev)
+         |SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+         |  count(*) AS n_frame_pairs, max(${cosSql("a.e", "b.e")}) AS max_cosine
+         |FROM sg a JOIN sg b ON a.sig = b.sig AND a.doc_id < b.doc_id
+         |WHERE ${cosSql("a.e", "b.e")} >= 0.98
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     "t37_dedup_savings" ->
       s"""WITH $toksCte,

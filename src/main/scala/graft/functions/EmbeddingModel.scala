@@ -72,17 +72,25 @@ trait EmbeddingModelLoader extends Serializable {
  * emits. No RNG state: the "weights" are md5-derived from
  * `(seed, j, i)`, identical on every executor with nothing broadcast.
  */
+object HashProjectionModel {
+  /** The ±1 projection weight for (seed, output dim j, input dim i) —
+   * exposed so an engine-portable oracle can freeze the identical
+   * weight matrix as SQL literals (the m3 generated-constant
+   * pattern). */
+  def signOf(seed: Long, j: Int, i: Int): Float = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"em:$seed:$j|$i".getBytes("UTF-8"))
+    if ((digest(0) & 1) == 0) 1f else -1f
+  }
+}
+
 final case class HashProjectionModel(dimIn: Int, dimOut: Int, seed: Long,
     maxBatch: Int = 64) extends EmbeddingModel {
   require(dimIn > 0 && dimOut > 0, s"dims must be positive: dimIn=$dimIn dimOut=$dimOut")
   require(maxBatch > 0, s"maxBatch must be positive, got $maxBatch")
   val name = s"hash-projection-$seed"
 
-  private def sign(j: Int, i: Int): Float = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"em:$seed:$j|$i".getBytes("UTF-8"))
-    if ((digest(0) & 1) == 0) 1f else -1f
-  }
+  private def sign(j: Int, i: Int): Float = HashProjectionModel.signOf(seed, j, i)
   // dimOut × dimIn — materialized once per load, the analogue of a
   // real runtime deserializing weights at session creation
   private val w: Array[Array[Float]] =

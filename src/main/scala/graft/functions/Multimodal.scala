@@ -420,6 +420,49 @@ object Multimodal {
     }
   }
 
+  /**
+   * A second codec behind the [[FrameDecoderLoader]] seam: every
+   * payload with more than one `frameBytes`-wide window at `stride`
+   * is treated as multi-frame "video", and each sampled frame is the
+   * 16-byte md5 FINGERPRINT of its evenly-spaced byte window — the
+   * pHash-shaped frame fingerprint real video near-dup pipelines
+   * extract, with exact-content sensitivity instead of perceptual
+   * (the sandbox-honest stand-in). Three jobs: it proves a codec swap
+   * touches no Spark plumbing, it gives downstream frame embeddings
+   * full-entropy inputs (raw text windows all share one byte-class
+   * histogram — every frame would be everyone's near-dup and the LSH
+   * buckets would never split), and — because window extraction and
+   * md5 are engine-portable — it keeps a decode→embed→near-dup
+   * pipeline ORACLE-ABLE end to end (the m3 query), which no raster
+   * codec can be. The digest is over the window's UPPERCASE HEX
+   * string (not raw bytes) so a SQL oracle mirrors it with plain
+   * string md5, the m2 precedent. Frame selection mirrors
+   * [[videoFrames]]'s spacing: indices j·(n−1)/(want−1). The digest
+   * instance is per-decoder state — the per-partition native-handle
+   * lifecycle, exercised for real.
+   */
+  final case class ByteWindowFrameDecoderLoader(frameBytes: Int, stride: Int)
+      extends FrameDecoderLoader {
+    require(frameBytes > 0 && stride > 0, s"need positive window/stride: $frameBytes/$stride")
+    def load(): FrameDecoder = new FrameDecoder {
+      val name = s"byte-window-$frameBytes-$stride"
+      private val md = java.security.MessageDigest.getInstance("MD5")
+      def frameCount(payload: Array[Byte]): Int =
+        math.max((payload.length - frameBytes) / stride, 0) + 1
+      def sampleFrames(payload: Array[Byte], maxFrames: Int): Seq[Array[Byte]] = {
+        val n = frameCount(payload)
+        val want = math.min(maxFrames, n)
+        (0 until want).map { j =>
+          val i = j * (n - 1) / math.max(1, want - 1)
+          val win = payload.slice(i * stride, math.min(i * stride + frameBytes, payload.length))
+          val hex = win.map(b => f"${b & 0xff}%02X").mkString
+          md.digest(hex.getBytes("UTF-8")) // digest() resets the instance
+        }
+      }
+      def close(): Unit = ()
+    }
+  }
+
   /** Distributed frame sampling: each video row explodes into up to
    * `maxFrames` evenly-spaced composited PNG frames; non-video rows
    * vanish. The decoder loads ONCE per non-empty partition through the

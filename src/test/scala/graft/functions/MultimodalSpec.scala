@@ -223,6 +223,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(new String(_, "UTF-8")) == Seq("0123", "4567", "89ab", "cdef"))
   }
 
+  test("ByteWindow decoder: video dispatch, even spacing, deterministic fingerprints") {
+    import spark.implicits._
+    val d = Multimodal.ByteWindowFrameDecoderLoader(frameBytes = 4, stride = 2).load()
+    // 12 bytes, window 4 @ stride 2 → 5 windows → video
+    val payload = "0123456789ab".getBytes("UTF-8")
+    assert(d.frameCount(payload) === 5)
+    assert(d.frameCount("abc".getBytes("UTF-8")) === 1) // single window: not video
+    // maxFrames 3 over 5 windows: j·(n−1)/(want−1) → windows 0, 2, 4
+    val frames = d.sampleFrames(payload, 3)
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString.getBytes("UTF-8"))
+    assert(frames.map(_.toSeq) === Seq("0123", "4567", "89ab").map(w => fp(w).toSeq))
+    // through the real plumbing: non-video rows vanish, frame_idx is 0-based
+    val media = Seq(
+      Multimodal.MediaRow(1L, "v", payload, 0, 0),
+      Multimodal.MediaRow(2L, "v", "abc".getBytes("UTF-8"), 0, 0)).toDS()
+    val out = Multimodal.explodeFrames(media, maxFrames = 3,
+        Multimodal.ByteWindowFrameDecoderLoader(4, 2))
+      .collect().map(f => (f.media_id, f.frame_idx)).toSeq
+    assert(out === Seq((1L, 0), (1L, 1), (1L, 2)))
+  }
+
   test("binary columns survive partition-parallel processing") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val media = Multimodal.syntheticMedia(spark, docs, "doc_id", "text").repartition(8)
