@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
  * vectors arriving on a stream are assigned to the FIXED fitted
  * centroids and appended to the cell-partitioned corpus table, so
  * probe-pruned serving sees them at the next micro-batch with no
- * refit and no rebuild. Centroids are refit offline when drift
- * warrants (the standard inverted-file discipline); between rebuilds
- * inserts land in their nearest existing cell.
+ * refit and no rebuild. Between rebuilds inserts land in their
+ * nearest existing cell; when drift makes that map stale the
+ * [[cellCensus]]-driven [[maybeReindex]] trigger re-clusters and
+ * swaps the whole index atomically (the standard inverted-file
+ * discipline, automated).
  *
  * Contract: the stream carries NEW vec_ids (an upstream exact-dedup
  * stage guarantees uniqueness — [[StreamingDedup]]). Re-ingesting an
@@ -135,6 +137,89 @@ object StreamingIvfIndex {
    * the live dir after the staging read would be dropped by the swap.
    * The checkpoint makes the stopped window lossless: on re-attach
    * the source replays from the last committed offset. */
+  /** Per-cell row counts of the serving corpus — the e9 census turned
+   * into an index-maintenance signal. O(nClusters) rows. */
+  def cellCensus(spark: SparkSession, path: String): DataFrame =
+    servingCorpus(spark, path).groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
+  /** Max/mean cell-size ratio (1.0 = perfectly balanced). Under
+   * distribution drift, inserts pile into the nearest EXISTING cells,
+   * so the ratio climbs — the signal that probe pruning is degrading
+   * (a probe that hits one overgrown cell scans a growing corpus
+   * fraction, while true neighbors sit behind unprobed boundaries).
+   * Driver-side collect is O(nClusters) — bounded, like every
+   * centroid read. */
+  def skewRatio(spark: SparkSession, path: String): Double = {
+    val counts = cellCensus(spark, path).select(col("n"))
+      .collect().map(_.getLong(0))
+    if (counts.isEmpty) 1.0
+    else counts.max.toDouble / (counts.sum.toDouble / counts.length)
+  }
+
+  /**
+   * Full re-cluster with an atomic index swap: refit centroids on the
+   * CURRENT serving corpus ([[Similarity.fitIvfCentroids]] — same
+   * fixed-seed fit as bootstrap), reassign every vector, stage the
+   * complete new index (centroids + corpus TOGETHER — a reader mixing
+   * old centroids with a new corpus would probe the wrong cells) under
+   * a hidden temp sibling with a `_SUCCESS` marker, then swap. Entry
+   * recovery mirrors [[compact]]: a marker-complete temp alongside a
+   * gutted live index is a mid-swap crash and is promoted; a
+   * marker-less temp is a mid-write leftover and is deleted.
+   *
+   * QUIESCE REQUIREMENT: same as [[compact]] — detach or drain the
+   * stream for the duration; the checkpoint replays the stopped
+   * window losslessly on re-attach.
+   */
+  def reindex(spark: SparkSession, path: String, nClusters: Int = 0): Unit = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val tmp = new Path(s"$path/.reindex_tmp")
+    val liveCentroids = new Path(s"$path/centroids")
+    val liveCorpus = new Path(s"$path/corpus")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    if (fs.exists(tmp)) {
+      val complete = fs.exists(new Path(tmp, "_SUCCESS"))
+      if (complete && (!fs.exists(liveCentroids) || !fs.exists(liveCorpus))) {
+        // mid-swap crash: the temp holds the only complete index
+        fs.delete(liveCentroids, true); fs.delete(liveCorpus, true)
+        if (!fs.rename(new Path(tmp, "centroids"), liveCentroids) ||
+            !fs.rename(new Path(tmp, "corpus"), liveCorpus))
+          throw new java.io.IOException(s"reindex recovery failed under $path")
+        fs.delete(tmp, true)
+        return
+      }
+      fs.delete(tmp, true) // mid-write leftover or stale stage
+    }
+
+    // materialize the corpus off the files the swap will delete
+    val corpus = servingCorpus(spark, path).localCheckpoint(true)
+    val centroids = Similarity.fitIvfCentroids(corpus, nClusters)
+    centroids.toDF("cell", "center")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/centroids")
+    Similarity.assignCells(corpus.select(col("vec_id"), col("embedding")), centroids)
+      .withColumn("batch_id", lit(PreHistoryBatchId))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$tmp/corpus")
+    val marker = new Path(tmp, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
+    fs.delete(liveCentroids, true)
+    fs.delete(liveCorpus, true)
+    if (!fs.rename(new Path(tmp, "centroids"), liveCentroids) ||
+        !fs.rename(new Path(tmp, "corpus"), liveCorpus))
+      throw new java.io.IOException(s"reindex swap failed under $path")
+    fs.delete(tmp, true)
+  }
+
+  /** The drift trigger: re-cluster iff [[skewRatio]] exceeds
+   * `skewThreshold`. Returns whether a reindex ran. */
+  def maybeReindex(spark: SparkSession, path: String, skewThreshold: Double,
+      nClusters: Int = 0): Boolean = {
+    val skew = skewRatio(spark, path)
+    if (skew > skewThreshold) { reindex(spark, path, nClusters); true }
+    else false
+  }
+
   def compact(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(s"$path/corpus")

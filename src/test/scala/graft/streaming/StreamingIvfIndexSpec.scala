@@ -122,4 +122,85 @@ class StreamingIvfIndexSpec extends SparkTestBase {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(served.as[(Long, Long, Double, Int)].collect().toSet == ref)
   }
+
+  // ---- drift maintenance -------------------------------------------------
+
+  /** Deterministic unit-ish vector: `axis` basis direction plus small
+   * id-keyed noise on the two seed axes. dim 8. */
+  private def modeVec(axis: Int, i: Long, spread: Double): Array[Float] = {
+    val v = new Array[Float](8)
+    v(axis) = 1f
+    v(0) = (v(0) + spread * ((i * 31 % 7) - 3) / 3.0).toFloat
+    v(1) = (v(1) + spread * ((i * 17 % 5) - 2) / 2.0).toFloat
+    v
+  }
+
+  private def modeDf(axis: Int, ids: Seq[Long], spread: Double) =
+    ids.map(i => (i, modeVec(axis, i, spread).toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+  /** recall@k of the probe-pruned index vs brute force over the same
+   * serving corpus. */
+  private def recallAt(path: String, queries: org.apache.spark.sql.DataFrame,
+      k: Int, nProbe: Int): Double = {
+    val corpus = StreamingIvfIndex.servingCorpus(spark, path)
+    val truth = Similarity.bruteForceTopK(corpus, queries, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = StreamingIvfIndex.topKIndexed(spark, path, queries, k, nProbe)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    (truth & got).size.toDouble / truth.size
+  }
+
+  test("drift census trigger: recall degrades under drift and recovers after reindex") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-drift").toString + "/ix"
+    // seed regime: two well-separated modes on axes 0 and 1
+    val seed = modeDf(0, 0L until 60L, 0.05)
+      .unionByName(modeDf(1, 60L until 120L, 0.05))
+    StreamingIvfIndex.bootstrap(seed, path, nClusters = 4)
+
+    // drift: a NEW mode between the seed axes (axis 2 + both seed
+    // axes' noise) — inserts scatter across the old cell boundary
+    val drift = modeDf(2, 1000L until 1120L, 0.4)
+    drift.collect() // materialize deterministically
+    StreamingIvfIndex.processBatch(drift.filter(col("vec_id") < 1060),
+      Similarity.loadIvfCentroids(spark, path), path, batchId = 0L)
+    StreamingIvfIndex.processBatch(drift.filter(col("vec_id") >= 1060),
+      Similarity.loadIvfCentroids(spark, path), path, batchId = 1L)
+
+    val queries = modeDf(2, 1000L until 1010L, 0.4)
+    val skewBefore = StreamingIvfIndex.skewRatio(spark, path)
+    val recallBefore = recallAt(path, queries, k = 5, nProbe = 1)
+
+    // the census sees the pile-up; the trigger re-clusters
+    assert(skewBefore > 1.5, s"drift must skew the census, got $skewBefore")
+    assert(StreamingIvfIndex.maybeReindex(spark, path, skewThreshold = 1.5, nClusters = 4))
+
+    val skewAfter = StreamingIvfIndex.skewRatio(spark, path)
+    val recallAfter = recallAt(path, queries, k = 5, nProbe = 1)
+    assert(skewAfter < skewBefore, s"reindex must rebalance: $skewBefore -> $skewAfter")
+    assert(recallAfter > recallBefore,
+      s"reindex must recover probe recall: $recallBefore -> $recallAfter")
+    assert(recallAfter >= 0.9, s"post-reindex recall@5 nProbe=1 weak: $recallAfter")
+    // below threshold now: the trigger is quiescent
+    assert(!StreamingIvfIndex.maybeReindex(spark, path, skewThreshold = skewAfter + 0.1))
+  }
+
+  test("a mid-swap reindex crash recovers the complete staged index") {
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("ivf-rcrash").toString + "/ix"
+    StreamingIvfIndex.bootstrap(modeDf(0, 0L until 40L, 0.05), path, nClusters = 2)
+    StreamingIvfIndex.reindex(spark, path, nClusters = 2)
+    val served = StreamingIvfIndex.servingCorpus(spark, path)
+      .as[(Long, Seq[Float], Int)].collect().toSet
+    // simulate the crash window: staged temp complete, live dirs gone
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$path/.reindex_tmp"))
+    assert(fs.rename(new Path(s"$path/centroids"), new Path(s"$path/.reindex_tmp/centroids")))
+    assert(fs.rename(new Path(s"$path/corpus"), new Path(s"$path/.reindex_tmp/corpus")))
+    fs.create(new Path(s"$path/.reindex_tmp/_SUCCESS"), true).close()
+    StreamingIvfIndex.reindex(spark, path, nClusters = 2) // entry recovery path
+    assert(StreamingIvfIndex.servingCorpus(spark, path)
+      .as[(Long, Seq[Float], Int)].collect().toSet === served)
+    assert(!fs.exists(new Path(s"$path/.reindex_tmp")))
+  }
 }
