@@ -73,6 +73,24 @@ class BpeSpec extends SparkTestBase {
     assert(segs(vMem) === segs(vDist))
   }
 
+  test("gate corpus: the DISTRIBUTED fold matches the independent reference (t22 fit)") {
+    // At every gate SF the production dispatch takes the in-memory
+    // path, which shares its formulation with the oracle's reference
+    // refit — so this pins the distributed fold itself against the
+    // independent implementation ON THE GATE CORPUS (not a toy), the
+    // genuinely-second-implementation check the t22/t23 oracle run
+    // would otherwise lose to the dispatch.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val wordCounts = Bpe.wordVocab(docs, "text").select("word", "wc")
+      .as[(String, Long)].collect().toMap
+    val (expMerges, expSegs) = referenceBpe(wordCounts, nMerges = 12)
+    val (got, fitted) = Bpe.fit(docs, "text", nMerges = 12, inMemoryVocabThreshold = 0L)
+    assert(got.map(m => (m.left, m.right, m.n)) === expMerges)
+    val gotSegs = fitted.select("word", "syms").as[(String, Seq[String])]
+      .collect().map { case (w, s) => w -> s.toVector }.toMap
+    assert(gotSegs === expSegs)
+  }
+
   test("fit is partitioning-invariant and stops when no pairs remain") {
     val df = corpus.toDF("doc_id", "text")
     val a = Bpe.fit(df.repartition(1), "text", 6)._1
