@@ -296,10 +296,25 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     // must be pruned to top-k BEFORE the full window sort, or the
     // cell-bounded pair space (N×cap) pays candidates×log(candidates)
     // per src at 100× scale
-    for (q <- Seq("e4_knn_graph", "e6_knn_graph_xcell")) {
+    for (q <- Seq("e4_knn_graph", "e6_knn_graph_xcell", "e12_knn_graph_canonical")) {
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"), s"$q: ${p.take(1200)}")
     }
+  }
+
+  test("dedup-first kNN keeps every join keyed; the canonical gate is a semi-join (E12)") {
+    val p = plan("e12_knn_graph_canonical")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(1000))
+    // the canonical filter reaches the embeddings side as a LeftSemi,
+    // so non-canonical vectors never enter cell assignment or the
+    // pair join
+    assert(p.contains("LeftSemi"), p.take(1200))
+  }
+
+  test("video near-dup candidates are signature-equi, never all-pairs (M3)") {
+    val p = plan("m3_video_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(1000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1000))
   }
 
   test("quantile sketch reads its fact scan ONCE for all quantiles (X20)") {
