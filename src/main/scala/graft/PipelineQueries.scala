@@ -481,6 +481,32 @@ object PipelineQueries {
         .select(col("tok"), col("n_true"), col("est"))
     }),
 
+    // Heavy hitters WITHOUT a full-key shuffle: per-partition
+    // Misra-Gries candidates (fixed memory, superset guarantee) +
+    // exact recount of the candidate set. Output is bit-identical to
+    // the naive GROUP BY HAVING — the approximation machinery is
+    // invisible — so the oracle checks it with plain SQL. At scale
+    // only candidate keys ever shuffle, never the distinct vocab.
+    "t38_heavy_hitters" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      graft.functions.HeavyHitters.aboveFraction(toks, col("term"), phi = 1.0 / 256)
+        .select(col("v").as("term"), col("n"))
+    }),
+
+    // Weight-proportional exactly-k sample (priority sampling,
+    // Duffield-Lund-Thorup): priority = w / u with u an md5-derived
+    // uniform; top-k by priority; est_weight = max(w, tau) is the
+    // unbiased Horvitz-Thompson estimate. Division is the ONLY float
+    // op (IEEE-correctly-rounded, unlike A-ES's pow/ln), so both
+    // engines compute bit-identical priorities.
+    "t39_priority_sample" -> ((s, d) => {
+      Curation.prioritySample(Tables.documents(s, d),
+        col("doc_id"), col("n_chars"), k = 50)
+        .select(col("key").as("doc_id"), col("weight"), col("priority"),
+          col("est_weight"))
+    }),
+
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
     // deterministically AUGMENTED with synthetic PII derived from
     // doc_id (same construction in the oracle) so the redaction is
@@ -1583,6 +1609,30 @@ object PipelineQueries {
          |JOIN sk s ON s.d = dd.d
          |  AND s.bucket = ${md5Hash32Sql("CAST(dd.d AS VARCHAR) || ':' || t.tok")} % 16
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // t38: the naive exact formulation IS the contract — the MG
+    // candidate pass must be invisible in the output
+    "t38_heavy_hitters" ->
+      s"""WITH $toksCte,
+         |tk AS (SELECT unnest(t) AS term FROM toks),
+         |tot AS (SELECT count(*) AS tn FROM tk)
+         |SELECT term, count(*) AS n FROM tk GROUP BY 1
+         |HAVING count(*) >= (SELECT CAST(ceil(tn / 256.0) AS BIGINT) FROM tot)""".stripMargin,
+
+    // t39: same md5-uniform, same single division, same (priority
+    // DESC, key) order — raw IEEE doubles compared exactly
+    "t39_priority_sample" -> {
+      val h = md5Hash32Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH pr AS (
+         |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         |    CAST(n_chars AS DOUBLE) / (($h + 1) / 4294967296.0) AS priority
+         |  FROM documents),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM pr),
+         |tv AS (SELECT CASE WHEN (SELECT count(*) FROM pr) > 50
+         |         THEN (SELECT priority FROM rk WHERE rn = 51) ELSE 0.0 END AS tau)
+         |SELECT doc_id, weight, priority, greatest(weight, tau) AS est_weight
+         |FROM rk, tv WHERE rn <= 50""".stripMargin
     },
 
     "t34_source_overlap" ->

@@ -186,4 +186,47 @@ object Curation {
       round(col("n_tokens") / col("_tot"), 6).as("token_share"),
       round((col("_tot") / col("_s")) / col("n_tokens"), 6).as("mix_weight"))
   }
+
+  /**
+   * Weight-proportional sample of exactly k items — priority
+   * sampling (Duffield, Lund & Thorup 2007): each item gets priority
+   * q = w/u for a uniform u ∈ (0,1]; the k highest priorities are the
+   * sample, and τ = the (k+1)-th priority yields the unbiased
+   * Horvitz–Thompson weight estimate max(w, τ) per kept item (subset
+   * sums estimated over the sample are unbiased for the population).
+   * The curation move for "give me a budget-sized sample where big
+   * documents are proportionally represented" — uniform sampling
+   * starves heavy docs, top-by-weight is deterministic bias.
+   *
+   * Engine-portable determinism, as everywhere in graft: u is the
+   * md5-derived 32-bit hash of the key mapped to (0,1] as
+   * (h+1)/2³², and q = w/u involves ONLY an IEEE-correctly-rounded
+   * division — identical in any engine, unlike the log/pow the
+   * exponential-key A-ES formulation would need. Ties break by key.
+   *
+   * Scale shape: the top-(k+1) is a TakeOrderedAndProject (per-
+   * partition heaps + one k-sized merge — no global sort, no
+   * single-partition window); τ comes back via a 1-row broadcast.
+   * Output: (key, weight, priority, est_weight), the k kept items.
+   */
+  def prioritySample(docs: DataFrame, keyCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val prio = docs.select(keyCol.as("key"), weightCol.cast("double").as("weight"))
+      .withColumn("_u",
+        (Dedup.md5Hash32(col("key").cast("string")) + lit(1L)) / lit(4294967296.0))
+      .withColumn("priority", col("weight") / col("_u"))
+    val top = prio.orderBy(col("priority").desc, col("key")).limit(k + 1)
+      .localCheckpoint(true) // one pass feeds both τ and the sample
+    // τ = the (k+1)-th priority; 0 when the population has ≤ k items
+    // (then every item is kept and est = its true weight). Every value
+    // here is an IEEE double both engines computed identically, so the
+    // output carries them raw — no rounding step to drift.
+    val tauVal = top.agg(count(lit(1)).as("_n"), min(col("priority")).as("_min"))
+      .select(when(col("_n") > k, col("_min")).otherwise(lit(0.0)).as("_tau"))
+    top.orderBy(col("priority").desc, col("key")).limit(k)
+      .crossJoin(broadcast(tauVal))
+      .select(col("key"), col("weight"), col("priority"),
+        greatest(col("weight"), col("_tau")).as("est_weight"))
+  }
 }

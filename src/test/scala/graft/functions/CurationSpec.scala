@@ -149,4 +149,29 @@ class CurationSpec extends SparkTestBase {
     assert(out === Seq(
       ("s1", "s2", 1L), ("s1", "s3", 2L), ("s2", "s3", 1L)))
   }
+
+  test("priority sample: exactly k, partitioning-invariant, HT threshold semantics") {
+    val docs = (0L until 500L).map(i => (i, (i * 37 % 900) + 10)).toDF("doc_id", "w")
+    val a = Curation.prioritySample(docs.repartition(1), col("doc_id"), col("w"), k = 40)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    val b = Curation.prioritySample(docs.repartition(9), col("doc_id"), col("w"), k = 40)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a === b, "sample must not depend on partitioning")
+    assert(a.size === 40)
+    // HT semantics: est = max(w, τ) ≥ w, strictly positive
+    a.foreach { case (_, w, _, est) => assert(est >= w && est > 0) }
+    // weight-proportional inclusion sanity: the sampled mean weight
+    // exceeds the population mean (heavy docs are favored)
+    val popMean = (0L until 500L).map(i => (i * 37 % 900) + 10).sum.toDouble / 500
+    val sampMean = a.map(_._2).sum / a.size
+    assert(sampMean > popMean, s"sample mean $sampMean vs population $popMean")
+  }
+
+  test("priority sample: population <= k keeps everything with est = true weight") {
+    val docs = (0L until 7L).map(i => (i, i + 1)).toDF("doc_id", "w")
+    val out = Curation.prioritySample(docs, col("doc_id"), col("w"), k = 50)
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.size === 7)
+    out.foreach { case (_, w, _, est) => assert(est === w, "tau must be 0 under-population") }
+  }
 }
