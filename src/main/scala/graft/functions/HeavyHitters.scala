@@ -51,10 +51,15 @@ object HeavyHitters {
     val m = math.max(1, math.ceil(slack / phi).toInt)
     val values = df.select(valueCol.cast("string").as("v")).filter(col("v").isNotNull)
 
-    // pass 1: per-partition Misra-Gries — fixed m counters per task
-    val candidates = values.as[String].mapPartitions { it =>
+    // pass 1: per-partition Misra-Gries — fixed m counters per task.
+    // The partition's row count rides along (np ≥ 0 rows; candidates
+    // carry np = -1), so the global n needs NO extra scan of the
+    // data: two data passes total, candidates and verify.
+    val summaries = values.as[String].mapPartitions { it =>
       val counters = new java.util.HashMap[String, java.lang.Long](m * 2)
+      var np = 0L
       it.foreach { v =>
+        np += 1L
         val cur = counters.get(v)
         if (cur != null) counters.put(v, cur + 1L)
         else if (counters.size < m) counters.put(v, java.lang.Long.valueOf(1L))
@@ -68,11 +73,16 @@ object HeavyHitters {
         }
       }
       import scala.jdk.CollectionConverters._
-      counters.keySet().asScala.iterator
-    }.toDF("v").distinct()
+      counters.keySet().asScala.iterator.map(k => (k, -1L)) ++ Iterator(("", np))
+    }.toDF("v", "np").localCheckpoint(true) // tiny: ≤ (m+1)·partitions rows
+
+    val n = summaries.filter(col("np") >= 0L).agg(sum(col("np"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val candidates = summaries.filter(col("np") === -1L).select(col("v")).distinct()
 
     // pass 2: exact recount of candidates only, then the exact gate
-    val n = values.count()
     val threshold = math.ceil(phi * n).toLong
     values.join(broadcast(candidates), Seq("v"), "left_semi")
       .groupBy(col("v"))
