@@ -317,6 +317,23 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1000))
   }
 
+  test("heavy-hitter verify pass is a broadcast semi-join on candidates (T38)") {
+    val p = plan("t38_heavy_hitters")
+    // the exact recount must touch only candidate keys: a broadcast
+    // LeftSemi against the bounded candidate set, never a shuffle of
+    // the full token stream's distinct keys into a plain join
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("priority sample takes top-k without a global sort or Window (T39)") {
+    val p = plan("t39_priority_sample")
+    // TakeOrderedAndProject = per-partition heaps + one k-sized merge
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("quantile sketch reads its fact scan ONCE for all quantiles (X20)") {
     val p = plan("x20_outage_quantile_sketch")
     // the q-list is exploded onto the tiny bin rows — a per-q union of
