@@ -86,7 +86,7 @@ object SketchCompaction {
     }
   }
 
-  private def writeBase(bins: DataFrame, hwm: Long, path: String)(
+  private[streaming] def writeBase(bins: DataFrame, hwm: Long, path: String)(
       implicit spark: SparkSession): Unit = {
     val live = basePath(path)
     val tmp = new Path(live.toString + ".tmp")
