@@ -940,15 +940,38 @@ object PipelineQueries {
     // column provably flows through the dedup stack.
     "m3_video_neardup" -> ((s, d) => {
       import s.implicits._
+      // FAN OUT before the compute-heavy stages: the documents table
+      // is one small parquet file → ONE input partition, and the
+      // decode → frame → model-forward chain is mapPartitions-only
+      // (no Exchange anywhere until the pair join, which broadcasts),
+      // so without this every stage — including the O(n²) bucket
+      // pair evaluation — ran in a single task. One cheap shuffle of
+      // the raw payloads buys full-cluster parallelism for the whole
+      // pipeline; at 100 TB the input splits provide this for free
+      // and the repartition collapses to a no-op cost-wise.
       val media = Multimodal.syntheticMedia(s, Tables.documents(s, d), "doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism)
       val frames = Multimodal.explodeFrames(media, maxFrames = 6,
         Multimodal.ByteWindowFrameDecoderLoader(frameBytes = 64, stride = 48))
       // composite vec_id = media_id·8 + frame_idx (frame_idx < 8)
       val frameMedia = frames.map(f => Multimodal.MediaRow(
         f.media_id * 8 + f.frame_idx, "frame/window", f.frame_png, 0, 0))
+      // PERSIST + force the embedded frame corpus BEFORE the LSH
+      // self-join: embeddingNearDupPairs projects its input into both
+      // join sides, and without a materialized boundary the whole
+      // decode → frame-map → model-forward lineage (four Dataset
+      // ser/de hops + the per-frame forward pass, the dominant cost
+      // of this pipeline) executes once PER SIDE — semDedupMedia's
+      // persist discipline (EmbeddingModel.scala), applied here. The
+      // eager count materializes the cache so the expensive lineage
+      // runs exactly once; both join sides then read InMemoryTableScan
+      // (plan-asserted in PlanSpec). Verify/Bench clearCache() drops
+      // the blocks per query.
       val emb = graft.functions.EmbeddingPipeline.asCorpus(
         graft.functions.EmbeddingPipeline.embedMedia(frameMedia,
           graft.functions.HashProjectionLoader(dimIn = 16, dimOut = 8, seed = 7)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
       val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
         dim = 8, threshold = 0.98, planes = 8)
       pairs

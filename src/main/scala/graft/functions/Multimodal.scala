@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  /** Uppercase-hex nibble table (byte→hex without a Formatter). */
+  private val HexUpper: Array[Char] = "0123456789ABCDEF".toCharArray
+
   /** One media item: opaque payload + typed metadata. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int)
@@ -347,23 +350,56 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Container-magic sniff for the formats the JDK ships raster
+   * readers for (PNG / GIF / JPEG / BMP / TIFF). A miss means no
+   * installed reader will decode the payload, so [[decodeBytes]] can
+   * skip the ImageIO stream + service-registry attempt entirely —
+   * that attempt (stream creation, reader scan, exception unwind)
+   * dominated the decode stage when most payloads are opaque binary
+   * (measured ~4 s of the m3 pipeline at sf0.1, all spent failing to
+   * decode 16-byte fingerprints three ways). */
+  private def sniffImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      ((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) ||
+      (p(0) == 'B' && p(1) == 'M') ||
+      (p(0) == 'I' && p(1) == 'I' && p(2) == 42 && p(3) == 0) ||
+      (p(0) == 'M' && p(1) == 'M' && p(2) == 0 && p(3) == 42))
+
+  /** Audio-container magic (WAV / AIFF / AU — what
+   * `javax.sound.sampled` parses natively). */
+  private def sniffAudio(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F') ||
+      (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||
+      (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
+
   /** Total per-item decoder chain: video (multi-frame), then image,
    * then audio, then the byte histogram (all padded to the same
    * 16-element shape so the feature column stays fixed-width).
    * Video is probed first because a multi-frame GIF also decodes as
-   * an image (frame 0) — the more specific modality wins.
+   * an image (frame 0) — the more specific modality wins. A cheap
+   * magic-byte sniff gates the codec attempts: payloads with no
+   * recognized container signature go straight to the byte-histogram
+   * fallback without paying ImageIO / AudioSystem service-registry
+   * scans (what any production decode stage does first).
    * Returns (modality, features). */
   def decodeBytes(payload: Array[Byte]): (String, Array[Double]) =
-    decodeVideo(payload) match {
-      case Some(f) => ("video", f.padTo(16, 0.0))
-      case None => decodeImage(payload) match {
-        case Some(f) => ("image", f.padTo(16, 0.0))
-        case None => decodeAudio(payload) match {
-          case Some(f) => ("audio", f.padTo(16, 0.0))
+    if (sniffImage(payload))
+      decodeVideo(payload) match {
+        case Some(f) => ("video", f.padTo(16, 0.0))
+        case None => decodeImage(payload) match {
+          case Some(f) => ("image", f.padTo(16, 0.0))
           case None => ("binary", byteHistogram(payload))
         }
       }
-    }
+    else if (sniffAudio(payload))
+      decodeAudio(payload) match {
+        case Some(f) => ("audio", f.padTo(16, 0.0))
+        case None => ("binary", byteHistogram(payload))
+      }
+    else ("binary", byteHistogram(payload))
 
   /** Batch decode: per-partition iteration (decoder init once per
    * partition), typed in/out — additional codecs drop in here. */
@@ -455,7 +491,17 @@ object Multimodal {
         (0 until want).map { j =>
           val i = j * (n - 1) / math.max(1, want - 1)
           val win = payload.slice(i * stride, math.min(i * stride + frameBytes, payload.length))
-          val hex = win.map(b => f"${b & 0xff}%02X").mkString
+          // table-lookup hex: the per-byte Formatter allocation was the
+          // hot spot of the decode stage (one java.util.Formatter per
+          // byte per frame); same UPPERCASE output the oracle mirrors
+          val sb = new java.lang.StringBuilder(win.length * 2)
+          var w = 0
+          while (w < win.length) {
+            val b = win(w) & 0xff
+            sb.append(HexUpper(b >>> 4)).append(HexUpper(b & 0xf))
+            w += 1
+          }
+          val hex = sb.toString
           md.digest(hex.getBytes("UTF-8")) // digest() resets the instance
         }
       }

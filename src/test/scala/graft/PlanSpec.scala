@@ -315,6 +315,14 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     val p = plan("m3_video_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(1000))
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(1000))
+    // the decode+model-forward lineage must execute ONCE: the embedded
+    // frame corpus is eagerly persisted before the LSH self-join, so
+    // BOTH join sides read the in-memory cache instead of re-running
+    // the mapPartitions chain (round-10's 2× bug)
+    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 2, s"expected both self-join sides to read the cached corpus; " +
+      s"saw $scans InMemoryTableScan nodes:\n${p.take(1500)}")
+    spark.catalog.clearCache()
   }
 
   test("heavy-hitter verify pass is a broadcast semi-join on candidates (T38)") {
