@@ -32,16 +32,30 @@ object GlobalRank {
   // that drive many queries (Verify/Bench, specs) call
   // [[releaseStaged]] after each action — the same staged-cache
   // ownership discipline DedupSpec enforces for Dedup's operators.
-  private val staged =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
+  //
+  // Entries are WEAK references: a library caller unaware of the
+  // release contract must not have its caches pinned unboundedly by
+  // this registry — once the result DataFrame (and with it the sorted
+  // RDD) becomes unreachable, ContextCleaner can unpersist and GC it
+  // exactly as if the registry did not exist; releaseStaged() then
+  // skips the cleared entry. The registry only adds an eager-release
+  // path for still-reachable lineages, it never extends a lifetime.
+  private val staged = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
 
   /** Unpersist every staged sorted lineage registered since the last
-   * release; returns how many were dropped. Safe while results are
-   * still referenced — a re-action just recomputes the sort. */
+   * release; returns how many were dropped (entries already reclaimed
+   * by GC + ContextCleaner are drained but not counted). Safe while
+   * results are still referenced — a re-action just recomputes the
+   * sort. */
   def releaseStaged(): Int = {
     var n = 0
     var r = staged.poll()
-    while (r != null) { r.unpersist(blocking = false); n += 1; r = staged.poll() }
+    while (r != null) {
+      val rdd = r.get()
+      if (rdd != null) { rdd.unpersist(blocking = false); n += 1 }
+      r = staged.poll()
+    }
     n
   }
 
@@ -58,7 +72,7 @@ object GlobalRank {
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
     val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    staged.add(rdd)
+    staged.add(new java.lang.ref.WeakReference(rdd))
     val ranked = rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
     sorted.sparkSession.createDataFrame(ranked, schema)
   }
@@ -84,7 +98,7 @@ object GlobalRank {
     val spark = df.sparkSession
     val sorted = df.withColumn("_rs_val", valueCol.cast("double")).orderBy(sortCols: _*)
     val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    staged.add(rdd)
+    staged.add(new java.lang.ref.WeakReference(rdd))
     val valIdx = sorted.schema.fieldIndex("_rs_val")
     val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
       var n = 0L; var s = 0.0

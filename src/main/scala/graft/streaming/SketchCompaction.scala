@@ -144,6 +144,17 @@ object SketchCompaction {
    * copies above the mark collapsed by fact identity, those at or
    * below it excluded entirely). Identical output with or without a
    * base, so every read-side consumer is oblivious to compaction.
+   *
+   * READ QUIESCE REQUIREMENT: the returned plan is LAZY and pinned to
+   * the fact-file listing and base taken at construction. A [[compact]]
+   * that runs between this call and the caller's action deletes the
+   * listed fact files — the action then fails with
+   * FileNotFoundException — or, if the caller captured the base just
+   * before the swap, silently unions the OLD base with post-deletion
+   * facts and misses the just-folded batches. Either act on the result
+   * before any concurrent fold (the appender itself is safe — only
+   * [[compact]] deletes), or take [[countersSnapshot]], which is
+   * materialized and immune to a subsequent fold.
    */
   def counters(path: String, groupCols: Seq[String], keyCols: Seq[String])(
       implicit spark: SparkSession): DataFrame = {
@@ -165,4 +176,14 @@ object SketchCompaction {
     }
     unioned.groupBy((groupCols ++ keyCols).map(col): _*).agg(sum(col("n")).as("n"))
   }
+
+  /** [[counters]] eagerly materialized (localCheckpoint) so the result
+   * is decoupled from the fact files a concurrent [[compact]] may
+   * delete — the fold-while-serving read path. Costs one extra
+   * materialization of the collapsed counters (O(sketch size), small
+   * by construction); long-lived servers should prefer this over the
+   * lazy plan whenever a background fold can run. */
+  def countersSnapshot(path: String, groupCols: Seq[String], keyCols: Seq[String])(
+      implicit spark: SparkSession): DataFrame =
+    counters(path, groupCols, keyCols).localCheckpoint(eager = true)
 }

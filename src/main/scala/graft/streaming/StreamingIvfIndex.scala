@@ -163,9 +163,13 @@ object StreamingIvfIndex {
    * complete new index (centroids + corpus TOGETHER — a reader mixing
    * old centroids with a new corpus would probe the wrong cells) under
    * a hidden temp sibling with a `_SUCCESS` marker, then swap. Entry
-   * recovery mirrors [[compact]]: a marker-complete temp alongside a
-   * gutted live index is a mid-swap crash and is promoted; a
-   * marker-less temp is a mid-write leftover and is deleted.
+   * recovery mirrors [[compact]] but is PER COMPONENT: a
+   * marker-complete temp alongside a gutted live index is a mid-swap
+   * crash — each component still staged under the temp is promoted,
+   * while a component already renamed live (its temp counterpart gone)
+   * is kept; a marker-less temp is a mid-write leftover and is
+   * deleted. After recovery the call proceeds to the requested refit —
+   * finishing the previous swap does not re-cluster the corpus.
    *
    * QUIESCE REQUIREMENT: same as [[compact]] — detach or drain the
    * stream for the duration; the checkpoint replays the stopped
@@ -182,15 +186,33 @@ object StreamingIvfIndex {
     if (fs.exists(tmp)) {
       val complete = fs.exists(new Path(tmp, "_SUCCESS"))
       if (complete && (!fs.exists(liveCentroids) || !fs.exists(liveCorpus))) {
-        // mid-swap crash: the temp holds the only complete index
-        fs.delete(liveCentroids, true); fs.delete(liveCorpus, true)
-        if (!fs.rename(new Path(tmp, "centroids"), liveCentroids) ||
-            !fs.rename(new Path(tmp, "corpus"), liveCorpus))
-          throw new java.io.IOException(s"reindex recovery failed under $path")
+        // Mid-swap crash: promote PER COMPONENT. The swap deletes both
+        // live dirs before renaming either, so a crash can leave a
+        // component already renamed into place (its tmp counterpart
+        // gone) while the other is still staged. A live dir whose tmp
+        // counterpart is missing was already promoted and MUST be kept
+        // — deleting it unconditionally would destroy the only
+        // remaining copy and then fail the rename of the absent tmp
+        // counterpart, wedging the index with that component nowhere.
+        def promote(sub: String, live: Path): Unit = {
+          val staged = new Path(tmp, sub)
+          if (fs.exists(staged)) {
+            fs.delete(live, true)
+            if (!fs.rename(staged, live))
+              throw new java.io.IOException(
+                s"reindex recovery failed for $sub under $path")
+          }
+        }
+        promote("centroids", liveCentroids)
+        promote("corpus", liveCorpus)
         fs.delete(tmp, true)
-        return
+        // FALL THROUGH to the refit: the promotion only completes the
+        // PREVIOUS reindex's swap — the caller asked for a fresh
+        // re-cluster of the current corpus (the skew that triggered
+        // this call is unaddressed by the recovery alone).
+      } else {
+        fs.delete(tmp, true) // mid-write leftover or stale stage
       }
-      fs.delete(tmp, true) // mid-write leftover or stale stage
     }
 
     // materialize the corpus off the files the swap will delete
@@ -203,6 +225,14 @@ object StreamingIvfIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$tmp/corpus")
     val marker = new Path(tmp, "_SUCCESS")
     if (!fs.exists(marker)) fs.create(marker, true).close()
+    // Swap ordering invariant (the recovery above depends on it):
+    // delete BOTH live dirs before renaming either. Then at every
+    // crash point at least one live dir is missing while the marker
+    // exists — so the recovery trigger fires — and each component is
+    // either still staged under tmp (promote) or already live (keep).
+    // Interleaving delete/rename per component would instead allow a
+    // crash state with both live dirs present but mixed generations,
+    // which the trigger cannot distinguish from a clean index.
     fs.delete(liveCentroids, true)
     fs.delete(liveCorpus, true)
     if (!fs.rename(new Path(tmp, "centroids"), liveCentroids) ||

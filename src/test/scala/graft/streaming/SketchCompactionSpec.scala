@@ -106,6 +106,24 @@ class SketchCompactionSpec extends SparkTestBase {
     assert(readAt(dir) === before)
   }
 
+  test("countersSnapshot survives a fold that deletes the files the lazy plan pinned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-snap").toString + "/store"
+    rows.grouped(1000).zipWithIndex.foreach { case (b, i) => appendBatch(dir, b.toSeq, i.toLong) }
+    val truth = readAt(dir)
+    // lazy plan: pinned to the CURRENT fact-file listing (no base yet)
+    val lazyPlan = SketchCompaction.counters(dir, Seq("g"), Seq("bin"))
+    // eager snapshot: materialized, decoupled from the files
+    val snap = SketchCompaction.countersSnapshot(dir, Seq("g"), Seq("bin"))
+    // a concurrent fold deletes every fact file the lazy plan listed
+    StreamingLogHistogram.compact(dir, Seq("g"))
+    assert(partFiles(dir).isEmpty, "fold must have deleted the pinned files")
+    assert(snap.as[(String, Long, Long)].collect().toSet === truth,
+      "the snapshot must serve bit-equal counters after the fold")
+    // the lazy plan is now a read of deleted files — the documented
+    // read-quiesce hazard the snapshot exists to avoid
+    intercept[Exception] { lazyPlan.collect() }
+  }
+
   test("CountMin face: compaction-aware sketch still estimates one-sided per group") {
     val items = (1 to 40).flatMap(k => Seq.fill(400 / k)((s"g${k % 2}", s"item$k")))
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-cm").toString + "/store"

@@ -190,8 +190,11 @@ class StreamingIvfIndexSpec extends SparkTestBase {
     val path = java.nio.file.Files.createTempDirectory("ivf-rcrash").toString + "/ix"
     StreamingIvfIndex.bootstrap(modeDf(0, 0L until 40L, 0.05), path, nClusters = 2)
     StreamingIvfIndex.reindex(spark, path, nClusters = 2)
+    // compare (vec_id, embedding) only: recovery falls through to a
+    // refit, and a refit may relabel cells (label order is sensitive
+    // to the recovered corpus' file layout) without losing any vector
     val served = StreamingIvfIndex.servingCorpus(spark, path)
-      .as[(Long, Seq[Float], Int)].collect().toSet
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSet
     // simulate the crash window: staged temp complete, live dirs gone
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(s"$path/.reindex_tmp"))
@@ -200,7 +203,63 @@ class StreamingIvfIndexSpec extends SparkTestBase {
     fs.create(new Path(s"$path/.reindex_tmp/_SUCCESS"), true).close()
     StreamingIvfIndex.reindex(spark, path, nClusters = 2) // entry recovery path
     assert(StreamingIvfIndex.servingCorpus(spark, path)
-      .as[(Long, Seq[Float], Int)].collect().toSet === served)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSet === served)
     assert(!fs.exists(new Path(s"$path/.reindex_tmp")))
+  }
+
+  test("a crash between the two swap renames recovers per component, then refits") {
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("ivf-rcrash2").toString + "/ix"
+    StreamingIvfIndex.bootstrap(modeDf(0, 0L until 40L, 0.05), path, nClusters = 2)
+    val servedVecs = StreamingIvfIndex.servingCorpus(spark, path)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSet
+    // Simulate a crash AFTER the centroids rename but BEFORE the
+    // corpus rename: live centroids are the ONLY centroids copy (their
+    // tmp counterpart is gone), live corpus is deleted, the tmp holds
+    // the staged corpus + marker. An unconditional delete-and-rename
+    // recovery would destroy the centroids, fail the rename of the
+    // absent tmp counterpart, and wedge every subsequent reindex.
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$path/.reindex_tmp"))
+    assert(fs.rename(new Path(s"$path/corpus"), new Path(s"$path/.reindex_tmp/corpus")))
+    fs.create(new Path(s"$path/.reindex_tmp/_SUCCESS"), true).close()
+    StreamingIvfIndex.reindex(spark, path, nClusters = 2) // recover + refit
+    assert(fs.exists(new Path(s"$path/centroids")),
+      "recovery must KEEP the already-promoted centroids")
+    assert(StreamingIvfIndex.servingCorpus(spark, path)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSet === servedVecs,
+      "no vector may be lost across the per-component recovery + refit")
+    assert(!fs.exists(new Path(s"$path/.reindex_tmp")))
+    // not wedged: the next reindex runs cleanly end to end
+    StreamingIvfIndex.reindex(spark, path, nClusters = 2)
+    assert(StreamingIvfIndex.servingCorpus(spark, path).count() === servedVecs.size.toLong)
+  }
+
+  test("recovery falls through to the requested re-cluster (skew is addressed)") {
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("ivf-rfall").toString + "/ix"
+    // skewed regime: two modes bootstrapped with k=4 leaves empty/lop-
+    // sided cells; a refit with k=4 on the SAME corpus rebalances
+    val seed = modeDf(0, 0L until 60L, 0.05)
+      .unionByName(modeDf(1, 60L until 120L, 0.05))
+    StreamingIvfIndex.bootstrap(seed, path, nClusters = 4)
+    val drift = modeDf(2, 1000L until 1120L, 0.4)
+    StreamingIvfIndex.processBatch(drift,
+      Similarity.loadIvfCentroids(spark, path), path, batchId = 0L)
+    val skewBefore = StreamingIvfIndex.skewRatio(spark, path)
+    assert(skewBefore > 1.5, s"setup must be skewed, got $skewBefore")
+    // plant a completed-but-unswapped stage (mid-swap crash state)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$path/.reindex_tmp"))
+    assert(fs.rename(new Path(s"$path/corpus"), new Path(s"$path/.reindex_tmp/corpus")))
+    assert(fs.rename(new Path(s"$path/centroids"), new Path(s"$path/.reindex_tmp/centroids")))
+    fs.create(new Path(s"$path/.reindex_tmp/_SUCCESS"), true).close()
+    // ONE call must both finish the crashed swap AND perform the
+    // requested re-cluster (reindex directly: the skew probe reads the
+    // live corpus, which mid-crash is still staged under the temp)
+    StreamingIvfIndex.reindex(spark, path, nClusters = 4)
+    val skewAfter = StreamingIvfIndex.skewRatio(spark, path)
+    assert(skewAfter < skewBefore,
+      s"recovery alone must not count as the reindex: $skewBefore -> $skewAfter")
   }
 }
