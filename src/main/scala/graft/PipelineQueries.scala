@@ -1135,6 +1135,24 @@ object PipelineQueries {
         .select(col("src"), col("dst"), col("cosine"), col("rank").cast("int").as("rank"))
     }),
 
+    // E13: the FULL KMeans fit as a first-class operator —
+    // Similarity.kmeansFit's Lloyd loop (hash-spread deterministic
+    // seed → per round a map-only double-literal argmin assignment +
+    // one exact micro-integer mean aggregation, empty cells carrying
+    // their previous centroid) run to a fixed 3 iterations with k=8.
+    // The GENERATED oracle replays the identical rounds as unrolled
+    // CTEs derived from the corpus ALONE — no centroid literals
+    // anywhere, so a drifted Spark loop cannot hash-match. This is
+    // the production step that mints the coarse quantizer every IVF
+    // index / cell-bounded dedup in the library consumes.
+    "e13_kmeans_fit" -> ((s, d) => {
+      import s.implicits._
+      Similarity.kmeansFit(Tables.embeddings(s, d), k = 8, iterations = 3)
+        .flatMap { case (cell, v) =>
+          v.zipWithIndex.map { case (x, pos) => (cell, pos, x) }
+        }.toDF("cell", "pos", "centroid")
+    }),
+
     // e3 with the cross-cell recall lever: near-boundary vectors also
     // probe their second-nearest cell (margin-based ghost rows), so
     // near-dup pairs straddling a cell boundary are no longer missed.
@@ -1306,6 +1324,7 @@ object PipelineQueries {
   private val T = s"WITH telemetry AS (\n${Tables.telemetrySql}\n)\n"
 
   def oracleSql: Map[String, String] = Map(
+    "e13_kmeans_fit" -> kmeansFitOracleSql(k = 8, iterations = 3),
     "t1_text_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id,
@@ -2559,6 +2578,56 @@ object PipelineQueries {
        |${ivfCtesSql(centroids, nProbe = 1, source = "kept")},
        |$boundedCteSql
        |${knnSelectSql(k)}""".stripMargin
+
+  /** e13 generated oracle: Similarity.kmeansFit's Lloyd loop UNROLLED
+   * — the hash-spread seed (k smallest md5Hash32(vec_id), cells
+   * numbered in that order) derived IN SQL from the corpus, then per
+   * iteration an argmin-assignment CTE (the same `cc − 2·v·c`
+   * sequential double arithmetic as assignCellsD, ties to the lower
+   * cell) and an exact micro-integer mean-update CTE (e2's
+   * arithmetic), empty cells carrying the previous centroid via LEFT
+   * JOIN + COALESCE. Unlike the centroid-literal family (n3/e2/...),
+   * NOTHING here is a literal: the oracle recomputes every iteration
+   * from the table alone, so the check covers seed, assignment, and
+   * update of every round. */
+  private def kmeansFitOracleSql(k: Int, iterations: Int): String = {
+    val h = md5Hash32Sql("CAST(vec_id AS VARCHAR)")
+    def vc(v: String, cvec: String) =
+      s"list_sum(list_transform(list_zip($v, $cvec), p -> p[1]::DOUBLE * p[2]))"
+    val rounds = (1 to iterations).map { i =>
+      s"""a$i AS (
+         |  SELECT e.vec_id, e.embedding, c.cell
+         |  FROM embeddings e CROSS JOIN cen${i - 1} c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (c.cc - 2 * ${vc("e.embedding", "c.cv")}) ASC, c.cell ASC) = 1),
+         |u$i AS (
+         |  SELECT cell, CAST(u.pos AS INTEGER) AS pos,
+         |    round((sum(u.micro)::DOUBLE / count(*)) / 1e6, 6) AS v
+         |  FROM (SELECT cell, unnest(list_transform(embedding, (x, j) ->
+         |          {'pos': j - 1, 'micro': CAST(floor(x::DOUBLE * 1e6 + 0.5) AS BIGINT)})) AS u
+         |        FROM a$i)
+         |  GROUP BY 1, 2),
+         |cen$i AS (
+         |  SELECT p.cell, COALESCE(n.cv, p.cv) AS cv,
+         |    list_sum(list_transform(COALESCE(n.cv, p.cv), x -> x * x)) AS cc
+         |  FROM cen${i - 1} p
+         |  LEFT JOIN (SELECT cell, list(v ORDER BY pos ASC) AS cv FROM u$i GROUP BY 1) n
+         |    ON n.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seed AS (
+       |  SELECT row_number() OVER (ORDER BY $h ASC, vec_id ASC) - 1 AS cell,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY $h ASC, vec_id ASC) <= $k),
+       |cen0 AS (
+       |  SELECT cell, cv, list_sum(list_transform(cv, x -> x * x)) AS cc FROM seed),
+       |$rounds
+       |SELECT CAST(cell AS INTEGER) AS cell, CAST(u.pos AS INTEGER) AS pos,
+       |  u.v AS centroid
+       |FROM (SELECT cell, unnest(list_transform(cv, (x, j) ->
+       |        {'pos': j - 1, 'v': x})) AS u
+       |      FROM cen$iterations)""".stripMargin
+  }
 
   /** e11 generated oracle: the e4 kNN edges (nested WITH subquery)
    * feeding GraphRank's damped power iteration UNROLLED — one

@@ -252,6 +252,98 @@ object Similarity {
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }.toSeq
   }
 
+  /** Σ x² over a DOUBLE vector — same sequential fold as [[sqSum]],
+   * for [[kmeansFit]]'s double-precision iterated centroids. */
+  def sqSumD(c: Seq[Double]): Double = c.foldLeft(0.0)((a, x) => a + x * x)
+
+  /**
+   * Deterministic hash-spread KMeans seeding: the k corpus vectors
+   * with the smallest md5-derived 32-bit hash of their id (ties on
+   * id), numbered 0..k-1 in that order. Pseudo-random coverage of the
+   * corpus without any RNG state — an external oracle reproduces the
+   * identical seed from the table alone, and at 100 TB the seed scan
+   * is one TakeOrdered over a map-only hash projection (no shuffle of
+   * the vectors themselves).
+   */
+  def kmeansSeed(corpus: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
+    val seeded = corpus
+      .select(col("vec_id"), col("embedding"),
+        Dedup.md5Hash32(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id"))
+      .limit(k)
+      .collect() // k rows — fixed-K centroid collect, bounded
+    require(seeded.length == k, s"corpus has fewer than $k vectors")
+    seeded.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Float](1).map(_.toDouble).toSeq)
+    }.toSeq
+  }
+
+  /**
+   * Full Lloyd KMeans fit as a first-class, oracle-reproducible
+   * operator — the production step that turns a raw embedding corpus
+   * into the coarse quantizer every IVF index and cell-bounded dedup
+   * in this library consumes ([[fitIvfCentroids]]'s Spark-ML fit is
+   * the convenience path; THIS fit is the one an external system can
+   * replay bit-exactly, the e2-single-step composed to a fixed
+   * iteration count the way GraphRank composes its power iteration).
+   *
+   * Per iteration (the standard distributed KMeans shape — Spark ML's
+   * own loop is the same): a map-only argmin assignment against the
+   * current centroids embedded as DOUBLE literals (score
+   * `cc − 2·v·c`, ties to the lower cell — [[assignCells]]'s exact
+   * contract), then ONE hash aggregation computing each cell's mean
+   * per dimension in exact integer micro-units
+   * (`floor(v·1e6 + 0.5)` longs, so partial-aggregate order can't
+   * move a ulp), collected to the driver as the next round's
+   * centroids — k·dim values, bounded by [[adaptiveCellCount]]'s
+   * k ≤ 1024 cap. New centroid = `round(Σmicro/n/1e6, 6)` double —
+   * the identical expression DuckDB evaluates, so every iteration's
+   * centroids (and therefore every assignment) replay bit-equal in
+   * the generated unrolled-iteration oracle. A cell that captures no
+   * vectors keeps its previous centroid.
+   *
+   * Scale: per round, one broadcast of k·dim doubles (as literals),
+   * one map-only scan, one k·dim-row shuffle — no vector ever
+   * shuffles. 100 TB cost = iterations × one pass over the corpus,
+   * the floor for any exact Lloyd fit.
+   */
+  def kmeansFit(corpus: DataFrame, k: Int, iterations: Int,
+      init: Option[Seq[(Int, Seq[Double])]] = None): Seq[(Int, Seq[Double])] = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    var cen = init.getOrElse(kmeansSeed(corpus, k))
+    require(cen.size == k, s"init must have $k centroids, got ${cen.size}")
+    for (_ <- 1 to iterations) {
+      val updated = assignCellsD(corpus, cen)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("_micro", floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("_micro")).as("_sum"))
+        .select(col("cell"), col("pos"),
+          round(col("_sum").cast("double") / col("n") / 1e6, 6).as("v"))
+        .collect() // ≤ k·dim rows (fixed-K centroid collect)
+      val byCell: Map[Int, Seq[Double]] = updated
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cen = cen.map { case (i, old) => (i, byCell.getOrElse(i, old)) }
+    }
+    cen
+  }
+
+  /** [[assignCells]] against DOUBLE-precision centroids (the
+   * [[kmeansFit]] loop's iterated values — a float cast would corrupt
+   * the `round(x, 6)` doubles the oracle replays). Same map-only
+   * literal-argmin plan, same tie-to-lower-cell contract. */
+  def assignCellsD(corpus: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val assignScore = centroids.map { case (i, c) =>
+      struct((lit(sqSumD(c)) - lit(2.0) * dot(col("embedding"), typedLit(c))).as("d"),
+        lit(i).as("cell"))
+    }
+    corpus.select(col("vec_id"), col("embedding"),
+      least(assignScore: _*).getField("cell").as("cell"))
+  }
+
   /**
    * IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
    * corpus vector to a cell; each query probes only the `nProbe`
@@ -402,12 +494,25 @@ object Similarity {
    *    via partition pruning, the disk analogue of an inverted file.
    * Rebuild when the corpus drifts (centroids are deterministic for a
    * given corpus+seed, so rebuilds are reproducible).
+   *
+   * `lloydIterations = Some(n)` self-fits the quantizer with the
+   * oracle-reproducible [[kmeansFit]] loop instead of Spark-ML KMeans
+   * — the path for an index whose build must be replayable bit-exactly
+   * (e.g. cross-engine validation of a rebuilt index). Serving
+   * arithmetic is float either way; the fit choice only changes where
+   * the cell boundaries land.
    */
   def buildIvfIndex(corpus: DataFrame, path: String, nClusters: Int = 0,
-      metaCols: Seq[String] = Nil): Unit = {
+      metaCols: Seq[String] = Nil, lloydIterations: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = fitIvfCentroids(corpus, nClusters)
+    val centroids = lloydIterations match {
+      case Some(iters) =>
+        val k = if (nClusters > 0) nClusters else adaptiveCellCount(corpus.count())
+        kmeansFit(corpus, k, iters)
+          .map { case (i, c) => (i, c.map(_.toFloat)) }
+      case None => fitIvfCentroids(corpus, nClusters)
+    }
     centroids.toDF("cell", "center")
       .write.mode("overwrite").parquet(s"$path/centroids")
     // metadata columns ride along into the cell-partitioned corpus so

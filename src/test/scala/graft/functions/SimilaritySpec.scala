@@ -451,4 +451,78 @@ class SimilaritySpec extends SparkTestBase {
       assert(sorted.map(_._3).toSeq.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     }
   }
+
+  // two well-separated 8-dim modes + ids — kmeansFit fixtures
+  private def twoModeCorpus: org.apache.spark.sql.DataFrame =
+    (0L until 60L).map { i =>
+      val base = if (i < 30) 0f else 10f
+      (i, Seq.tabulate(8)(d => base + 0.01f * ((i * 7 + d * 3) % 11)))
+    }.toDF("vec_id", "embedding")
+
+  test("kmeansFit: deterministic, recovers well-separated modes, cost non-increasing") {
+    val corpus = twoModeCorpus
+    val fit1 = Similarity.kmeansFit(corpus, k = 2, iterations = 3)
+    val fit2 = Similarity.kmeansFit(corpus, k = 2, iterations = 3)
+    assert(fit1 == fit2, "identical corpus+k+iterations must refit identical centroids")
+
+    // after 3 rounds the two centroids must sit in distinct modes
+    val means = fit1.map { case (_, c) => c.sum / c.size }.sorted
+    assert(means.head < 2.0 && means.last > 8.0,
+      s"centroids must separate the two modes, got means $means")
+
+    // Lloyd invariant: total squared distance to the assigned centroid
+    // never increases with more iterations
+    def cost(cen: Seq[(Int, Seq[Double])]): Double = {
+      val byCell = cen.toMap
+      corpus.as[(Long, Seq[Float])].collect().map { case (_, v) =>
+        cen.map { case (i, c) =>
+          v.zip(byCell(i)).map { case (x, y) => (x - y) * (x - y) }.sum
+        }.min
+      }.sum
+    }
+    val seedOnly = Similarity.kmeansFit(corpus, k = 2, iterations = 0)
+    assert(seedOnly == Similarity.kmeansSeed(corpus, 2),
+      "zero iterations must return the seed unchanged")
+    val costs = Seq(seedOnly, Similarity.kmeansFit(corpus, 2, 1), fit1).map(cost)
+    assert(costs.sliding(2).forall(p => p(1) <= p(0) + 1e-9),
+      s"Lloyd cost must be non-increasing: $costs")
+  }
+
+  test("kmeansFit: an empty cell keeps its previous centroid") {
+    val corpus = twoModeCorpus
+    // plant an init centroid far from every vector: it can capture
+    // nothing and must survive every round unchanged
+    val outlier = Seq.fill(8)(-1000.0)
+    val init = Seq(0 -> Seq.fill(8)(0.0), 1 -> Seq.fill(8)(10.0), 2 -> outlier)
+    val fit = Similarity.kmeansFit(corpus, k = 3, iterations = 2, init = Some(init))
+    assert(fit.toMap.apply(2) == outlier,
+      "a cell that captures no vectors must carry its centroid forward")
+    // and the live cells still updated
+    assert(fit.toMap.apply(0) != init.toMap.apply(0))
+  }
+
+  test("assignCellsD: argmin with ties to the lower cell, double-literal arithmetic") {
+    val corpus = Seq((0L, Seq(1f, 1f)), (1L, Seq(5f, 5f))).toDF("vec_id", "embedding")
+    // two identical centroids: tie must go to cell 0
+    val cen = Seq(0 -> Seq(1.0, 1.0), 1 -> Seq(1.0, 1.0), 2 -> Seq(5.0, 5.0))
+    val got = Similarity.assignCellsD(corpus, cen)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 2))
+  }
+
+  test("buildIvfIndex self-fit: lloydIterations serves the same contract as the ML fit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-selffit").toString
+    val corpus = twoModeCorpus
+    Similarity.buildIvfIndex(corpus, dir, nClusters = 2, lloydIterations = Some(3))
+    val centroids = Similarity.loadIvfCentroids(spark, dir)
+    assert(centroids.size == 2)
+    // the self-fit centroids are kmeansFit's, float-cast for serving
+    val fitF = Similarity.kmeansFit(corpus, 2, 3)
+      .map { case (i, c) => (i, c.map(_.toFloat)) }
+    assert(centroids.sortBy(_._1) == fitF.sortBy(_._1))
+    // serving path works end to end on the self-fit index
+    val got = Similarity.ivfTopKIndexed(spark, dir, corpus.filter(col("vec_id") === 0L),
+      k = 3, nProbe = 1)
+    assert(got.count() == 3)
+  }
 }
