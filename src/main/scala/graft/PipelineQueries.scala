@@ -982,6 +982,22 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_frame_pairs"), max(col("cosine")).as("max_cosine"))
     }),
 
+    // M4: REAL codec decode correctness as a hash-checked oracle row.
+    // The corpus is synthesized IN ENGINE as real containers (ImageIO
+    // PNG + animated GIF, javax.sound WAV) whose pixel/sample content
+    // follows closed-form per-id formulas; codecDigest then decodes
+    // with the REAL codecs and reduces to integer-exact digests
+    // (pixel sums / sample sums — order-free exact longs). The oracle
+    // replays the formulas arithmetically, so a broken encoder OR
+    // decoder hash-mismatches — the decode path's correctness no
+    // longer rests on specs alone. Map-only end to end (encode and
+    // decode both ride the id scan; no shuffle).
+    "m4_decode_meta" -> ((s, d) => {
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 0)
+      Multimodal.codecDigest(Multimodal.syntheticCodecCorpus(s, ids)).toDF()
+    }),
+
     // Gopher-style repetition signals: duplicated-token / duplicated-
     // 5-gram fractions (map-only) + most-frequent-bigram share
     // (explode → two-level hash agg) — the quality rules that catch
@@ -1325,6 +1341,36 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "e13_kmeans_fit" -> kmeansFitOracleSql(k = 8, iterations = 3),
+    // m4: the closed-form pixel/sample formulas of
+    // Multimodal.syntheticCodecCorpus replayed arithmetically — the
+    // engine side round-trips them through REAL PNG/WAV/GIF encode +
+    // decode, so digest equality proves the codec path end to end.
+    "m4_decode_meta" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 0)
+        |SELECT id AS media_id, 'image' AS modality,
+        |  CAST(4 + id % 5 AS INTEGER) AS dim_a,
+        |  CAST(3 + id % 4 AS INTEGER) AS dim_b,
+        |  CAST(1 AS INTEGER) AS n_frames,
+        |  CAST(3 * list_sum(list_transform(range((4 + id % 5) * (3 + id % 4)),
+        |    p -> (id*31 + (p % (4 + id % 5))*7 + (p // (4 + id % 5))*13) % 256)) AS BIGINT) AS pix_sum
+        |FROM ids WHERE id % 3 = 0
+        |UNION ALL
+        |SELECT id, 'audio',
+        |  CAST(8000 AS INTEGER),
+        |  CAST(list_max(list_transform(range(50 + id % 32),
+        |    i -> abs(((id*31 + i*7) % 65536) - 32768))) AS INTEGER),
+        |  CAST(50 + id % 32 AS INTEGER),
+        |  CAST(list_sum(list_transform(range(50 + id % 32),
+        |    i -> ((id*31 + i*7) % 65536) - 32768)) AS BIGINT)
+        |FROM ids WHERE id % 3 = 1
+        |UNION ALL
+        |SELECT id, 'video',
+        |  CAST(3 + id % 4 AS INTEGER),
+        |  CAST(2 + id % 3 AS INTEGER),
+        |  CAST(2 + id % 3 AS INTEGER),
+        |  CAST(list_sum(list_transform(range(2 + id % 3),
+        |    f -> 3 * ((id*37 + f*41) % 256) * (3 + id % 4) * (2 + id % 3))) AS BIGINT)
+        |FROM ids WHERE id % 3 = 2""".stripMargin,
     "t1_text_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id,

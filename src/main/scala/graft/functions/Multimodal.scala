@@ -562,4 +562,207 @@ object Multimodal {
       (length(col(textCol)) % 48 + 1).cast("int").as("height"))
       .as[MediaRow]
   }
+
+  // ---- real-codec synthetic corpus + integer-exact decode digests ----
+  //
+  // The oracle problem for multimodal DECODE correctness: an external
+  // SQL engine cannot read PNG/WAV/GIF, so a decode query is only
+  // hash-checkable if the payloads are synthesized from closed-form
+  // per-id formulas the oracle can replay arithmetically. These
+  // generators write REAL containers (ImageIO PNG + GIF sequence
+  // writer, javax.sound WAV) whose pixel/sample content is that
+  // closed form; [[codecDigest]] then decodes them with the REAL
+  // codecs and reduces to integer-exact digests (pixel sums, sample
+  // sums — order-free exact longs, no floating point to drift). A
+  // broken encoder OR decoder breaks the digest — the decode path is
+  // verified end to end, not just the container metadata.
+
+  /** Integer-exact decode digest of one media payload. Meaning by
+   * modality: image (dim_a, dim_b) = (width, height), n_frames 1,
+   * pix_sum = Σ(r+g+b) over pixels; audio (dim_a, dim_b) =
+   * (sampleRate, peak |sample|), n_frames = #samples, pix_sum =
+   * Σ samples; video (dim_a, dim_b) = (width, height), n_frames =
+   * frame count, pix_sum = Σ(r+g+b) over every pixel of every
+   * composited frame. */
+  final case class CodecDigest(media_id: Long, modality: String,
+      dim_a: Int, dim_b: Int, n_frames: Int, pix_sum: Long)
+
+  // closed-form corpus parameters — mirrored verbatim by the m4 oracle
+  private def pngW(id: Long): Int = (4 + id % 5).toInt
+  private def pngH(id: Long): Int = (3 + id % 4).toInt
+  private def pngGray(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+  private def wavN(id: Long): Int = (50 + id % 32).toInt
+  private def wavSample(id: Long, i: Int): Int =
+    (((id * 31 + i * 7) % 65536) - 32768).toInt
+  private def gifW(id: Long): Int = (3 + id % 4).toInt
+  private def gifH(id: Long): Int = (2 + id % 3).toInt
+  private def gifFrames(id: Long): Int = (2 + id % 3).toInt
+  private def gifGray(id: Long, f: Int): Int = ((id * 37 + f * 41) % 256).toInt
+
+  private def encodePng(id: Long): Array[Byte] = {
+    val w = pngW(id); val h = pngH(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = pngGray(id, x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def encodeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = wavN(id)
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n) bb.putShort(i * 2, wavSample(id, i).toShort)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private def encodeGif(id: Long): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    val w = gifW(id); val h = gifH(id); val nf = gifFrames(id)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until nf) {
+      val g = gifGray(id, f)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      val md = writer.getDefaultImageMetadata(
+        ImageTypeSpecifier.createFromBufferedImageType(
+          java.awt.image.BufferedImage.TYPE_INT_RGB), writer.getDefaultWriteParam)
+      val fmtName = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmtName).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      tree.appendChild(gce)
+      md.setFromTree(fmtName, tree)
+      writer.writeToSequence(new IIOImage(img, null, md), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  /**
+   * Deterministic REAL-container corpus: one payload per input id —
+   * id % 3 picks PNG (gray gradient `(id·31 + x·7 + y·13) mod 256`),
+   * 16-bit mono WAV at 8 kHz (samples `(id·31 + i·7) mod 65536 −
+   * 32768`), or animated GIF (solid frames `(id·37 + f·41) mod 256`).
+   * Encoding runs distributed (typed map over the id set); the
+   * formulas are the contract the m4 oracle replays.
+   */
+  def syntheticCodecCorpus(spark: SparkSession, ids: DataFrame,
+      idCol: String = "doc_id"): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      (id % 3) match {
+        case 0 => MediaRow(id, "image/png", encodePng(id), pngW(id), pngH(id))
+        case 1 => MediaRow(id, "audio/wav", encodeWav(id), 0, 0)
+        case _ => MediaRow(id, "video/gif", encodeGif(id), gifW(id), gifH(id))
+      }
+    }
+  }
+
+  /**
+   * Decode every payload with the REAL codec its magic bytes select
+   * (ImageIO for PNG and animated GIF — frames composited exactly as
+   * [[videoFrames]] serves them — javax.sound for WAV) and reduce to
+   * the integer-exact [[CodecDigest]]. Map-only (one typed map, no
+   * shuffle); unknown containers degrade to a ("binary", byte-length)
+   * row instead of failing the batch — the per-record error-isolation
+   * contract the parser family follows.
+   */
+  def codecDigest(media: Dataset[MediaRow]): Dataset[CodecDigest] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val p = m.payload
+      def is(sig: String) = p.length >= sig.length &&
+        sig.zipWithIndex.forall { case (c, i) => (p(i) & 0xff) == c.toInt }
+      if (is("GIF8")) gifDigestOf(m.media_id, p)
+      else if (p.length >= 8 && (p(0) & 0xff) == 0x89 &&
+          p(1) == 'P' && p(2) == 'N' && p(3) == 'G') imageDigestOf(m.media_id, p)
+      else if (is("RIFF")) audioDigestOf(m.media_id, p)
+      else CodecDigest(m.media_id, "binary", 0, 0, 0, p.length.toLong)
+    }
+  }
+
+  private def imageDigestOf(id: Long, p: Array[Byte]): CodecDigest = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    val w = img.getWidth; val h = img.getHeight
+    var s = 0L; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    CodecDigest(id, "image", w, h, 1, s)
+  }
+
+  private def audioDigestOf(id: Long, p: Array[Byte]): CodecDigest = {
+    import javax.sound.sampled.AudioSystem
+    val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(p))
+    try {
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = bytes.length / 2
+      var sum = 0L; var peak = 0; var i = 0
+      while (i < n) {
+        val v = bb.getShort(i * 2).toInt
+        sum += v; peak = math.max(peak, math.abs(v))
+        i += 1
+      }
+      CodecDigest(id, "audio", fmt.getSampleRate.toInt, peak, n, sum)
+    } finally in.close()
+  }
+
+  private def gifDigestOf(id: Long, p: Array[Byte]): CodecDigest = {
+    val n = videoFrameCount(p)
+    val frames = videoFrames(p, n)
+    var w = 0; var h = 0; var s = 0L
+    frames.foreach { png =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      w = img.getWidth; h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    CodecDigest(id, "video", w, h, frames.length, s)
+  }
 }

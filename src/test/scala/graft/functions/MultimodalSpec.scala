@@ -251,4 +251,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decode(media).rdd.getNumPartitions == 8)
     assert(Multimodal.decode(media).count() == docs.count())
   }
+
+  test("codecDigest: real encode+decode round-trips match the closed-form formulas") {
+    import spark.implicits._
+    val ids = (0L until 21L).toDF("doc_id")
+    val digests = Multimodal.codecDigest(Multimodal.syntheticCodecCorpus(spark, ids))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(digests.size == 21)
+    // id 0 → PNG 4×3, gray (x*7 + y*13) % 256
+    val png = digests(0L)
+    assert(png.modality == "image" && png.dim_a == 4 && png.dim_b == 3 && png.n_frames == 1)
+    val expPng = 3L * (for (y <- 0 until 3; x <- 0 until 4) yield (x * 7 + y * 13) % 256).sum
+    assert(png.pix_sum == expPng)
+    // id 1 → WAV, n = 51 samples of ((31 + i*7) % 65536) - 32768
+    val wav = digests(1L)
+    val expSamples = (0 until 51).map(i => ((31L + i * 7) % 65536 - 32768).toInt)
+    assert(wav.modality == "audio" && wav.dim_a == 8000 && wav.n_frames == 51)
+    assert(wav.dim_b == expSamples.map(math.abs).max && wav.pix_sum == expSamples.map(_.toLong).sum)
+    // id 2 → GIF 3+2%4=5 wide... w=3+2=5? (2%4=2 → w=5), h=2+2%3=4, nf=4
+    val gif = digests(2L)
+    assert(gif.modality == "video" && gif.dim_a == 5 && gif.dim_b == 4 && gif.n_frames == 4)
+    val expGif = (0 until 4).map(f => 3L * ((2 * 37 + f * 41) % 256) * 5 * 4).sum
+    assert(gif.pix_sum == expGif)
+    // an undecodable payload degrades to a binary row, not a failure
+    val junk = Seq(Multimodal.MediaRow(99L, "bin", Array[Byte](1, 2, 3, 4), 0, 0)).toDS()
+    val fallback = Multimodal.codecDigest(junk).head()
+    assert(fallback.modality == "binary" && fallback.pix_sum == 4L)
+  }
 }
