@@ -283,6 +283,18 @@ object PipelineQueries {
         n = 5, k = 16, bands = 4, threshold = 0.5)
     }),
 
+    // Density-dispatched near-dup: one map-side clone-ratio probe
+    // routes clone-heavy corpora through the d6 pipeline and
+    // mostly-distinct ones through direct LSH + exact supplement.
+    // Output is contractually identical either way (dedupPipeline
+    // semantics), so this shares d6's oracle — the hash check proves
+    // the dispatch is unobservable on whichever branch the data picks
+    // at this scale factor.
+    "d16_neardup_auto" -> ((s, d) => {
+      Dedup.nearDupAuto(Tables.documents(s, d), "doc_id", "text",
+        n = 5, k = 16, bands = 4, threshold = 0.5)
+    }),
+
     // 16-bit SimHash fingerprints
     "d4_simhash" -> ((s, d) => {
       Dedup.simhash16(Tables.documents(s, d), "doc_id", "text")
@@ -1339,7 +1351,12 @@ object PipelineQueries {
 
   private val T = s"WITH telemetry AS (\n${Tables.telemetrySql}\n)\n"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    // d16 is contractually output-identical to d6 on any corpus
+    // (nearDupAuto's dispatch is unobservable), so it shares the SQL.
+    oracleSqlBase + ("d16_neardup_auto" -> oracleSqlBase("d6_dedup_pipeline"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "e13_kmeans_fit" -> kmeansFitOracleSql(k = 8, iterations = 3),
     // m4: the closed-form pixel/sample formulas of
     // Multimodal.syntheticCodecCorpus replayed arithmetically — the

@@ -413,6 +413,53 @@ object Dedup {
     ownStages(repPairs)(expanded.unionByName(exactPairs).distinct())
   }
 
+  /** Clone mass of a corpus in [0,1]: 1 − distinct-digest/total, from
+   * ONE map-side-partial pass (count + HLL over md5(text) — no
+   * shuffle of texts, ~2 % relative error, plenty for a dispatch
+   * threshold). The probe [[nearDupAuto]] dispatches on. */
+  def cloneRatio(df: DataFrame, textCol: String): Double = {
+    val r = df.agg(count(lit(1)).as("n"),
+      approx_count_distinct(md5(col(textCol))).as("d")).head()
+    val total = r.getLong(0)
+    if (total == 0L) 0.0 else 1.0 - r.getLong(1).toDouble / total
+  }
+
+  /**
+   * Density-dispatched near-dup pairs — the library closing its own
+   * footgun: [[dedupPipeline]] (exact-collapse → LSH over
+   * representatives → expand) wins when clones are plentiful (clone
+   * pairs are quadratic poison for LSH banding — every clone pair
+   * shares every band), but on a mostly-distinct corpus its
+   * collapse/expand joins are pure overhead and direct
+   * [[minhashDedupPairs]] is cheaper. One [[cloneRatio]] probe (a
+   * map-side aggregate, no shuffle) picks the regime; past
+   * `cloneRatioFrom` clone mass the pipeline runs, below it the
+   * direct path runs with the cheap exact-group supplement so BOTH
+   * regimes return the identical pair set (dedupPipeline semantics:
+   * near-dup pairs over original keys, exact dups at jaccard 1.0 —
+   * including short-text clones whose shingle sets are empty, which
+   * pure LSH cannot see). The dispatch is therefore unobservable in
+   * the output, exactly like [[connectedComponentsAuto]]'s.
+   */
+  def nearDupAuto(df: DataFrame, keyCol: String, textCol: String,
+      n: Int = 5, k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      cloneRatioFrom: Double = 0.10): DataFrame = {
+    if (cloneRatio(df, textCol) >= cloneRatioFrom)
+      dedupPipeline(df, keyCol, textCol, n, k, bands, threshold)
+    else {
+      val near = minhashDedupPairs(df, keyCol, textCol, n, k, bands, threshold)
+      val groups = df.select(md5(col(textCol)).as("_digest"), col(keyCol).as("_k"))
+      val exactPairs = groups
+        .join(groups.select(col("_digest"), col("_k").as("_k2")), "_digest")
+        .filter(col("_k") < col("_k2"))
+        .select(col("_k").as("doc_a"), col("_k2").as("doc_b"), lit(1.0).as("jaccard"))
+      // near is a caller-owned persist from minhashDedupPairs; fold it
+      // into this operator's staged set so only the final result
+      // remains cached (same ownership contract as dedupPipeline)
+      ownStages(near)(near.unionByName(exactPairs).distinct())
+    }
+  }
+
   /**
    * Variable-length duplicated-span merge — the d10 follow-up that
    * turns fixed n-token duplicated spans into the unit span-removal

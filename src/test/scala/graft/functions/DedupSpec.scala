@@ -95,6 +95,37 @@ class DedupSpec extends SparkTestBase {
     assert(exact == 1.0)
   }
 
+  test("nearDupAuto: both density regimes return the identical pair set") {
+    // distinct-ish words so near-dup structure survives across variants
+    def doc(i: Int, tail: String) =
+      s"alpha bravo charlie delta echo foxtrot golf hotel doc$i $tail"
+    // clone-heavy corpus: 4 texts, 16 docs (75% clone mass) + a
+    // SHORT-TEXT clone pair LSH alone cannot see (empty shingle sets)
+    val cloneHeavy = ((0 until 16).map(i => (i.toLong, doc(i / 4, "india juliet"))) ++
+      Seq((100L, "tiny clone"), (101L, "tiny clone"))).toDF("doc_id", "text")
+    // mostly-distinct corpus: one clone pair + one near pair in 20 docs
+    val distinctish = ((0 until 20).map(i => (i.toLong, doc(i, s"kilo$i lima$i"))) ++
+      Seq((100L, doc(0, "kilo0 lima0")), (101L, doc(1, "kilo1 limaX")),
+        (102L, "tiny clone"), (103L, "tiny clone"))).toDF("doc_id", "text")
+
+    assert(Dedup.cloneRatio(cloneHeavy, "text") >= 0.10, "setup: clone-heavy")
+    assert(Dedup.cloneRatio(distinctish, "text") < 0.10, "setup: mostly distinct")
+
+    for (corpus <- Seq(cloneHeavy, distinctish)) {
+      val autoDf = Dedup.nearDupAuto(corpus, "doc_id", "text")
+      val pipeDf = Dedup.dedupPipeline(corpus, "doc_id", "text")
+      val auto = autoDf.as[(Long, Long, Double)].collect().toSet
+      val pipeline = pipeDf.as[(Long, Long, Double)].collect().toSet
+      assert(auto == pipeline,
+        "dispatch must be unobservable: nearDupAuto == dedupPipeline")
+      // the short-text clone pair is reported in BOTH regimes even
+      // though its shingle sets are empty (exact supplement at work)
+      val shortPair = auto.filter(p => Set(p._1, p._2).subsetOf(Set(100L, 101L, 102L, 103L)))
+      assert(shortPair.exists(_._3 == 1.0), s"short-text clones must surface: $auto")
+      autoDf.unpersist(false); pipeDf.unpersist(false)
+    }
+  }
+
   test("tfidf pairs: clones hit cosine 1, shared-boilerplate docs score below rare-term overlap") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon"),
