@@ -677,7 +677,14 @@ object Multimodal {
   def syntheticCodecCorpus(spark: SparkSession, ids: DataFrame,
       idCol: String = "doc_id"): Dataset[MediaRow] = {
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+    // fan out BEFORE the encode map: the id projection of a small
+    // parquet table is ONE input partition, and everything downstream
+    // (encode here, decode in codecDigest) is map-only — without this
+    // the whole codec chain runs in a single task (m3's lesson; the
+    // shuffle moves only longs)
+    ids.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { id =>
       (id % 3) match {
         case 0 => MediaRow(id, "image/png", encodePng(id), pngW(id), pngH(id))
         case 1 => MediaRow(id, "audio/wav", encodeWav(id), 0, 0)
