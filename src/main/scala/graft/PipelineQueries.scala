@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{Bpe, Curation, Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -517,6 +517,24 @@ object PipelineQueries {
         col("doc_id"), col("n_chars"), k = 50)
         .select(col("key").as("doc_id"), col("weight"), col("priority"),
           col("est_weight"))
+    }),
+
+    // R1: BM25 top-k lexical retrieval — the query→corpus ranking
+    // direction d8's doc↔doc tfidf pairs don't cover. Queries derive
+    // from the corpus itself (every 97th doc's distinct first-8
+    // tokens) so the oracle replays the identical query set from the
+    // same parquet. Candidates come from an inverted-index equi-join;
+    // the stop-term guard runs at maxDfFrac=1.0 because the synthetic
+    // corpus's ~40-word vocabulary puts EVERY term above any real
+    // stop threshold (the default 0.5 guard stays the production
+    // setting). Scores are exact BIGINT micro-quantities (Retrieval
+    // scaladoc's IEEE argument) summed exactly, ties break on
+    // doc_id — top-10 is hash-stable.
+    "r1_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.bm25TopK(docs, "doc_id", "text",
+        Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
+        k = 10, maxDfFrac = 1.0)
     }),
 
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
@@ -1739,6 +1757,45 @@ object PipelineQueries {
          |SELECT doc_id, weight, priority, greatest(weight, tau) AS est_weight
          |FROM rk, tv WHERE rn <= 50""".stripMargin
     },
+
+    // r1: identical arithmetic tree per term — (N−df+0.5)/(df+0.5)+1
+    // behind one floor-quantized ln, then 220·idf_i·tf over
+    // tf + 0.3 + 0.9·(dl·N/S) with every float op a single IEEE step
+    // over exact-integer operands; per-(query,doc) totals are exact
+    // BIGINT sums, ranks tie-break on doc_id (see Retrieval.bm25TopK)
+    "r1_bm25_topk" ->
+      s"""WITH $toksCte,
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              (SELECT sum(dl) FROM dl) AS s),
+         |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |idf AS (
+         |  SELECT term,
+         |    CAST(floor(1e4 * ln((CAST((SELECT n FROM nn) AS DOUBLE) - CAST(count(*) AS DOUBLE) + 0.5)
+         |      / (CAST(count(*) AS DOUBLE) + 0.5) + 1.0)) AS BIGINT) AS idf_i
+         |  FROM tf GROUP BY 1
+         |  HAVING count(*) <= CAST(floor((SELECT n FROM nn) * 1.0) AS BIGINT)),
+         |q AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(t[1:8])) AS term
+         |  FROM toks WHERE doc_id % 97 = 0),
+         |sc AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    sum(CAST(floor(CAST(220 * idf.idf_i * tf.tf AS DOUBLE) /
+         |      (CAST(tf.tf AS DOUBLE) + 0.3 +
+         |       0.9 * (CAST(dl.dl * (SELECT n FROM nn) AS DOUBLE) /
+         |              CAST((SELECT s FROM nn) AS DOUBLE)))) AS BIGINT)) AS score_micro
+         |  FROM q
+         |  JOIN tf USING (term)
+         |  JOIN idf USING (term)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score_micro, rank FROM (
+         |  SELECT query_id, doc_id, score_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin,
 
     "t34_source_overlap" ->
       """WITH aug AS (

@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Full-text retrieval over a document corpus — the query→top-k
+ * direction that complements [[Dedup.tfidfPairs]]'s doc↔doc
+ * similarity. The reference's query surface is key/range lookups
+ * (machine-downtime-monitor-on-aws `query-data.ts`); BM25 is the
+ * standard lexical ranking a large-scale training-data pipeline adds
+ * on top for corpus exploration, hard-negative mining and
+ * retrieval-based decontamination.
+ *
+ * Scale shape (the part that must survive 100 TB):
+ *  - candidates come from an inverted-index equi-join on `term`
+ *    (query terms × posting lists), NEVER query × corpus;
+ *  - the stop-term guard (df ≤ ⌊N·maxDfFrac⌋, default 0.5 — the
+ *    [[Dedup.tfidfPairs]] guard, parameterized) bounds every posting
+ *    list touched — without it one stopword in one query scans the
+ *    whole corpus. Dense-vocabulary corpora (domain logs, the
+ *    synthetic test tables) where EVERY term is frequent need the
+ *    frac raised — retrieval there legitimately touches most of the
+ *    corpus, and the smoothed idf keeps frequent terms proportional
+ *    rather than dominant;
+ *  - the per-(query, doc) score is a map-side-combinable BIGINT sum;
+ *  - top-k is `row_number` over a (query)-partitioned window with the
+ *    rank filter adjacent, which Spark executes as WindowGroupLimit —
+ *    per-partition heaps of size k, no global sort.
+ *
+ * Engine-portable arithmetic (the [[Dedup.tfidfPairs]] discipline,
+ * extended to BM25's rational constants k1 = 1.2, b = 0.75):
+ *  - idf_i = ⌊10⁴ · ln((N − df + 0.5)/(df + 0.5) + 1)⌋ — the
+ *    Lucene-smoothed Robertson idf, floor-quantized so the only libm
+ *    call sits behind an integer boundary (a cross-engine ln
+ *    discrepancy would need to exceed ~1e-9 of a boundary to flip it);
+ *  - the per-term score idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+ *    is evaluated as ⌊220·idf_i·tf / (tf + 0.3 + 0.9·(dl·N / S))⌋ —
+ *    the numerator is an exact integer (< 2⁵³ for any realistic
+ *    corpus), dl·N and S are exact integers, and every floating-point
+ *    step (one division, one multiply, two adds, one final division,
+ *    floor) is a correctly-rounded IEEE op on identical operand trees
+ *    in Spark and the SQL oracle — deterministic by construction;
+ *  - per-(query, doc) totals sum those BIGINT micro-scores exactly, so
+ *    accumulation order (partitioning) cannot perturb the ranking.
+ *  Caveat recorded here: dl·N stays < 2⁵³ through ~10⁹ docs × 10⁴
+ *  tokens; past that, switch the dl·N/S factor to dl/avgdl with a
+ *  pre-quantized avgdl (one more floor boundary), same layout.
+ *
+ * Query-term semantics: DISTINCT terms per query (set-of-terms, the
+ * common practical choice); a query term absent from the corpus (or
+ * stop-guarded) contributes nothing. A query whose every term is
+ * guarded/absent returns no rows.
+ */
+object Retrieval {
+
+  private def ownStages(stages: DataFrame*)(result: DataFrame): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try out.count()
+    catch {
+      case t: Throwable =>
+        out.unpersist(false)
+        stages.foreach(_.unpersist(false))
+        throw t
+    }
+    stages.foreach(_.unpersist(false))
+    out
+  }
+
+  /**
+   * BM25 top-k retrieval: for each query (qKeyCol, qTermsCol:
+   * array<string>) return the k best-scoring documents.
+   *
+   * Output: (query_id, doc_id, score_micro BIGINT = 10⁶·BM25 quantized
+   * per term, rank INT 1..k). Ties break on doc_id ascending, so the
+   * result is fully deterministic.
+   *
+   * Two fit-time scalar jobs (corpus size N, total token count S) run
+   * up front — O(scan) metadata, the same pattern as
+   * [[Dedup.tfidfPairs]]'s corpus count. The (doc, term, tf) index is
+   * persisted across its two consumers (df aggregation + posting join)
+   * and released before returning.
+   */
+  def bm25TopK(docs: DataFrame, keyCol: String, textCol: String,
+      queries: DataFrame, qKeyCol: String, qTermsCol: String,
+      k: Int, maxDfFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFrac > 0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val toks = docs.select(col(keyCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("_t"))
+    val dl = toks.select(col("doc_id"), size(col("_t")).cast("long").as("dl"))
+    // fit-time scalars: corpus size and total token mass (exact longs)
+    val n = docs.count()
+    val s = dl.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+    require(n > 0 && s > 0, "bm25TopK needs a non-empty, non-blank corpus")
+
+    val tf = toks.select(col("doc_id"), explode(col("_t")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // document frequency with the stop-term guard; idf floor-quantized
+    // to an exact integer at the only libm boundary in the operator
+    val maxDf = math.floor(n * maxDfFrac).toLong
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .withColumn("idf_i",
+        floor(lit(1e4) * log(
+          (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0))).cast("long"))
+      .select(col("term"), col("idf_i"))
+
+    val qterms = queries.select(col(qKeyCol).as("query_id"),
+      explode(array_distinct(col(qTermsCol))).as("term"))
+
+    // inverted-index join: query terms × (guarded) posting lists
+    val posting = tf.join(dfreq, Seq("term")).join(dl, Seq("doc_id"))
+    val matched = qterms.join(posting, Seq("term"))
+
+    // per-term micro-score — every float op is one IEEE step over
+    // exact-integer operands, mirrored verbatim in the SQL oracle
+    val denom = col("tf").cast("double") + lit(0.3) +
+      lit(0.9) * ((col("dl") * lit(n)).cast("double") / lit(s.toDouble))
+    val scoreMicro =
+      floor((lit(220L) * col("idf_i") * col("tf")).cast("double") / denom)
+        .cast("long")
+
+    val scored = matched
+      .select(col("query_id"), col("doc_id"), scoreMicro.as("_sm"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_sm")).as("score_micro"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    ownStages(tf)(
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("doc_id"), col("score_micro"),
+          col("rank").cast("int").as("rank")))
+  }
+
+  /** Derive a deterministic query set from the corpus itself: every
+   * doc whose key ≡ 0 (mod `every`) becomes a query made of the
+   * DISTINCT first `nTerms` tokens of its text. Blank docs yield a
+   * query with no terms (and thus no results) rather than an error. */
+  def selfQueries(docs: DataFrame, keyCol: String, textCol: String,
+      every: Int = 97, nTerms: Int = 8): DataFrame =
+    docs.filter(col(keyCol) % every === 0)
+      .select(col(keyCol).as("query_id"),
+        array_distinct(slice(TextAnalysis.tokens(col(textCol)), 1, nTerms))
+          .as("terms"))
+}

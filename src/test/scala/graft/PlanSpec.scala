@@ -285,6 +285,17 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("BM25 top-k is WindowGroupLimit-pruned, no cartesian (R1)") {
+    // candidates must come from the inverted-index equi-join on term
+    // (query terms × posting lists), and the per-query top-k must be
+    // heap-pruned before the window sort — at 100 TB the posting join
+    // is the whole cost and a global sort per query is the anti-plan
+    val p = plan("r1_bm25_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+  }
+
   test("source cap is WindowGroupLimit-pruned per host (T27)") {
     val p = plan("t27_source_caps")
     assert(p.contains("WindowGroupLimit"), p.take(1000))

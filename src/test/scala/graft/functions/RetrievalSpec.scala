@@ -1,0 +1,113 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 6-doc corpus: "zebra" is rare (docs 1,2), "alpha" is everywhere
+  // (stop-guarded: df=6, 12 > 6), "gamma" mid-frequency (docs 3,4,5)
+  private def docs = Seq(
+    (1L, "alpha zebra beta beta"),
+    (2L, "alpha zebra zebra gamma gamma gamma gamma gamma gamma"),
+    (3L, "alpha gamma beta"),
+    (4L, "alpha gamma delta"),
+    (5L, "alpha gamma epsilon epsilon"),
+    (6L, "alpha beta delta epsilon"))
+    .toDF("doc_id", "text")
+
+  private def q(terms: String*) =
+    Seq((100L, terms)).toDF("query_id", "terms")
+
+  test("rare query term retrieves exactly its posting list, ranked") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", q("zebra"),
+      "query_id", "terms", k = 10)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out.keySet == Set(1L, 2L))
+    // doc 1 is shorter with tf=1; doc 2 has tf=2 but is much longer —
+    // verify ranks exist and are 1..2 (exact order checked vs scoring below)
+    assert(out.values.toSet == Set(1, 2))
+  }
+
+  test("stop-guarded term (in every doc) contributes nothing") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", q("alpha"),
+      "query_id", "terms", k = 10).count()
+    assert(out == 0L)
+  }
+
+  test("higher-tf doc of the same length ranks first; k caps output") {
+    val d = Seq(
+      (1L, "x y y y filler one"),
+      (2L, "x x y y filler two"),
+      (3L, "x x x y filler tri"),
+      (4L, "w w w w filler quo"),
+      (5L, "v v v v filler cinq"),
+      (6L, "u u u u filler six"),
+      (7L, "t t t t filler sept")) // df(x)=3, N=7: below the stop guard
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(d, "doc_id", "text", q("x"),
+      "query_id", "terms", k = 2)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(3L, 2L)) // tf 3 > tf 2 > tf 1, capped at k=2
+  }
+
+  test("multi-term scores are the exact sum of single-term micro-scores") {
+    def scores(terms: String*): Map[Long, Long] =
+      Retrieval.bm25TopK(docs, "doc_id", "text", q(terms: _*),
+        "query_id", "terms", k = 10)
+        .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    val zebra = scores("zebra")
+    val gamma = scores("gamma")
+    val both = scores("zebra", "gamma")
+    for ((id, s) <- both)
+      assert(s == zebra.getOrElse(id, 0L) + gamma.getOrElse(id, 0L),
+        s"doc $id: ${zebra.get(id)} + ${gamma.get(id)} != $s")
+  }
+
+  test("duplicate query terms collapse (set semantics)") {
+    val a = Retrieval.bm25TopK(docs, "doc_id", "text", q("zebra", "zebra"),
+      "query_id", "terms", k = 10)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toSet
+    val b = Retrieval.bm25TopK(docs, "doc_id", "text", q("zebra"),
+      "query_id", "terms", k = 10)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("result is invariant under input repartitioning (exact sums)") {
+    val base = Retrieval.bm25TopK(docs, "doc_id", "text",
+      q("zebra", "gamma", "beta"), "query_id", "terms", k = 10)
+      .collect().toSet
+    val shuffled = Retrieval.bm25TopK(docs.repartition(7), "doc_id", "text",
+      q("zebra", "gamma", "beta").repartition(3), "query_id", "terms", k = 10)
+      .collect().toSet
+    assert(base == shuffled)
+  }
+
+  test("selfQueries: every-97th docs, distinct first-8 tokens; blank-safe") {
+    val d = Seq((0L, "a b a b c"), (97L, ""), (50L, "unused text here"))
+      .toDF("doc_id", "text")
+    val qs = Retrieval.selfQueries(d, "doc_id", "text")
+      .select("query_id", "terms").as[(Long, Seq[String])].collect().toMap
+    assert(qs.keySet == Set(0L, 97L))
+    assert(qs(0L) == Seq("a", "b", "c"))
+    assert(qs(97L).isEmpty)
+    // blank query produces no results rather than failing
+    val out = Retrieval.bm25TopK(d, "doc_id", "text",
+      Retrieval.selfQueries(d, "doc_id", "text").filter(col("query_id") === 97L),
+      "query_id", "terms", k = 5)
+    assert(out.count() == 0L)
+  }
+
+  test("staged tf cache is released after the call") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Retrieval.bm25TopK(docs, "doc_id", "text", q("zebra"),
+      "query_id", "terms", k = 3).collect()
+    // the persisted top-k result itself stays cached (ownStages returns
+    // it materialized); the tf stage must be gone
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1)
+    spark.catalog.clearCache()
+  }
+}
