@@ -196,6 +196,46 @@ object PipelineQueries {
     s"round(CASE WHEN ${normSql(a)} * ${normSql(b)} = 0 THEN 0.0 ELSE $dot / (${normSql(a)} * ${normSql(b)}) END, 6)"
   }
 
+  /** BM25 CTE chain mirroring Retrieval.bm25TopK at maxDfFrac = 1.0
+   * over the r1 self-query set — ends in `lexr` (query_id, doc_id,
+   * score_micro, rank). Identical arithmetic tree: (N−df+0.5)/(df+0.5)+1
+   * behind one floor-quantized ln, then 220·idf_i·tf over
+   * tf + 0.3 + 0.9·(dl·N/S), every float op a single IEEE step over
+   * exact-integer operands, per-(query,doc) totals exact BIGINT sums,
+   * rank tie-broken on doc_id. */
+  private def bm25CtesSql: String =
+    s"""$toksCte,
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              (SELECT sum(dl) FROM dl) AS s),
+       |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |idf AS (
+       |  SELECT term,
+       |    CAST(floor(1e4 * ln((CAST((SELECT n FROM nn) AS DOUBLE) - CAST(count(*) AS DOUBLE) + 0.5)
+       |      / (CAST(count(*) AS DOUBLE) + 0.5) + 1.0)) AS BIGINT) AS idf_i
+       |  FROM tf GROUP BY 1
+       |  HAVING count(*) <= CAST(floor((SELECT n FROM nn) * 1.0) AS BIGINT)),
+       |q AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(t[1:8])) AS term
+       |  FROM toks WHERE doc_id % 97 = 0),
+       |sc AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum(CAST(floor(CAST(220 * idf.idf_i * tf.tf AS DOUBLE) /
+       |      (CAST(tf.tf AS DOUBLE) + 0.3 +
+       |       0.9 * (CAST(dl.dl * (SELECT n FROM nn) AS DOUBLE) /
+       |              CAST((SELECT s FROM nn) AS DOUBLE)))) AS BIGINT)) AS score_micro
+       |  FROM q
+       |  JOIN tf USING (term)
+       |  JOIN idf USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  GROUP BY 1, 2),
+       |lexr AS (
+       |  SELECT query_id, doc_id, score_micro,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+       |  FROM sc)""".stripMargin
+
   /** DuckDB hyperplane signature matching Dedup.hyperplaneSignature:
    * Σ_p 2^p * (Σ_d v[d+1]*w(p,d) >= 0). Weights are inlined literals
    * from Similarity.planeWeight (md5-derived, shared definition). */
@@ -535,6 +575,27 @@ object PipelineQueries {
       Retrieval.bm25TopK(docs, "doc_id", "text",
         Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
         k = 10, maxDfFrac = 1.0)
+    }),
+
+    // R2: hybrid retrieval — r1's lexical BM25 arm fused with the
+    // dense cosine arm over the SAME query ids (doc_id ≡ vec_id in
+    // the test tables) via reciprocal-rank fusion. Each arm's
+    // contribution ⌊10⁶/(60+rank)⌋ is one IEEE division behind a
+    // floor; the fused score is an exact BIGINT sum, ties break on
+    // doc_id. The fuse is arm-agnostic: the brute-force arm here is
+    // the oracle-friendly baseline, the IVF-served arm is the
+    // drop-in scale path.
+    "r2_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
+        k = 10, maxDfFrac = 1.0)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 97 === 0), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, dense), k = 10)
     }),
 
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
@@ -1758,43 +1819,42 @@ object PipelineQueries {
          |FROM rk, tv WHERE rn <= 50""".stripMargin
     },
 
-    // r1: identical arithmetic tree per term — (N−df+0.5)/(df+0.5)+1
-    // behind one floor-quantized ln, then 220·idf_i·tf over
-    // tf + 0.3 + 0.9·(dl·N/S) with every float op a single IEEE step
-    // over exact-integer operands; per-(query,doc) totals are exact
-    // BIGINT sums, ranks tie-break on doc_id (see Retrieval.bm25TopK)
+    // r1: see bm25CtesSql for the arithmetic-tree mirror
     "r1_bm25_topk" ->
-      s"""WITH $toksCte,
-         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-         |nn AS (SELECT (SELECT count(*) FROM documents) AS n,
-         |              (SELECT sum(dl) FROM dl) AS s),
-         |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-         |idf AS (
-         |  SELECT term,
-         |    CAST(floor(1e4 * ln((CAST((SELECT n FROM nn) AS DOUBLE) - CAST(count(*) AS DOUBLE) + 0.5)
-         |      / (CAST(count(*) AS DOUBLE) + 0.5) + 1.0)) AS BIGINT) AS idf_i
-         |  FROM tf GROUP BY 1
-         |  HAVING count(*) <= CAST(floor((SELECT n FROM nn) * 1.0) AS BIGINT)),
-         |q AS (
-         |  SELECT doc_id AS query_id, unnest(list_distinct(t[1:8])) AS term
-         |  FROM toks WHERE doc_id % 97 = 0),
-         |sc AS (
-         |  SELECT q.query_id, tf.doc_id,
-         |    sum(CAST(floor(CAST(220 * idf.idf_i * tf.tf AS DOUBLE) /
-         |      (CAST(tf.tf AS DOUBLE) + 0.3 +
-         |       0.9 * (CAST(dl.dl * (SELECT n FROM nn) AS DOUBLE) /
-         |              CAST((SELECT s FROM nn) AS DOUBLE)))) AS BIGINT)) AS score_micro
-         |  FROM q
-         |  JOIN tf USING (term)
-         |  JOIN idf USING (term)
-         |  JOIN dl ON dl.doc_id = tf.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT query_id, doc_id, score_micro, rank FROM (
-         |  SELECT query_id, doc_id, score_micro,
+      s"""WITH $bm25CtesSql
+         |SELECT query_id, doc_id, score_micro, rank FROM lexr
+         |WHERE rank <= 10""".stripMargin,
+
+    // r2: the lexical chain above fused with the brute-force cosine
+    // arm over the same query ids; per-arm contribution
+    // ⌊10⁶/(60+rank)⌋ — one IEEE division behind a floor — summed as
+    // exact BIGINTs, fused ranks tie-broken on doc_id
+    "r2_hybrid_rrf" ->
+      s"""WITH $bm25CtesSql,
+         |dense AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT eq.vec_id AS query_id, ec.vec_id AS doc_id,
+         |      CAST(row_number() OVER (PARTITION BY eq.vec_id
+         |        ORDER BY ${cosSql("ec.embedding", "eq.embedding")} DESC, ec.vec_id) AS INTEGER) AS rank
+         |    FROM embeddings ec, (SELECT * FROM embeddings WHERE vec_id % 97 = 0) eq
+         |    WHERE eq.vec_id <> ec.vec_id)
+         |  WHERE rank <= 10),
+         |contrib AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000.0 / CAST(rank + 60 AS DOUBLE)) AS BIGINT) AS m
+         |  FROM lexr WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000.0 / CAST(rank + 60 AS DOUBLE)) AS BIGINT) AS m
+         |  FROM dense),
+         |fused AS (
+         |  SELECT query_id, doc_id, sum(m) AS rrf_micro
+         |  FROM contrib GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf_micro, rank FROM (
+         |  SELECT query_id, doc_id, rrf_micro,
          |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
-         |  FROM sc)
+         |      ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank
+         |  FROM fused)
          |WHERE rank <= 10""".stripMargin,
 
     "t34_source_overlap" ->

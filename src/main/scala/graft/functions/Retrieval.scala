@@ -140,6 +140,44 @@ object Retrieval {
           col("rank").cast("int").as("rank")))
   }
 
+  /**
+   * Reciprocal-rank fusion of ranked retrieval arms — the standard
+   * hybrid-retrieval combiner (lexical BM25 × dense ANN is the RAG /
+   * hard-negative-mining workhorse). Each arm is a (query_id, doc_id,
+   * rank) DataFrame — [[bm25TopK]], [[Similarity.bruteForceTopK]] or
+   * `Similarity.ivfTopKIndexed` output shapes all fit (rename the id
+   * column); the fusion is arm-agnostic, so the scale path is simply
+   * swapping the brute-force arm for the IVF-served one.
+   *
+   * score(q, d) = Σ_arms ⌊10⁶ / (c + rank_arm(q, d))⌋, missing arms
+   * contribute 0 — each term is one IEEE division of exact integers
+   * behind a floor, summed as BIGINTs, so fusion is exactly
+   * reproducible cross-engine (same discipline as [[bm25TopK]]).
+   * Ties break on doc_id. c = 60 is the conventional RRF constant.
+   *
+   * Scale shape: input arms are already top-k' (queries × k' rows —
+   * tiny next to the corpora that produced them); the fuse is one
+   * union + one (query, doc)-keyed partial agg + a WindowGroupLimit
+   * top-k. Cost is O(queries · k' · arms) regardless of corpus size.
+   */
+  def rrfFuse(arms: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one arm")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val contrib = arms.map(_.select(col("query_id"), col("doc_id"),
+        floor(lit(1000000.0) / (col("rank") + lit(c)).cast("double"))
+          .cast("long").as("_m")))
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_m")).as("rrf_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_micro"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Derive a deterministic query set from the corpus itself: every
    * doc whose key ≡ 0 (mod `every`) becomes a query made of the
    * DISTINCT first `nTerms` tokens of its text. Blank docs yield a

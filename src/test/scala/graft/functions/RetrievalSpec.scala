@@ -100,6 +100,40 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.count() == 0L)
   }
 
+  test("rrfFuse: exact micro-contributions, missing arms contribute 0") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val den = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lex, den), k = 10)
+      .select("doc_id", "rrf_micro", "rank").as[(Long, Long, Int)]
+      .collect().sortBy(_._1)
+    def m(r: Int) = math.floor(1000000.0 / (r + 60)).toLong
+    // doc 10: lex rank1 + dense rank2 (32522); doc 12: dense rank1
+    // (16393); doc 11: lex rank2 (16129)
+    assert(out.toSeq == Seq(
+      (10L, m(1) + m(2), 1),
+      (11L, m(2), 3),
+      (12L, m(1), 2)))
+  }
+
+  test("rrfFuse ranks by fused score then doc_id; k caps per query") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (2L, 21L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 1)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    // q1: doc 11 (ranks 2+1 → 16129+16393) beats doc 10 (16393)
+    // q2: docs 20/21 tie (16393 each) → doc_id asc wins
+    assert(out == Set((1L, 11L), (2L, 20L)))
+  }
+
+  test("rrfFuse invariant under arm order and repartitioning") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 12L, 1), (1L, 10L, 2)).toDF("query_id", "doc_id", "rank")
+    val x = Retrieval.rrfFuse(Seq(a, b), k = 5).collect().toSet
+    val y = Retrieval.rrfFuse(Seq(b.repartition(4), a.repartition(3)), k = 5)
+      .collect().toSet
+    assert(x == y)
+  }
+
   test("staged tf cache is released after the call") {
     val before = spark.sparkContext.getPersistentRDDs.size
     Retrieval.bm25TopK(docs, "doc_id", "text", q("zebra"),
