@@ -159,7 +159,11 @@ object StreamingIvfIndex {
   /**
    * Full re-cluster with an atomic index swap: refit centroids on the
    * CURRENT serving corpus ([[Similarity.fitIvfCentroids]] — same
-   * fixed-seed fit as bootstrap), reassign every vector, stage the
+   * fixed-seed fit as bootstrap; `fitSampleFrac < 1` fits on a
+   * deterministic md5-keyed sample instead, cutting the
+   * iterations × corpus-scan refit bill by 1/frac while assignment
+   * and cell count still cover the full corpus), reassign every
+   * vector, stage the
    * complete new index (centroids + corpus TOGETHER — a reader mixing
    * old centroids with a new corpus would probe the wrong cells) under
    * a hidden temp sibling with a `_SUCCESS` marker, then swap. Entry
@@ -175,7 +179,10 @@ object StreamingIvfIndex {
    * stream for the duration; the checkpoint replays the stopped
    * window losslessly on re-attach.
    */
-  def reindex(spark: SparkSession, path: String, nClusters: Int = 0): Unit = {
+  def reindex(spark: SparkSession, path: String, nClusters: Int = 0,
+      fitSampleFrac: Double = 1.0): Unit = {
+    require(fitSampleFrac > 0 && fitSampleFrac <= 1.0,
+      s"fitSampleFrac must be in (0, 1], got $fitSampleFrac")
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val tmp = new Path(s"$path/.reindex_tmp")
@@ -217,7 +224,21 @@ object StreamingIvfIndex {
 
     // materialize the corpus off the files the swap will delete
     val corpus = servingCorpus(spark, path).localCheckpoint(true)
-    val centroids = Similarity.fitIvfCentroids(corpus, nClusters)
+    // The refit is iterations × one pass over the FIT corpus — the
+    // whole reindex bill at scale. A coarse quantizer needs stable
+    // cell boundaries, not convergence on every vector, so fitting on
+    // a deterministic md5-keyed sample (membership a pure function of
+    // vec_id — reproducible across reruns) cuts that bill by 1/frac
+    // while the ASSIGNMENT below still covers the full corpus. k still
+    // derives from the FULL corpus size: cell granularity must track
+    // the data the index serves, not the sample that seeded it.
+    val fitCorpus =
+      if (fitSampleFrac >= 1.0) corpus
+      else graft.functions.TextAnalysis.deterministicSample(
+        corpus, col("vec_id").cast("string"), fitSampleFrac)
+    val k = if (nClusters > 0) nClusters
+      else Similarity.adaptiveCellCount(corpus.count())
+    val centroids = Similarity.fitIvfCentroids(fitCorpus, k)
     centroids.toDF("cell", "center")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/centroids")
     Similarity.assignCells(corpus.select(col("vec_id"), col("embedding")), centroids)
@@ -244,9 +265,9 @@ object StreamingIvfIndex {
   /** The drift trigger: re-cluster iff [[skewRatio]] exceeds
    * `skewThreshold`. Returns whether a reindex ran. */
   def maybeReindex(spark: SparkSession, path: String, skewThreshold: Double,
-      nClusters: Int = 0): Boolean = {
+      nClusters: Int = 0, fitSampleFrac: Double = 1.0): Boolean = {
     val skew = skewRatio(spark, path)
-    if (skew > skewThreshold) { reindex(spark, path, nClusters); true }
+    if (skew > skewThreshold) { reindex(spark, path, nClusters, fitSampleFrac); true }
     else false
   }
 

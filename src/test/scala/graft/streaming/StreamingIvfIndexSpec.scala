@@ -185,6 +185,28 @@ class StreamingIvfIndexSpec extends SparkTestBase {
     assert(!StreamingIvfIndex.maybeReindex(spark, path, skewThreshold = skewAfter + 0.1))
   }
 
+  test("sampled refit (fitSampleFrac) rebalances and recovers recall like the full fit") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-sfit").toString + "/ix"
+    val seed = modeDf(0, 0L until 60L, 0.05)
+      .unionByName(modeDf(1, 60L until 120L, 0.05))
+    StreamingIvfIndex.bootstrap(seed, path, nClusters = 4)
+    val drift = modeDf(2, 1000L until 1120L, 0.4)
+    drift.collect()
+    StreamingIvfIndex.processBatch(drift,
+      Similarity.loadIvfCentroids(spark, path), path, batchId = 0L)
+
+    val queries = modeDf(2, 1000L until 1010L, 0.4)
+    val skewBefore = StreamingIvfIndex.skewRatio(spark, path)
+    // fit on ~half the corpus; assignment must still cover ALL of it
+    assert(StreamingIvfIndex.maybeReindex(spark, path, skewThreshold = 1.5,
+      nClusters = 4, fitSampleFrac = 0.5))
+    val served = StreamingIvfIndex.servingCorpus(spark, path)
+    assert(served.count() === 240L, "sampled fit must not drop vectors from the index")
+    assert(StreamingIvfIndex.skewRatio(spark, path) < skewBefore)
+    val recall = recallAt(path, queries, k = 5, nProbe = 1)
+    assert(recall >= 0.9, s"sampled-refit recall@5 nProbe=1 weak: $recall")
+  }
+
   test("a mid-swap reindex crash recovers the complete staged index") {
     import org.apache.hadoop.fs.Path
     val path = java.nio.file.Files.createTempDirectory("ivf-rcrash").toString + "/ix"
