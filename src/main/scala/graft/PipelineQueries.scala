@@ -205,7 +205,12 @@ object PipelineQueries {
    * rank tie-broken on doc_id. */
   private def bm25CtesSql: String =
     s"""$toksCte,
-       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |$bm25BodySql""".stripMargin
+
+  /** [[bm25CtesSql]] minus the leading toks CTE — for composition
+   * with chains that already carry it (shingleCte in r3). */
+  private def bm25BodySql: String =
+    s"""dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
        |nn AS (SELECT (SELECT count(*) FROM documents) AS n,
        |              (SELECT sum(dl) FROM dl) AS s),
        |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
@@ -596,6 +601,24 @@ object PipelineQueries {
         emb.filter(col("vec_id") % 97 === 0), k = 10)
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+    }),
+
+    // R3: hard-negative mining — the contrastive-training composition:
+    // candidates that rank lexically (r1's BM25 at k=20) but are NOT
+    // near-duplicates of the query doc (d2's capped exact-Jaccard
+    // verdicts at τ=0.5 — those would be false negatives) and not the
+    // query doc itself, densely re-ranked to the top-10 negatives.
+    // Candidate list and pair list are both tiny next to their
+    // producers; the anti-join is orientation-normalized equi, the
+    // re-rank a WindowGroupLimit heap.
+    "r3_hard_negatives" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val cands = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
+        k = 20, maxDfFrac = 1.0)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.5, maxShingleFreq = Some(ShingleFreqCap))
+      Retrieval.hardNegatives(cands, pairs, "doc_a", "doc_b", k = 10)
     }),
 
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
@@ -1824,6 +1847,27 @@ object PipelineQueries {
       s"""WITH $bm25CtesSql
          |SELECT query_id, doc_id, score_micro, rank FROM lexr
          |WHERE rank <= 10""".stripMargin,
+
+    // r3: shingle chain (shared with d2) + capped jaccard verdicts +
+    // the bm25 body over the same toks CTE; anti-join on the
+    // orientation-normalized pair key, dense re-rank on
+    // (score_micro DESC, doc_id) — the same total order the original
+    // BM25 rank used, so both engines renumber identically
+    "r3_hard_negatives" ->
+      s"""WITH $shingleCte,
+         |${jaccardCappedSql(0.5, ShingleFreqCap)},
+         |$bm25BodySql,
+         |mined AS (
+         |  SELECT l.query_id, l.doc_id, l.score_micro,
+         |    CAST(row_number() OVER (PARTITION BY l.query_id
+         |      ORDER BY l.score_micro DESC, l.doc_id) AS INTEGER) AS neg_rank
+         |  FROM lexr l
+         |  WHERE l.rank <= 20 AND l.doc_id <> l.query_id
+         |    AND NOT EXISTS (SELECT 1 FROM jac j
+         |      WHERE j.doc_a = least(l.query_id, l.doc_id)
+         |        AND j.doc_b = greatest(l.query_id, l.doc_id)))
+         |SELECT query_id, doc_id, score_micro, neg_rank FROM mined
+         |WHERE neg_rank <= 10""".stripMargin,
 
     // r2: the lexical chain above fused with the brute-force cosine
     // arm over the same query ids; per-arm contribution

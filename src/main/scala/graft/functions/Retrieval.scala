@@ -84,20 +84,48 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, keyCol: String, textCol: String,
       queries: DataFrame, qKeyCol: String, qTermsCol: String,
       k: Int, maxDfFrac: Double = 0.5): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(maxDfFrac > 0 && maxDfFrac <= 1.0,
-      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     val toks = docs.select(col(keyCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("_t"))
     val dl = toks.select(col("doc_id"), size(col("_t")).cast("long").as("dl"))
-    // fit-time scalars: corpus size and total token mass (exact longs)
-    val n = docs.count()
-    val s = dl.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
-    require(n > 0 && s > 0, "bm25TopK needs a non-empty, non-blank corpus")
-
     val tf = toks.select(col("doc_id"), explode(col("_t")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25TopKFromIndex(tf, dl, queries, qKeyCol, qTermsCol, k, maxDfFrac)
+  }
+
+  /** The derived (doc_id, term, tf) / (doc_id, dl) projections of a
+   * corpus — the persistable inverted index [[bm25TopKFromIndex]]
+   * serves from. Materialize these once (bucketed by term) for a
+   * standing query workload instead of re-deriving per call. */
+  def postingsOf(docs: DataFrame, keyCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val toks = docs.select(col(keyCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("_t"))
+    (toks.select(col("doc_id"), explode(col("_t")).as("term"))
+       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")),
+     toks.select(col("doc_id"), size(col("_t")).cast("long").as("dl")))
+  }
+
+  /**
+   * BM25 over a pre-built inverted index: `tf` = (doc_id, term, tf),
+   * `dl` = (doc_id, dl — one row per doc, blank docs included with
+   * dl = 0). Identical output to [[bm25TopK]] over the corpus the
+   * index was derived from; this is the entry point for a
+   * materialized/bucketed postings table or a streaming-maintained
+   * store ([[graft.streaming.StreamingRetrieval]]).
+   */
+  def bm25TopKFromIndex(tfIn: DataFrame, dl: DataFrame,
+      queries: DataFrame, qKeyCol: String, qTermsCol: String,
+      k: Int, maxDfFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFrac > 0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    // fit-time scalars: corpus size and total token mass (exact longs)
+    val n = dl.count()
+    val s = dl.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+    require(n > 0 && s > 0, "bm25 needs a non-empty, non-blank corpus")
+
+    val tf = tfIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // document frequency with the stop-term guard; idf floor-quantized
     // to an exact integer at the only libm boundary in the operator
@@ -176,6 +204,42 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("rrf_micro"),
         col("rank").cast("int").as("rank"))
+  }
+
+  /**
+   * Hard-negative mining — the contrastive-training composition over
+   * the retrieval + dedup stacks: from a ranked candidate list
+   * (query_id, doc_id, score_micro, ...) keep the candidates that are
+   * lexically CLOSE (they ranked) but NOT near-duplicates of the query
+   * document (they would be false negatives), re-ranked densely 1..k.
+   * `query_id` is a document id (self-query mining — the r1/r3 shape);
+   * the near-dup verdicts come in as unordered (aCol, bCol) pairs from
+   * any of the Dedup pair generators.
+   *
+   * Scale shape: candidates are queries × k' rows and the pair list is
+   * the dedup output — the anti-join is tiny next to either producer;
+   * orientation-normalized keys (least/greatest) make it one hash
+   * anti-join, and the dense re-rank is a WindowGroupLimit heap.
+   */
+  def hardNegatives(candidates: DataFrame, nearDupPairs: DataFrame,
+      aCol: String, bCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = nearDupPairs.select(
+      least(col(aCol), col(bCol)).as("_lo"),
+      greatest(col(aCol), col(bCol)).as("_hi"))
+    val kept = candidates
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(pairs,
+        least(col("query_id"), col("doc_id")) === col("_lo") &&
+          greatest(col("query_id"), col("doc_id")) === col("_hi"),
+        "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    kept.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        col("neg_rank").cast("int").as("neg_rank"))
   }
 
   /** Derive a deterministic query set from the corpus itself: every

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.functions.Retrieval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming face of the BM25 retrieval index
+ * ([[graft.functions.Retrieval]], queries r1/r2) — incremental
+ * posting-list maintenance with batch-identical reads:
+ *
+ *  - **Posting store**: each micro-batch appends its per-doc
+ *    `(doc_id, term, tf)` rows stamped with the batch id; document
+ *    lengths `(doc_id, dl)` append beside them (blank docs included,
+ *    dl = 0 — corpus size N counts them exactly like the batch
+ *    operator). Both stores reuse [[SketchCompaction]]: replays of a
+ *    batch collapse by fact identity + batch id, replays below the
+ *    compaction high-water mark are excluded, and [[compact]] folds
+ *    history into a `_SUCCESS`-gated base so the store's file count
+ *    is bounded by fold cadence, not stream age. The postings
+ *    themselves grow with the corpus — that is the index's job — but
+ *    never with replay count or batch count.
+ *  - **Reads**: [[topK]] feeds the collapsed index straight into
+ *    [[Retrieval.bm25TopKFromIndex]], so a streamed store serves
+ *    BIT-IDENTICAL rankings to [[Retrieval.bm25TopK]] over the same
+ *    documents — idf, length normalization and the exact-BIGINT
+ *    micro-scores all recompute from the live index at read time
+ *    (corpus-level stats are read-time aggregates; nothing stale is
+ *    cached in the store).
+ *
+ * Append-only corpus semantics: a doc_id re-shipped in a LATER batch
+ * (not a replay) would double its postings — upstream dedup owns that
+ * concern, exactly where [[StreamingCorpusIngest]] puts it (quality
+ * gate → exact dedup → near-dedup → decontaminate → THEN index).
+ */
+object StreamingRetrieval {
+
+  private def postingsPath(dir: String) = s"$dir/postings"
+  private def doclenPath(dir: String) = s"$dir/doclen"
+
+  /** One batch → its stamped posting + doclen facts. Pure;
+   * spec-drivable. Schemas match the [[SketchCompaction]] counters
+   * contract (value rides in `n`). */
+  def batchFacts(batch: DataFrame, keyCol: String, textCol: String,
+      batchId: Long): (DataFrame, DataFrame) = {
+    val (tf, dl) = Retrieval.postingsOf(batch, keyCol, textCol)
+    (tf.select(col("doc_id"), col("term"), col("tf").as("n"))
+       .withColumn("batch_id", lit(batchId)),
+     dl.select(col("doc_id"), col("dl").as("n"))
+       .withColumn("batch_id", lit(batchId)))
+  }
+
+  /** Append one micro-batch's facts to the store. */
+  def processBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
+      textCol: String, dir: String, batchId: Long): Unit = {
+    val (tfFacts, dlFacts) = batchFacts(batch, keyCol, textCol, batchId)
+    tfFacts.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(postingsPath(dir))
+    dlFacts.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(doclenPath(dir))
+  }
+
+  /** The live collapsed index: (doc_id, term, tf) and (doc_id, dl) —
+   * replay-collapsed, base + facts-since-fold. */
+  def index(dir: String)(implicit spark: SparkSession): (DataFrame, DataFrame) =
+    (SketchCompaction.counters(postingsPath(dir), Nil, Seq("doc_id", "term"))
+       .select(col("doc_id"), col("term"), col("n").as("tf")),
+     SketchCompaction.counters(doclenPath(dir), Nil, Seq("doc_id"))
+       .select(col("doc_id"), col("n").as("dl")))
+
+  /** BM25 top-k off the streamed store — bit-identical to
+   * [[Retrieval.bm25TopK]] over the same appended documents. */
+  def topK(spark: SparkSession, dir: String, queries: DataFrame,
+      qKeyCol: String, qTermsCol: String, k: Int,
+      maxDfFrac: Double = 0.5): DataFrame = {
+    implicit val s: SparkSession = spark
+    val (tf, dl) = index(dir)
+    Retrieval.bm25TopKFromIndex(tf, dl, queries, qKeyCol, qTermsCol, k, maxDfFrac)
+  }
+
+  /** Fold both fact stores into their compacted bases; [[index]] (and
+   * therefore [[topK]]) is invariant across the fold. Same reader
+   * quiesce requirement as [[SketchCompaction.compact]]. */
+  def compact(dir: String)(implicit spark: SparkSession): Unit = {
+    SketchCompaction.compact(postingsPath(dir), Nil, Seq("doc_id", "term"))
+    SketchCompaction.compact(doclenPath(dir), Nil, Seq("doc_id"))
+  }
+
+  /** One-attach streaming index maintenance: append each micro-batch's
+   * facts, folding the store every `compactEvery` batches (0 = never). */
+  def attach(stream: DataFrame, keyCol: String, textCol: String,
+      dir: String, checkpoint: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        implicit val s: SparkSession = batch.sparkSession
+        processBatch(s, batch, keyCol, textCol, dir, batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compact(dir)
+      }
+      .start()
+}

@@ -285,6 +285,14 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("hard-negative mining anti-joins hash-style and heap-reranks (R3)") {
+    val p = plan("r3_hard_negatives")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+  }
+
   test("BM25 top-k is WindowGroupLimit-pruned, no cartesian (R1)") {
     // candidates must come from the inverted-index equi-join on term
     // (query terms × posting lists), and the per-query top-k must be

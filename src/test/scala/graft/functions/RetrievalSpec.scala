@@ -134,6 +134,21 @@ class RetrievalSpec extends SparkTestBase {
     assert(x == y)
   }
 
+  test("hardNegatives drops self + near-dups in either orientation, re-ranks densely") {
+    val cands = Seq(
+      (1L, 1L, 500L, 1),  // self — dropped
+      (1L, 2L, 400L, 2),  // near-dup of 1 (pair 1<2) — dropped
+      (1L, 3L, 300L, 3),  // kept → neg_rank 1
+      (1L, 4L, 300L, 4),  // kept, score tie → doc_id breaks → neg_rank 2
+      (1L, 5L, 100L, 5),  // near-dup listed reversed (5,1) — dropped
+      (1L, 6L, 50L, 6))   // kept → neg_rank 3
+      .toDF("query_id", "doc_id", "score_micro", "rank")
+    val pairs = Seq((1L, 2L), (5L, 1L)).toDF("doc_a", "doc_b")
+    val out = Retrieval.hardNegatives(cands, pairs, "doc_a", "doc_b", k = 2)
+      .select("doc_id", "neg_rank").as[(Long, Int)].collect().toSet
+    assert(out == Set((3L, 1), (4L, 2))) // k=2 caps doc 6 out
+  }
+
   test("staged tf cache is released after the call") {
     val before = spark.sparkContext.getPersistentRDDs.size
     Retrieval.bm25TopK(docs, "doc_id", "text", q("zebra"),
