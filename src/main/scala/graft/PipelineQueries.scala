@@ -621,6 +621,21 @@ object PipelineQueries {
       Retrieval.hardNegatives(cands, pairs, "doc_a", "doc_b", k = 10)
     }),
 
+    // R4: self-retrieval reciprocal rank — the retrieval-quality eval:
+    // every r1 query derives from a document, so that document should
+    // come back near rank 1; rr_micro = ⌊10⁶/rank⌋ per query (exact
+    // integers — average for MRR), a missing query row means its doc
+    // fell out of the top-k entirely. k=50: the synthetic corpus's
+    // ~40-word vocabulary makes 8-token queries weakly discriminative
+    // (at k=10 only one self-hit survives — the eval WORKING as
+    // intended, and exactly why this metric belongs on a corpus card).
+    "r4_self_retrieval_rr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.selfRetrievalRR(Retrieval.bm25TopK(docs, "doc_id", "text",
+        Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
+        k = 50, maxDfFrac = 1.0))
+    }),
+
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
     // deterministically AUGMENTED with synthetic PII derived from
     // doc_id (same construction in the oracle) so the redaction is
@@ -1868,6 +1883,15 @@ object PipelineQueries {
          |        AND j.doc_b = greatest(l.query_id, l.doc_id)))
          |SELECT query_id, doc_id, score_micro, neg_rank FROM mined
          |WHERE neg_rank <= 10""".stripMargin,
+
+    // r4: the lexr chain filtered to self-hits within the top-10,
+    // rr_micro one IEEE division behind a floor
+    "r4_self_retrieval_rr" ->
+      s"""WITH $bm25CtesSql
+         |SELECT query_id, rank AS self_rank,
+         |  CAST(floor(1000000.0 / CAST(rank AS DOUBLE)) AS BIGINT) AS rr_micro
+         |FROM lexr
+         |WHERE doc_id = query_id AND rank <= 50""".stripMargin,
 
     // r2: the lexical chain above fused with the brute-force cosine
     // arm over the same query ids; per-arm contribution

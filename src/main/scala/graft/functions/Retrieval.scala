@@ -169,6 +169,49 @@ object Retrieval {
   }
 
   /**
+   * Materialize the inverted index as BUCKETED tables — the standing
+   * serve path for a repeated query workload ([[SCALE.md]]'s "pay the
+   * tokenize once" recipe). Postings bucket+sort on `term`: the
+   * vocabulary-sized df aggregation then reads pre-clustered buckets
+   * with NO exchange (the WarehouseSpec bucketed-agg property), and
+   * only matched posting rows ever shuffle at query time. Doc lengths
+   * bucket on `doc_id` for the same reason on their join key. Pay
+   * tokenize + two clustered writes once; serve from
+   * [[bm25TopKFromTables]] after.
+   */
+  def writeIndexTables(docs: DataFrame, keyCol: String, textCol: String,
+      name: String, buckets: Int = 32): Unit = {
+    val (tf, dl) = postingsOf(docs, keyCol, textCol)
+    tf.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_postings")
+    dl.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "doc_id")
+      .saveAsTable(s"${name}_doclen")
+  }
+
+  /** BM25 top-k served from [[writeIndexTables]] output — identical
+   * rankings to [[bm25TopK]] over the corpus the index was built
+   * from, without re-tokenizing anything. */
+  def bm25TopKFromTables(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, qKeyCol: String, qTermsCol: String,
+      k: Int, maxDfFrac: Double = 0.5): DataFrame =
+    bm25TopKFromIndex(spark.table(s"${name}_postings"),
+      spark.table(s"${name}_doclen"), queries, qKeyCol, qTermsCol, k, maxDfFrac)
+
+  /** Self-retrieval reciprocal rank — the retrieval-quality eval over
+   * a corpus-derived query set (does a document's own query find it,
+   * and at what rank?): one row per query whose source document made
+   * the top-k, rr_micro = ⌊10⁶/rank⌋ (exact integers; average them
+   * for MRR). A missing row IS the signal — the self doc fell out of
+   * the top-k entirely. */
+  def selfRetrievalRR(topk: DataFrame): DataFrame =
+    topk.filter(col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("rank").as("self_rank"),
+        floor(lit(1000000.0) / col("rank").cast("double")).cast("long")
+          .as("rr_micro"))
+
+  /**
    * Reciprocal-rank fusion of ranked retrieval arms — the standard
    * hybrid-retrieval combiner (lexical BM25 × dense ANN is the RAG /
    * hard-negative-mining workhorse). Each arm is a (query_id, doc_id,

@@ -149,6 +149,38 @@ class RetrievalSpec extends SparkTestBase {
     assert(out == Set((3L, 1), (4L, 2))) // k=2 caps doc 6 out
   }
 
+  test("bucketed index tables serve identical rankings; bucket agg is exchange-free") {
+    val d = docs
+    Retrieval.writeIndexTables(d, "doc_id", "text", "rix_test", buckets = 4)
+    val q = Seq((100L, Seq("zebra", "gamma", "beta"))).toDF("query_id", "terms")
+    val direct = Retrieval.bm25TopK(d, "doc_id", "text", q, "query_id", "terms", k = 10)
+      .collect().toSet
+    val served = Retrieval.bm25TopKFromTables(spark, "rix_test", q,
+      "query_id", "terms", k = 10).collect().toSet
+    assert(served === direct)
+    // the writer's layout property: the vocabulary-sized term agg over
+    // the bucketed postings needs NO exchange
+    val agg = spark.table("rix_test_postings").groupBy(col("term")).count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+    spark.sql("DROP TABLE rix_test_postings")
+    spark.sql("DROP TABLE rix_test_doclen")
+    spark.catalog.clearCache()
+  }
+
+  test("selfRetrievalRR: exact reciprocal micro-ranks; absent = fell out of top-k") {
+    val topk = Seq(
+      (1L, 1L, 900L, 1),  // self at rank 1 → rr 1000000
+      (1L, 9L, 800L, 2),
+      (2L, 5L, 700L, 1),
+      (2L, 2L, 600L, 3))  // self at rank 3 → rr 333333
+      .toDF("query_id", "doc_id", "score_micro", "rank")
+    val out = Retrieval.selfRetrievalRR(topk)
+      .select("query_id", "self_rank", "rr_micro").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(out == Set((1L, 1, 1000000L), (2L, 3, 333333L)))
+  }
+
   test("staged tf cache is released after the call") {
     val before = spark.sparkContext.getPersistentRDDs.size
     Retrieval.bm25TopK(docs, "doc_id", "text", q("zebra"),
