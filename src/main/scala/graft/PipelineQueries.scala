@@ -209,7 +209,12 @@ object PipelineQueries {
 
   /** [[bm25CtesSql]] minus the leading toks CTE — for composition
    * with chains that already carry it (shingleCte in r3). */
-  private def bm25BodySql: String =
+  private def bm25BodySql: String = bm25BodySql("")
+
+  /** `candFilter` (e.g. "AND tf.doc_id IN (...)") restricts the
+   * CANDIDATE join only — N/S/df stay global, mirroring
+   * Retrieval.bm25TopKFiltered's semi-join placement. */
+  private def bm25BodySql(candFilter: String): String =
     s"""dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
        |nn AS (SELECT (SELECT count(*) FROM documents) AS n,
        |              (SELECT sum(dl) FROM dl) AS s),
@@ -234,6 +239,7 @@ object PipelineQueries {
        |  JOIN tf USING (term)
        |  JOIN idf USING (term)
        |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  WHERE 1 = 1 $candFilter
        |  GROUP BY 1, 2),
        |lexr AS (
        |  SELECT query_id, doc_id, score_micro,
@@ -634,6 +640,21 @@ object PipelineQueries {
       Retrieval.selfRetrievalRR(Retrieval.bm25TopK(docs, "doc_id", "text",
         Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
         k = 50, maxDfFrac = 1.0))
+    }),
+
+    // R5: metadata-filtered retrieval — the lexical analogue of n11's
+    // filtered ANN: candidates restricted to four sources via a
+    // LeftSemi on the posting side, N/S/df GLOBAL so scores are
+    // filter-invariant (a doc scores identically inside and outside
+    // the filter — the contract that makes filtered results
+    // comparable to unfiltered ones).
+    "r5_bm25_filtered" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val allowed = docs.filter(col("source")
+        .isin("src1", "src3", "src5", "src7"))
+      Retrieval.bm25TopKFiltered(docs, "doc_id", "text", allowed, "doc_id",
+        Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
+        k = 10, maxDfFrac = 1.0)
     }),
 
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
@@ -1892,6 +1913,14 @@ object PipelineQueries {
          |  CAST(floor(1000000.0 / CAST(rank AS DOUBLE)) AS BIGINT) AS rr_micro
          |FROM lexr
          |WHERE doc_id = query_id AND rank <= 50""".stripMargin,
+
+    // r5: same chain with the candidate filter on the sc join only —
+    // stats CTEs untouched, mirroring the semi-join placement
+    "r5_bm25_filtered" ->
+      s"""WITH $toksCte,
+         |${bm25BodySql("AND tf.doc_id IN (SELECT doc_id FROM documents WHERE source IN ('src1','src3','src5','src7'))")}
+         |SELECT query_id, doc_id, score_micro, rank FROM lexr
+         |WHERE rank <= 10""".stripMargin,
 
     // r2: the lexical chain above fused with the brute-force cosine
     // arm over the same query ids; per-arm contribution

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -84,12 +84,7 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, keyCol: String, textCol: String,
       queries: DataFrame, qKeyCol: String, qTermsCol: String,
       k: Int, maxDfFrac: Double = 0.5): DataFrame = {
-    val toks = docs.select(col(keyCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("_t"))
-    val dl = toks.select(col("doc_id"), size(col("_t")).cast("long").as("dl"))
-    val tf = toks.select(col("doc_id"), explode(col("_t")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val (tf, dl) = postingsOf(docs, keyCol, textCol)
     bm25TopKFromIndex(tf, dl, queries, qKeyCol, qTermsCol, k, maxDfFrac)
   }
 
@@ -116,7 +111,33 @@ object Retrieval {
    */
   def bm25TopKFromIndex(tfIn: DataFrame, dl: DataFrame,
       queries: DataFrame, qKeyCol: String, qTermsCol: String,
+      k: Int, maxDfFrac: Double = 0.5): DataFrame =
+    bm25Impl(tfIn, dl, None, queries, qKeyCol, qTermsCol, k, maxDfFrac)
+
+  /**
+   * Metadata-filtered BM25 — the lexical analogue of the filtered-ANN
+   * contract (n11): rank only documents in `allowed` (any DataFrame
+   * with a doc-key column), while corpus statistics (N, S, df) stay
+   * GLOBAL — a filter restricts the candidates, it never re-derives
+   * the scoring space, so a document's score is filter-invariant.
+   * The allowed set enters as a LeftSemi on the posting side BEFORE
+   * the query join: disallowed postings never reach scoring, and at
+   * scale the semi-join key is the doc id — the same partitioning the
+   * posting store already has.
+   */
+  def bm25TopKFiltered(docs: DataFrame, keyCol: String, textCol: String,
+      allowed: DataFrame, allowedKeyCol: String,
+      queries: DataFrame, qKeyCol: String, qTermsCol: String,
       k: Int, maxDfFrac: Double = 0.5): DataFrame = {
+    val (tf, dl) = postingsOf(docs, keyCol, textCol)
+    bm25Impl(tf, dl, Some(allowed.select(col(allowedKeyCol).as("doc_id"))),
+      queries, qKeyCol, qTermsCol, k, maxDfFrac)
+  }
+
+  private def bm25Impl(tfIn: DataFrame, dl: DataFrame,
+      allowed: Option[DataFrame],
+      queries: DataFrame, qKeyCol: String, qTermsCol: String,
+      k: Int, maxDfFrac: Double): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDfFrac > 0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
@@ -141,8 +162,11 @@ object Retrieval {
     val qterms = queries.select(col(qKeyCol).as("query_id"),
       explode(array_distinct(col(qTermsCol))).as("term"))
 
-    // inverted-index join: query terms × (guarded) posting lists
-    val posting = tf.join(dfreq, Seq("term")).join(dl, Seq("doc_id"))
+    // inverted-index join: query terms × (guarded) posting lists.
+    // A filter prunes candidate postings EARLIEST (LeftSemi on the
+    // doc key) — stats above stay global, per the filtered contract.
+    val candTf = allowed.fold(tf)(a => tf.join(a, Seq("doc_id"), "left_semi"))
+    val posting = candTf.join(dfreq, Seq("term")).join(dl, Seq("doc_id"))
     val matched = qterms.join(posting, Seq("term"))
 
     // per-term micro-score — every float op is one IEEE step over

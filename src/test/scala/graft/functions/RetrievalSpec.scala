@@ -181,6 +181,23 @@ class RetrievalSpec extends SparkTestBase {
     assert(out == Set((1L, 1, 1000000L), (2L, 3, 333333L)))
   }
 
+  test("filtered retrieval: only allowed docs rank; scores filter-invariant") {
+    val qs = q("zebra", "gamma")
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text", qs,
+      "query_id", "terms", k = 10)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    val allowed = docs.filter(col("doc_id").isin(2L, 3L, 5L))
+    val filt = Retrieval.bm25TopKFiltered(docs, "doc_id", "text",
+      allowed, "doc_id", qs, "query_id", "terms", k = 10)
+      .select("doc_id", "score_micro", "rank").as[(Long, Long, Int)]
+      .collect()
+    assert(filt.map(_._1).toSet.subsetOf(Set(2L, 3L, 5L)))
+    // global stats: a doc's score is identical inside the filter
+    for ((id, sm, _) <- filt) assert(sm == full(id), s"doc $id: $sm != ${full(id)}")
+    // ranks are dense over the filtered set
+    assert(filt.map(_._3).sorted.toSeq == (1 to filt.length))
+  }
+
   test("staged tf cache is released after the call") {
     val before = spark.sparkContext.getPersistentRDDs.size
     Retrieval.bm25TopK(docs, "doc_id", "text", q("zebra"),
