@@ -1106,24 +1106,60 @@ object PipelineQueries {
       // composite vec_id = media_id·8 + frame_idx (frame_idx < 8)
       val frameMedia = frames.map(f => Multimodal.MediaRow(
         f.media_id * 8 + f.frame_idx, "frame/window", f.frame_png, 0, 0))
-      // PERSIST + force the embedded frame corpus BEFORE the LSH
-      // self-join: embeddingNearDupPairs projects its input into both
-      // join sides, and without a materialized boundary the whole
-      // decode → frame-map → model-forward lineage (four Dataset
-      // ser/de hops + the per-frame forward pass, the dominant cost
-      // of this pipeline) executes once PER SIDE — semDedupMedia's
-      // persist discipline (EmbeddingModel.scala), applied here. The
-      // eager count materializes the cache so the expensive lineage
-      // runs exactly once; both join sides then read InMemoryTableScan
-      // (plan-asserted in PlanSpec). Verify/Bench clearCache() drops
-      // the blocks per query.
-      val emb = graft.functions.EmbeddingPipeline.asCorpus(
-        graft.functions.EmbeddingPipeline.embedMedia(frameMedia,
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // DEDUP-FIRST (the e12 composition applied at the FRAME level):
+      // identical frame payloads collapse to one representative BEFORE
+      // the model forward + LSH, and pairs expand back afterwards.
+      // Under the sf1 10-way-clone regime the direct LSH paid the
+      // forward pass per clone AND a quadratic per-bucket blowup —
+      // measured 219 s at sf1 vs 0.77 s at sf0.1. The pair set and
+      // every cosine are UNCHANGED: clones have bit-identical
+      // embeddings (deterministic model), so expanded cross-group
+      // pairs carry the identical rounded cosine, and within-group
+      // pairs get round(cos(v, v), 6) — exactly the value (and
+      // threshold verdict) the direct self-join computes for an
+      // identical-vector pair.
+      val mem = frameMedia.toDF()
+        .select(col("media_id").as("id"), md5(col("payload")).as("_dg"))
+      val groups = mem.groupBy(col("_dg")).agg(min(col("id")).as("_rep"))
+      val members = mem.join(groups, Seq("_dg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      members.count()
+      val repMedia = frameMedia.toDF()
+        .join(groups.select(col("_rep").as("media_id")), Seq("media_id"), "left_semi")
+        .as[Multimodal.MediaRow]
+      // PERSIST + force the embedded representative corpus BEFORE the
+      // LSH self-join: embeddingNearDupPairs projects its input into
+      // both join sides, and without a materialized boundary the whole
+      // decode → frame-map → model-forward lineage executes once PER
+      // SIDE — semDedupMedia's persist discipline. Both join sides
+      // then read InMemoryTableScan (plan-asserted in PlanSpec);
+      // Verify/Bench clearCache() drops the blocks per query.
+      val embReps = graft.functions.EmbeddingPipeline.asCorpus(
+        graft.functions.EmbeddingPipeline.embedMedia(repMedia,
           graft.functions.HashProjectionLoader(dimIn = 16, dimOut = 8, seed = 7)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      emb.count()
-      val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      embReps.count()
+      val repPairs = Dedup.embeddingNearDupPairs(embReps, "vec_id", "embedding",
         dim = 8, threshold = 0.98, planes = 8)
+      // expand: cross-group pairs to every member combination (same
+      // cosine — identical vectors), within-group pairs at the rep's
+      // own self-cosine gated by the same threshold (an all-zero
+      // embedding must NOT pair, exactly like the direct join)
+      val cross = repPairs
+        .join(members.select(col("_rep").as("doc_a"), col("id").as("_ia")), Seq("doc_a"))
+        .join(members.select(col("_rep").as("doc_b"), col("id").as("_ib")), Seq("doc_b"))
+        .select(least(col("_ia"), col("_ib")).as("doc_a"),
+          greatest(col("_ia"), col("_ib")).as("doc_b"), col("cosine"))
+      val selfCos = embReps.select(col("vec_id").as("_rep"),
+        round(Similarity.cosine(col("embedding"), col("embedding")), 6).as("_c"))
+      val within = members.select(col("_dg"), col("_rep"), col("id").as("_ia"))
+        .join(members.select(col("_dg"), col("id").as("_ib")), Seq("_dg"))
+        .filter(col("_ia") < col("_ib"))
+        .join(selfCos, Seq("_rep"))
+        .filter(col("_c") >= 0.98)
+        .select(col("_ia").as("doc_a"), col("_ib").as("doc_b"), col("_c").as("cosine"))
+      val pairs = cross.unionByName(within)
       pairs
         .withColumn("video_a", (col("doc_a") / 8).cast("long"))
         .withColumn("video_b", (col("doc_b") / 8).cast("long"))
