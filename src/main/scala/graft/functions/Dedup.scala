@@ -415,11 +415,12 @@ object Dedup {
 
   /** Clone mass of a corpus in [0,1]: 1 − distinct-digest/total, from
    * ONE map-side-partial pass (count + HLL over md5(text) — no
-   * shuffle of texts, ~2 % relative error, plenty for a dispatch
-   * threshold). The probe [[nearDupAuto]] dispatches on. */
+   * shuffle of texts, ~2 % relative error via an explicit rsd, plenty
+   * for a dispatch threshold). The probe [[nearDupAuto]] dispatches
+   * on. */
   def cloneRatio(df: DataFrame, textCol: String): Double = {
     val r = df.agg(count(lit(1)).as("n"),
-      approx_count_distinct(md5(col(textCol))).as("d")).head()
+      approx_count_distinct(md5(col(textCol)), 0.02).as("d")).head()
     val total = r.getLong(0)
     if (total == 0L) 0.0 else 1.0 - r.getLong(1).toDouble / total
   }

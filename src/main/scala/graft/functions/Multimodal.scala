@@ -708,16 +708,27 @@ object Multimodal {
       val p = m.payload
       def is(sig: String) = p.length >= sig.length &&
         sig.zipWithIndex.forall { case (c, i) => (p(i) & 0xff) == c.toInt }
-      if (is("GIF8")) gifDigestOf(m.media_id, p)
-      else if (p.length >= 8 && (p(0) & 0xff) == 0x89 &&
-          p(1) == 'P' && p(2) == 'N' && p(3) == 'G') imageDigestOf(m.media_id, p)
-      else if (is("RIFF")) audioDigestOf(m.media_id, p)
-      else CodecDigest(m.media_id, "binary", 0, 0, 0, p.length.toLong)
+      // A corrupt payload behind VALID magic (truncated PNG, bad RIFF
+      // chunk) makes the codec throw — or ImageIO.read return null —
+      // so the whole dispatch degrades to the binary row on ANY decode
+      // failure, not just unknown magic: one bad record never fails
+      // the batch.
+      try {
+        if (is("GIF8")) gifDigestOf(m.media_id, p)
+        else if (p.length >= 8 && (p(0) & 0xff) == 0x89 &&
+            p(1) == 'P' && p(2) == 'N' && p(3) == 'G') imageDigestOf(m.media_id, p)
+        else if (is("RIFF")) audioDigestOf(m.media_id, p)
+        else CodecDigest(m.media_id, "binary", 0, 0, 0, p.length.toLong)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          CodecDigest(m.media_id, "binary", 0, 0, 0, p.length.toLong)
+      }
     }
   }
 
   private def imageDigestOf(id: Long, p: Array[Byte]): CodecDigest = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    require(img != null, s"undecodable image payload for id $id")
     val w = img.getWidth; val h = img.getHeight
     var s = 0L; var y = 0
     while (y < h) {
@@ -754,6 +765,9 @@ object Multimodal {
 
   private def gifDigestOf(id: Long, p: Array[Byte]): CodecDigest = {
     val n = videoFrameCount(p)
+    // zero decodable frames behind GIF magic = corrupt container; the
+    // codecDigest dispatch catches this into the binary row
+    require(n > 0, s"no decodable GIF frames for id $id")
     val frames = videoFrames(p, n)
     var w = 0; var h = 0; var s = 0L
     frames.foreach { png =>

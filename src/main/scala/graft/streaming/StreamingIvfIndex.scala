@@ -232,12 +232,18 @@ object StreamingIvfIndex {
     // while the ASSIGNMENT below still covers the full corpus. k still
     // derives from the FULL corpus size: cell granularity must track
     // the data the index serves, not the sample that seeded it.
-    val fitCorpus =
+    val sampled =
       if (fitSampleFrac >= 1.0) corpus
       else graft.functions.TextAnalysis.deterministicSample(
         corpus, col("vec_id").cast("string"), fitSampleFrac)
     val k = if (nClusters > 0) nClusters
       else Similarity.adaptiveCellCount(corpus.count())
+    // k derives from the FULL corpus; a small fitSampleFrac can leave
+    // the sample with < k vectors (KMeans then fails or degenerates).
+    // Fall back to the full corpus in that case — the sample exists
+    // only to cut the fit bill, never to change what k fits.
+    val fitCorpus =
+      if ((fitSampleFrac < 1.0) && sampled.count() < k) corpus else sampled
     val centroids = Similarity.fitIvfCentroids(fitCorpus, k)
     centroids.toDF("cell", "center")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/centroids")

@@ -61,20 +61,34 @@ object StreamingRetrieval {
   }
 
   /** The live collapsed index: (doc_id, term, tf) and (doc_id, dl) —
-   * replay-collapsed, base + facts-since-fold. */
-  def index(dir: String)(implicit spark: SparkSession): (DataFrame, DataFrame) =
-    (SketchCompaction.counters(postingsPath(dir), Nil, Seq("doc_id", "term"))
+   * replay-collapsed, base + facts-since-fold. `snapshot = true`
+   * materializes both sides ([[SketchCompaction.countersSnapshot]])
+   * so the result survives a concurrent [[compact]] — the
+   * fold-while-serving read path; the default lazy plan is cheaper
+   * but carries the counters read-quiesce requirement (a fold between
+   * plan construction and action deletes the listed fact files). */
+  def index(dir: String, snapshot: Boolean = false)(
+      implicit spark: SparkSession): (DataFrame, DataFrame) = {
+    val read: (String, Seq[String]) => DataFrame =
+      if (snapshot) SketchCompaction.countersSnapshot(_, Nil, _)
+      else SketchCompaction.counters(_, Nil, _)
+    (read(postingsPath(dir), Seq("doc_id", "term"))
        .select(col("doc_id"), col("term"), col("n").as("tf")),
-     SketchCompaction.counters(doclenPath(dir), Nil, Seq("doc_id"))
+     read(doclenPath(dir), Seq("doc_id"))
        .select(col("doc_id"), col("n").as("dl")))
+  }
 
   /** BM25 top-k off the streamed store — bit-identical to
-   * [[Retrieval.bm25TopK]] over the same appended documents. */
+   * [[Retrieval.bm25TopK]] over the same appended documents. Reads a
+   * SNAPSHOT of the store ([[index]] with `snapshot = true`): an
+   * [[attach]]-driven fold running mid-query can neither fail the
+   * ranking with a FileNotFoundException nor silently drop
+   * just-folded batches from it. */
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
       qKeyCol: String, qTermsCol: String, k: Int,
       maxDfFrac: Double = 0.5): DataFrame = {
     implicit val s: SparkSession = spark
-    val (tf, dl) = index(dir)
+    val (tf, dl) = index(dir, snapshot = true)
     Retrieval.bm25TopKFromIndex(tf, dl, queries, qKeyCol, qTermsCol, k, maxDfFrac)
   }
 

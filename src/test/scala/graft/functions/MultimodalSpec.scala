@@ -278,4 +278,26 @@ class MultimodalSpec extends SparkTestBase {
     val fallback = Multimodal.codecDigest(junk).head()
     assert(fallback.modality == "binary" && fallback.pix_sum == 4L)
   }
+
+  test("codecDigest: corrupt payloads behind VALID magic degrade per record") {
+    import spark.implicits._
+    // valid PNG magic, garbage body (ImageIO.read returns null);
+    // valid RIFF magic, truncated body (javax.sound throws); a real
+    // PNG rides in the same batch and must still decode
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    val riffMagic = "RIFF1234".getBytes ++ Array[Byte](9, 9)
+    val gifMagic = "GIF89a".getBytes ++ Array[Byte](0, 0)
+    val good = Multimodal.syntheticCodecCorpus(spark, Seq(0L).toDF("doc_id")).collect().head
+    val batch = Seq(
+      Multimodal.MediaRow(1L, "image/png", pngMagic, 0, 0),
+      Multimodal.MediaRow(2L, "audio/wav", riffMagic, 0, 0),
+      Multimodal.MediaRow(3L, "video/gif", gifMagic, 0, 0),
+      good).toDS()
+    val out = Multimodal.codecDigest(batch).collect().map(d => d.media_id -> d).toMap
+    assert(out.size == 4, "one bad record must never fail the batch")
+    assert(out(1L).modality == "binary" && out(1L).pix_sum == pngMagic.length.toLong)
+    assert(out(2L).modality == "binary" && out(2L).pix_sum == riffMagic.length.toLong)
+    assert(out(3L).modality == "binary" && out(3L).pix_sum == gifMagic.length.toLong)
+    assert(out(good.media_id).modality == "image")
+  }
 }

@@ -207,6 +207,17 @@ class StreamingIvfIndexSpec extends SparkTestBase {
     assert(recall >= 0.9, s"sampled-refit recall@5 nProbe=1 weak: $recall")
   }
 
+  test("a sample smaller than k falls back to the full corpus (fit never degenerates)") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-tiny").toString + "/ix"
+    val seed = modeDf(0, 0L until 8L, 0.05).unionByName(modeDf(1, 8L until 16L, 0.05))
+    StreamingIvfIndex.bootstrap(seed, path, nClusters = 4)
+    // frac so small the deterministic sample holds < k (often 0) rows;
+    // the refit must fall back to the full corpus instead of failing
+    StreamingIvfIndex.reindex(spark, path, nClusters = 4, fitSampleFrac = 0.01)
+    assert(Similarity.loadIvfCentroids(spark, path).size === 4)
+    assert(StreamingIvfIndex.servingCorpus(spark, path).count() === 16L)
+  }
+
   test("a mid-swap reindex crash recovers the complete staged index") {
     import org.apache.hadoop.fs.Path
     val path = java.nio.file.Files.createTempDirectory("ivf-rcrash").toString + "/ix"

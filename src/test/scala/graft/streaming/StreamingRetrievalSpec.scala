@@ -84,6 +84,26 @@ class StreamingRetrievalSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("topK survives a fold between plan construction and action (snapshot read)") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-sr-snap").toString + "/ix"
+    corpus.grouped(3).zipWithIndex.foreach { case (b, i) =>
+      StreamingRetrieval.processBatch(spark, docsDf(b), "doc_id", "text", dir, i.toLong)
+    }
+    val expected = batchTopK(corpus)
+    // build the served plan FIRST, then fold — the fold deletes every
+    // fact file the lazy counters plan had listed; the snapshot read
+    // path must still produce the full (fold-invariant) rankings
+    val served = StreamingRetrieval.topK(spark, dir, queries, "query_id", "terms",
+      k = 5, maxDfFrac = 0.6)
+    StreamingRetrieval.compact(dir)
+    assert(served.as[(Long, Long, Long, Int)].collect().toSet === expected)
+    // and the lazy variant stays available for quiesced readers
+    val (tfLazy, _) = StreamingRetrieval.index(dir)
+    assert(tfLazy.count() > 0)
+    spark.catalog.clearCache()
+  }
+
   test("e2e: attach(compactEvery) maintains the index from a stream") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sr-e2e").toString
