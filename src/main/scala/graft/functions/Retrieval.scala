@@ -31,9 +31,13 @@ import org.apache.spark.sql.functions._
  * Engine-portable arithmetic (the [[Dedup.tfidfPairs]] discipline,
  * extended to BM25's rational constants k1 = 1.2, b = 0.75):
  *  - idf_i = ⌊10⁴ · ln((N − df + 0.5)/(df + 0.5) + 1)⌋ — the
- *    Lucene-smoothed Robertson idf, floor-quantized so the only libm
- *    call sits behind an integer boundary (a cross-engine ln
- *    discrepancy would need to exceed ~1e-9 of a boundary to flip it);
+ *    Lucene-smoothed Robertson idf, floor-quantized to an exact
+ *    integer. The ln is the ONE libm call in the chain, and it is
+ *    kept out of cross-engine replay entirely: the oracle generator
+ *    collects [[idfOf]]'s output and inlines the integers as
+ *    literals, so a replaying engine evaluates NO ln — the r11
+ *    driver-gate lesson ([[idfBoundaryMargins]] is the attribution
+ *    diagnostic);
  *  - the per-term score idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
  *    is evaluated as ⌊220·idf_i·tf / (tf + 0.3 + 0.9·(dl·N / S))⌋ —
  *    the numerator is an exact integer (< 2⁵³ for any realistic
@@ -134,30 +138,76 @@ object Retrieval {
       queries, qKeyCol, qTermsCol, k, maxDfFrac)
   }
 
-  private def bm25Impl(tfIn: DataFrame, dl: DataFrame,
-      allowed: Option[DataFrame],
-      queries: DataFrame, qKeyCol: String, qTermsCol: String,
-      k: Int, maxDfFrac: Double): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(maxDfFrac > 0 && maxDfFrac <= 1.0,
-      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
-    // fit-time scalars: corpus size and total token mass (exact longs)
-    val n = dl.count()
-    val s = dl.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
-    require(n > 0 && s > 0, "bm25 needs a non-empty, non-blank corpus")
-
-    val tf = tfIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // document frequency with the stop-term guard; idf floor-quantized
-    // to an exact integer at the only libm boundary in the operator
+  /**
+   * The guarded `(term, idf_i)` table of a corpus: document frequency
+   * with the stop-term guard (df ≤ ⌊N·maxDfFrac⌋), idf floor-quantized
+   * to an exact integer — `idf_i = ⌊10⁴ · ln((N − df + 0.5)/(df + 0.5)
+   * + 1)⌋`, the ONE libm call in the whole BM25 chain. Public because
+   * the oracle generator collects THIS DataFrame and inlines the
+   * resulting integers as literals (the ivfCentroids generated-literal
+   * pattern): the replayed oracle then contains no `ln` at all, so no
+   * cross-engine libm ulp can ever flip a score — the idf boundary is
+   * resolved once, engine-side, and shipped as data.
+   */
+  def idfOf(tf: DataFrame, n: Long, maxDfFrac: Double): DataFrame = {
     val maxDf = math.floor(n * maxDfFrac).toLong
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .withColumn("idf_i",
         floor(lit(1e4) * log(
           (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
             (col("df").cast("double") + lit(0.5)) + lit(1.0))).cast("long"))
       .select(col("term"), col("idf_i"))
+  }
+
+  /**
+   * Boundary-distance diagnostic for [[idfOf]]'s floor quantization:
+   * per guarded term, how far `10⁴·ln(arg)` sits from the nearest
+   * integer boundary (in quantization-step units, 1.0 = one idf_i
+   * step). A cross-engine libm discrepancy of ε ulps can flip a
+   * term's idf_i only if its margin < ~|10⁴·ln(arg)|·ε·2⁻⁵², so a
+   * corpus whose min margin is ≫ 1e-9 is safe under any conforming
+   * libm — and when a flip DOES happen, this table names the term
+   * that moved. Emitted to stderr at oracle-generation time.
+   */
+  def idfBoundaryMargins(tf: DataFrame, n: Long, maxDfFrac: Double): DataFrame = {
+    val maxDf = math.floor(n * maxDfFrac).toLong
+    val f = lit(1e4) * log(
+      (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .withColumn("_f", f)
+      .select(col("term"), col("df"),
+        floor(col("_f")).cast("long").as("idf_i"),
+        least(col("_f") - floor(col("_f")),
+          lit(1.0) - (col("_f") - floor(col("_f")))).as("margin"))
+  }
+
+  private def bm25Impl(tfIn: DataFrame, dlIn: DataFrame,
+      allowed: Option[DataFrame],
+      queries: DataFrame, qKeyCol: String, qTermsCol: String,
+      k: Int, maxDfFrac: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFrac > 0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    // dl's lineage is a full corpus tokenization when it arrives from
+    // postingsOf — persist it across its three consumers (N count, S
+    // sum, posting join) or tokenize runs 3× per call
+    val dl = dlIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fit-time scalars: corpus size and total token mass (exact longs)
+    val (n, s) =
+      try {
+        val nn = dl.count()
+        val ss = dl.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+        require(nn > 0 && ss > 0, "bm25 needs a non-empty, non-blank corpus")
+        (nn, ss)
+      } catch { case t: Throwable => dl.unpersist(false); throw t }
+
+    val tf = tfIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = idfOf(tf, n, maxDfFrac)
 
     val qterms = queries.select(col(qKeyCol).as("query_id"),
       explode(array_distinct(col(qTermsCol))).as("term"))
@@ -185,7 +235,7 @@ object Retrieval {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
-    ownStages(tf)(
+    ownStages(tf, dl)(
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("query_id"), col("doc_id"), col("score_micro"),

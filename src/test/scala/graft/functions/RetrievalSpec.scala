@@ -198,6 +198,39 @@ class RetrievalSpec extends SparkTestBase {
     assert(filt.map(_._3).sorted.toSeq == (1 to filt.length))
   }
 
+  test("idfOf matches the floor-quantized ln formula; margins locate the boundary") {
+    val (tf, dl) = Retrieval.postingsOf(docs, "doc_id", "text")
+    val n = dl.count()
+    val idf = Retrieval.idfOf(tf, n, maxDfFrac = 1.0)
+      .as[(String, Long)].collect().toMap
+    // df per term from first principles
+    val dfm = tf.groupBy("term").count().as[(String, Long)].collect().toMap
+    assert(idf.keySet == dfm.keySet)
+    dfm.foreach { case (t, df) =>
+      val exp = math.floor(1e4 * math.log(
+        (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)).toLong
+      assert(idf(t) == exp, s"term $t df=$df")
+    }
+    // margins: same idf_i, margin in (0, 0.5], and consistent with the
+    // raw value's distance to its floor boundaries — the attribution
+    // diagnostic the oracle generator emits per sf dir
+    val m = Retrieval.idfBoundaryMargins(tf, n, maxDfFrac = 1.0)
+      .as[(String, Long, Long, Double)].collect()
+    assert(m.map(_._1).toSet == dfm.keySet)
+    m.foreach { case (t, df, idfI, margin) =>
+      assert(idfI == idf(t), s"term $t")
+      val f = 1e4 * math.log((n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+      val exp = math.min(f - math.floor(f), 1.0 - (f - math.floor(f)))
+      assert(math.abs(margin - exp) < 1e-9 && margin > 0 && margin <= 0.5, s"term $t")
+    }
+    // the guard applies to margins too: a maxDfFrac that stops a term
+    // removes it from BOTH tables identically
+    val guarded = Retrieval.idfOf(tf, n, maxDfFrac = 0.9).as[(String, Long)].collect().toMap
+    val guardedM = Retrieval.idfBoundaryMargins(tf, n, maxDfFrac = 0.9)
+      .select("term").as[String].collect().toSet
+    assert(guarded.keySet == guardedM && !guarded.contains("alpha"))
+  }
+
   test("staged tf cache is released after the call") {
     val before = spark.sparkContext.getPersistentRDDs.size
     Retrieval.bm25TopK(docs, "doc_id", "text", q("zebra"),
