@@ -1326,19 +1326,17 @@ object PipelineQueries {
     // cartesian); ranking is one window per src vector over its
     // candidates. Ties break (cosine DESC, neighbor ASC) so the graph
     // is deterministic. Generated oracle (centroid literals).
+    // Density-dispatched (knnGraphAuto): a cloneRatio probe collapses
+    // exact-duplicate embeddings to their canonical BEFORE the pair
+    // join when clone mass warrants (the r11 sf1 regime: 10-way
+    // clones made the pair space 100× — e4 ran 7.7× wall for 10×
+    // rows), expanding the surviving edges after; both regimes emit
+    // the identical graph (sub-split + census keyed on canonical
+    // ids, so the layout is clone-invariant — SimilaritySpec pins
+    // regime parity). Generated oracle replays the dedup-first form.
     "e4_knn_graph" -> ((s, d) => {
-      val assigned = Similarity.boundCells(
-        Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d)),
-        MaxCellPairSide)
-      val l = assigned.select(col("subcell"), col("vec_id").as("src"), col("embedding").as("_va"))
-      val r = assigned.select(col("subcell"), col("vec_id").as("dst"), col("embedding").as("_vb"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-      l.join(r, Seq("subcell")).filter(col("src") =!= col("dst"))
-        .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("src"), col("dst"), col("cosine"), col("rank").cast("int").as("rank"))
+      Similarity.knnGraphAuto(Tables.embeddings(s, d), ivfCentroids(s, d),
+        k = 3, maxCellSize = MaxCellPairSide)
     }),
 
     // Graph-centrality curation signal: exact-integer PageRank over
@@ -1348,17 +1346,11 @@ object PipelineQueries {
     // bit-reproducible and the GENERATED oracle replays the identical
     // rounds as unrolled CTEs.
     "e11_knn_pagerank" -> ((s, d) => {
-      val assigned = Similarity.boundCells(
-        Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d)),
-        MaxCellPairSide)
-      val l = assigned.select(col("subcell"), col("vec_id").as("src"), col("embedding").as("_va"))
-      val r = assigned.select(col("subcell"), col("vec_id").as("dst"), col("embedding").as("_vb"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-      val edges = l.join(r, Seq("subcell")).filter(col("src") =!= col("dst"))
-        .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      // edges from the density-dispatched e4 builder — the pagerank
+      // substrate inherits the dedup-first scale fix and the oracle
+      // composes the regenerated e4 SQL
+      val edges = Similarity.knnGraphAuto(Tables.embeddings(s, d),
+          ivfCentroids(s, d), k = 3, maxCellSize = MaxCellPairSide)
         .select(col("src"), col("dst"))
       graft.functions.GraphRank.pageRankMicro(edges, "src", "dst", iterations = 5)
         .select(col("node").as("vec_id"), col("rank_micro"))
@@ -1456,23 +1448,12 @@ object PipelineQueries {
     // one rank window per src — boundary vectors recover their true
     // cross-cell neighbors at a pair cost that stays bounded under
     // mode skew.
+    // Density-dispatched like e4 (the margin ghost probe composes
+    // with the dedup-first collapse because clones share home AND
+    // ghost cells — identical embeddings, identical margin scores).
     "e6_knn_graph_xcell" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val exp = Similarity.boundCells(Similarity.assignCellsWithMargin(
-        emb, ivfCentroids(s, d), XcellMargin), MaxCellPairSide)
-      val cand = exp.select(col("subcell"), col("vec_id").as("src"))
-        .join(exp.select(col("subcell"), col("vec_id").as("dst")), Seq("subcell"))
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-      cand
-        .join(emb.select(col("vec_id").as("src"), col("embedding").as("_va")), Seq("src"))
-        .join(emb.select(col("vec_id").as("dst"), col("embedding").as("_vb")), Seq("dst"))
-        .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("src"), col("dst"), col("cosine"), col("rank").cast("int").as("rank"))
+      Similarity.knnGraphAuto(Tables.embeddings(s, d), ivfCentroids(s, d),
+        k = 3, maxCellSize = MaxCellPairSide, margin = Some(XcellMargin))
     }),
 
     // d9's exact contract at the 100 TB shape: the benchmark side's
@@ -2818,7 +2799,8 @@ object PipelineQueries {
    * home_cell, and `expanded` = home rows plus rank-2 rows within
    * `margin` of the minimum — Similarity.assignCellsWithMargin's
    * exact rule. */
-  private def xcellCtesSql(centroids: Seq[(Int, Seq[Float])], margin: Double): String = {
+  private def xcellCtesSql(centroids: Seq[(Int, Seq[Float])], margin: Double,
+      source: String = "embeddings"): String = {
     def fmt(d: Double) = d.toString
     def vec(c: Seq[Float]) = c.map(x => fmt(x.toDouble)).mkString("[", ", ", "]")
     val rows = centroids.map { case (i, c) =>
@@ -2836,7 +2818,7 @@ object PipelineQueries {
        |    min($d) OVER (PARTITION BY e.vec_id) AS dmin,
        |    first_value(c.cell) OVER (PARTITION BY e.vec_id
        |      ORDER BY $d ASC, c.cell ASC) AS home_cell
-       |  FROM embeddings e CROSS JOIN centroids c),
+       |  FROM $source e CROSS JOIN centroids c),
        |expanded AS (
        |  SELECT neighbor_id, embedding, cell, home_cell FROM assigned2
        |  WHERE rnk = 1 OR (rnk = 2 AND dd - dmin <= $margin)),
@@ -2862,21 +2844,26 @@ object PipelineQueries {
        |FROM (SELECT neighbor_id, home_cell FROM expanded WHERE cell = home_cell) h
        |LEFT JOIN dropped d ON d.vec_id = h.neighbor_id""".stripMargin
 
+  /** e6 generated oracle, dedup-first form: the margin ghost probe
+   * runs over canonical reps only (clones share home AND ghost cells
+   * — identical embeddings, identical margin scores), candidate pairs
+   * dedup across probed sub-cells, then the shared e4 tail. */
   private def knnGraphXcellOracleSql(centroids: Seq[(Int, Seq[Float])],
       margin: Double, k: Int): String =
-    s"""WITH ${xcellCtesSql(centroids, margin)},
+    s"""WITH ${canonCtesSql("embeddings")},
+       |${xcellCtesSql(centroids, margin, source = "repsrc")},
        |cand AS (
-       |  SELECT DISTINCT a.neighbor_id AS src, b.neighbor_id AS dst
+       |  SELECT DISTINCT a.neighbor_id AS sc, b.neighbor_id AS dc
        |  FROM boundedx a JOIN boundedx b
-       |    ON a.subcell = b.subcell AND a.neighbor_id <> b.neighbor_id)
-       |SELECT c.src, c.dst,
-       |  ${cosSql("ea.embedding", "eb.embedding")} AS cosine,
-       |  CAST(row_number() OVER (PARTITION BY c.src
-       |    ORDER BY ${cosSql("ea.embedding", "eb.embedding")} DESC, c.dst) AS INTEGER) AS rank
-       |FROM cand c
-       |JOIN embeddings ea ON ea.vec_id = c.src
-       |JOIN embeddings eb ON eb.vec_id = c.dst
-       |QUALIFY rank <= $k""".stripMargin
+       |    ON a.subcell = b.subcell AND a.neighbor_id <> b.neighbor_id),
+       |cedge AS (
+       |  SELECT c.sc, c.dc,
+       |    ${cosSql("ra.embedding", "rb.embedding")} AS cosine, g.gn AS members
+       |  FROM cand c
+       |  JOIN repsrc ra ON ra.vec_id = c.sc
+       |  JOIN repsrc rb ON rb.vec_id = c.dc
+       |  JOIN gsz g ON g.canon_id = c.dc),
+       |${knnExpandTailSql(k)}""".stripMargin
 
   /** Gopher-rule shared fragments (t21 + the t24 corpus card): the
    * derived-signal CTE (expects `toks` in scope) and each rule's
@@ -2942,13 +2929,71 @@ object PipelineQueries {
        |  ON a.subcell = b.subcell AND a.neighbor_id <> b.neighbor_id
        |QUALIFY rank <= $k""".stripMargin
 
-  /** e4 generated oracle: cell-bounded pairs (n3's assignment CTEs +
-   * the boundCells sub-cell split), per-src rank via QUALIFY with the
-   * same (cosine DESC, dst ASC) tie-break as the Spark window. */
+  /** Exact-clone canonical CTEs for the dedup-first kNN oracles
+   * (mirrors Similarity.withCanonIds): groups keyed on the embedding
+   * VALUE, canonical = min vec_id, reps presented as a
+   * (vec_id, embedding) source for the assignment CTEs. */
+  private def canonCtesSql(source: String): String =
+    s"""canon AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    min(vec_id) OVER (PARTITION BY embedding) AS canon_id
+       |  FROM $source),
+       |gsz AS (SELECT canon_id, count(*) AS gn FROM canon GROUP BY 1),
+       |repsrc AS (
+       |  SELECT canon_id AS vec_id, embedding FROM canon WHERE vec_id = canon_id)""".stripMargin
+
+  /** The dedup-first prune + expand + re-rank tail shared by the e4
+   * and e6 oracles — expects a `cedge(sc, dc, cosine, members)` CTE of
+   * canonical candidate edges (mirrors Similarity.knnGraphCollapsed):
+   * clone mates enter as a self-edge; an edge survives iff fewer than
+   * k candidates rank at STRICTLY higher cosine (integer range frame
+   * over round-6 micro-cosines, ties kept); survivors expand to member
+   * pairs and re-rank on (cosine DESC, dst ASC). */
+  private def knnExpandTailSql(k: Int): String =
+    s"""selfe AS (
+       |  SELECT r.vec_id AS sc, r.vec_id AS dc,
+       |    ${cosSql("r.embedding", "r.embedding")} AS cosine, g.gn - 1 AS members
+       |  FROM repsrc r JOIN gsz g ON g.canon_id = r.vec_id
+       |  WHERE g.gn >= 2),
+       |alledges AS (
+       |  SELECT sc, dc, cosine, members,
+       |    CAST(round(cosine * 1e6, 0) AS BIGINT) AS cos6
+       |  FROM (SELECT * FROM cedge UNION ALL SELECT * FROM selfe)),
+       |kept AS (
+       |  SELECT sc, dc, cosine FROM alledges
+       |  QUALIFY COALESCE(sum(members) OVER (PARTITION BY sc ORDER BY -cos6
+       |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < $k)
+       |SELECT src, dst, cosine,
+       |  CAST(row_number() OVER (PARTITION BY src
+       |    ORDER BY cosine DESC, dst) AS INTEGER) AS rank
+       |FROM (
+       |  SELECT ms.vec_id AS src, md.vec_id AS dst, kk.cosine
+       |  FROM kept kk
+       |  JOIN canon ms ON ms.canon_id = kk.sc
+       |  JOIN canon md ON md.canon_id = kk.dc
+       |  WHERE ms.vec_id <> md.vec_id)
+       |QUALIFY rank <= $k""".stripMargin
+
+  /** e4 generated oracle, dedup-first form (mirrors
+   * Similarity.knnGraphCollapsed — the regime-parity spec proves the
+   * direct regime emits the identical graph, so ONE oracle covers
+   * both): canonical collapse, rep-only assignment + canon-keyed
+   * sub-split (boundedCteSql over reps IS the canon split: its ids
+   * and census rows are exactly the canonicals), canonical edges with
+   * dst member counts, then the shared prune/expand/re-rank tail.
+   * Dedup-first is also what keeps the sf1 clone-regime replay
+   * tractable in DuckDB (the m3 lesson). */
   private def knnGraphOracleSql(centroids: Seq[(Int, Seq[Float])], k: Int): String =
-    s"""WITH ${ivfCtesSql(centroids, nProbe = 1)},
-       |$boundedCteSql
-       |${knnSelectSql(k)}""".stripMargin
+    s"""WITH ${canonCtesSql("embeddings")},
+       |${ivfCtesSql(centroids, nProbe = 1, source = "repsrc")},
+       |$boundedCteSql,
+       |cedge AS (
+       |  SELECT a.neighbor_id AS sc, b.neighbor_id AS dc,
+       |    ${cosSql("a.embedding", "b.embedding")} AS cosine, g.gn AS members
+       |  FROM bounded a JOIN bounded b
+       |    ON a.subcell = b.subcell AND a.neighbor_id <> b.neighbor_id
+       |  JOIN gsz g ON g.canon_id = b.neighbor_id),
+       |${knnExpandTailSql(k)}""".stripMargin
 
   /** e12 generated oracle: d14's canonical verdict (recursive-CTE
    * clusters + quality argmax, embedded as a derived table) gates the

@@ -446,6 +446,180 @@ object Similarity {
       .drop("_cn", "_nsub")
   }
 
+  /**
+   * (vec_id, embedding, canon_id): canonical id = min vec_id among
+   * byte-identical embeddings — the exact-clone collapse key the
+   * dedup-first kNN family groups on. Grouping is by the embedding
+   * VALUE (one shuffle of (embedding, vec_id) keyed on the array), so
+   * the collapse is exact — no digest-collision caveat; at 100 TB
+   * swap the partition key for a 128-bit digest of the raw bytes and
+   * keep the same shape.
+   */
+  def withCanonIds(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("canon_id",
+        min(col("vec_id")).over(Window.partitionBy(col("embedding"))))
+
+  /** Exact-clone mass of an embedding corpus in [0,1] from ONE
+   * map-side-partial pass — [[graft.functions.Dedup.cloneRatio]]'s
+   * probe with xxhash64(embedding) standing in for md5(text) (probe
+   * only: a 64-bit collision can nudge the estimate, never the
+   * output, since the dispatch it feeds is output-invariant). */
+  def embeddingCloneRatio(corpus: DataFrame): Double = {
+    val r = corpus.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(col("embedding")), 0.02).as("d")).head()
+    val total = r.getLong(0)
+    if (total == 0L) 0.0 else 1.0 - r.getLong(1).toDouble / total
+  }
+
+  /** [[boundCells]] with the sub-split keyed on the CANONICAL id and
+   * the census counting DISTINCT canonicals — clone-invariant by
+   * construction: clones share cell, canon hash, and census weight 1,
+   * so the subcell layout of a corpus does not move when clones are
+   * collapsed out or expanded back. Expects `canon_id` on the input;
+   * this invariance is what lets [[knnGraphAuto]]'s two regimes emit
+   * the identical graph. */
+  def boundCellsByCanon(assigned: DataFrame, maxCellSize: Int): DataFrame = {
+    val counts = assigned.groupBy(col("cell"))
+      .agg(countDistinct(col("canon_id")).as("_cn"))
+    assigned.join(broadcast(counts), Seq("cell"))
+      .withColumn("_nsub",
+        ceil(col("_cn").cast("double") / maxCellSize).cast("long"))
+      .withColumn("subcell", concat_ws("_", col("cell"),
+        pmod(Dedup.md5Hash32(col("canon_id").cast("string")), col("_nsub"))))
+      .drop("_cn", "_nsub")
+  }
+
+  /**
+   * Density-dispatched kNN-graph construction — the e4/e6 entry point
+   * with the d16 discipline: one [[embeddingCloneRatio]] probe picks
+   * the regime, and BOTH regimes emit the identical graph, so the
+   * dispatch is unobservable in the output.
+   *
+   * The graph spec (shared by both regimes and the generated oracle):
+   * candidates for vector v are all u ≠ v sharing a (sub)cell —
+   * cells from the literal-centroid argmin ([[assignCells]], or
+   * [[assignCellsWithMargin]] when `margin` is set — the cross-cell
+   * ghost probe), sub-split by [[boundCellsByCanon]]; edges rank per
+   * src by (round-6 cosine DESC, dst ASC), keep rank ≤ k.
+   *
+   * Clone regime (ratio ≥ `cloneRatioFrom`): clones collapse to their
+   * canonical BEFORE the pair join — the Σ|cell|² pair space shrinks
+   * by the square of the clone factor (the r11 sf1 cliff: e6 ran
+   * 12.6× wall for 10× rows because every 10-way clone group
+   * contributed 100× pairs). Canonical edges carry each dst group's
+   * member count; an edge is pruned iff ≥ k candidates sit at
+   * STRICTLY higher cosine (a running-sum range frame — ties kept, so
+   * the id tie-break can never need a pruned edge), then surviving
+   * edges expand to member pairs and re-rank. Clone mates enter as a
+   * self-edge (cosine computed by the same expression over the
+   * identical array, so it equals the direct pair value bit-for-bit).
+   *
+   * Distinct regime: the direct pair join (cheapest when there is
+   * nothing to collapse — the collapse/expand joins would be pure
+   * overhead).
+   */
+  def knnGraphAuto(corpus: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      k: Int, maxCellSize: Int, margin: Option[Double] = None,
+      cloneRatioFrom: Double = 0.10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val canon = withCanonIds(corpus)
+    if (embeddingCloneRatio(corpus) >= cloneRatioFrom)
+      knnGraphCollapsed(canon, centroids, k, maxCellSize, margin)
+    else
+      knnGraphDirect(canon, centroids, k, maxCellSize, margin)
+  }
+
+  /** Canon-annotated (sub)cell assignment shared by the two
+   * [[knnGraphAuto]] regimes: argmin cells (with the optional margin
+   * ghost probe), canonical ids joined back, canon-keyed sub-split. */
+  private def canonBounded(canon: DataFrame, centroids: Seq[(Int, Seq[Float])],
+      maxCellSize: Int, margin: Option[Double]): DataFrame = {
+    val base = canon.select(col("vec_id"), col("embedding"))
+    val assigned = margin match {
+      case None => assignCells(base, centroids)
+      case Some(m) => assignCellsWithMargin(base, centroids, m).drop("home_cell")
+    }
+    boundCellsByCanon(
+      assigned.join(canon.select(col("vec_id"), col("canon_id")), Seq("vec_id")),
+      maxCellSize)
+  }
+
+  private[graft] def knnGraphDirect(canon: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], k: Int, maxCellSize: Int,
+      margin: Option[Double]): DataFrame = {
+    val bounded = canonBounded(canon, centroids, maxCellSize, margin)
+    val l = bounded.select(col("subcell"), col("vec_id").as("src"), col("embedding").as("_va"))
+    val r = bounded.select(col("subcell"), col("vec_id").as("dst"), col("embedding").as("_vb"))
+    val pairs0 = l.join(r, Seq("subcell")).filter(col("src") =!= col("dst"))
+    // the margin expansion can surface one pair from both probed
+    // cells — dedup pairs, then re-join embeddings for the score
+    val pairs = margin match {
+      case None => pairs0.select(col("src"), col("dst"), col("_va"), col("_vb"))
+      case Some(_) =>
+        val emb = canon.select(col("vec_id"), col("embedding"))
+        pairs0.select(col("src"), col("dst")).distinct()
+          .join(emb.select(col("vec_id").as("src"), col("embedding").as("_va")), Seq("src"))
+          .join(emb.select(col("vec_id").as("dst"), col("embedding").as("_vb")), Seq("dst"))
+    }
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    pairs.withColumn("cosine", round(cosine(col("_va"), col("_vb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("cosine"), col("rank").cast("int").as("rank"))
+  }
+
+  private[graft] def knnGraphCollapsed(canon: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], k: Int, maxCellSize: Int,
+      margin: Option[Double]): DataFrame = {
+    val gsz = canon.groupBy(col("canon_id")).agg(count(lit(1)).as("_gn"))
+    val reps = canon.filter(col("vec_id") === col("canon_id"))
+      .select(col("vec_id"), col("embedding"), col("canon_id"))
+    val bounded = canonBounded(reps, centroids, maxCellSize, margin)
+    val l = bounded.select(col("subcell"), col("canon_id").as("_sc"), col("embedding").as("_va"))
+    val r = bounded.select(col("subcell"), col("canon_id").as("_dc"), col("embedding").as("_vb"))
+    val cpairs0 = l.join(r, Seq("subcell")).filter(col("_sc") =!= col("_dc"))
+    val cpairs = margin match {
+      case None => cpairs0.select(col("_sc"), col("_dc"), col("_va"), col("_vb"))
+      case Some(_) =>
+        val re = reps.select(col("canon_id"), col("embedding"))
+        cpairs0.select(col("_sc"), col("_dc")).distinct()
+          .join(re.select(col("canon_id").as("_sc"), col("embedding").as("_va")), Seq("_sc"))
+          .join(re.select(col("canon_id").as("_dc"), col("embedding").as("_vb")), Seq("_dc"))
+    }
+    val cedges = cpairs
+      .withColumn("cosine", round(cosine(col("_va"), col("_vb")), 6))
+      .join(gsz.select(col("canon_id").as("_dc"), col("_gn").as("_members")), Seq("_dc"))
+      .select(col("_sc"), col("_dc"), col("cosine"), col("_members"))
+    // clone mates as a self-edge: every member of a ≥2 group sees the
+    // other gn−1 members at the same-array cosine
+    val selfE = reps.join(gsz, Seq("canon_id")).filter(col("_gn") >= 2)
+      .select(col("canon_id").as("_sc"), col("canon_id").as("_dc"),
+        round(cosine(col("embedding"), col("embedding")), 6).as("cosine"),
+        (col("_gn") - 1).as("_members"))
+    // prune: an edge survives iff fewer than k candidates rank at
+    // STRICTLY higher cosine (round-6 cosines are exact multiples of
+    // 1e-6, so the integer range frame separates ties exactly); ties
+    // at the boundary are kept — the member-id tie-break downstream
+    // may need any of them
+    val edges = cedges.unionByName(selfE)
+      .withColumn("_negc", -round(col("cosine") * lit(1e6), 0).cast("long"))
+    val wPrune = Window.partitionBy(col("_sc")).orderBy(col("_negc"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val kept = edges
+      .withColumn("_higher", coalesce(sum(col("_members")).over(wPrune), lit(0L)))
+      .filter(col("_higher") < k)
+    val members = canon.select(col("canon_id"), col("vec_id"))
+    val expanded = kept
+      .join(members.select(col("canon_id").as("_sc"), col("vec_id").as("src")), Seq("_sc"))
+      .join(members.select(col("canon_id").as("_dc"), col("vec_id").as("dst")), Seq("_dc"))
+      .filter(col("src") =!= col("dst"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    expanded.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("cosine"), col("rank").cast("int").as("rank"))
+  }
+
   /** Query → nProbe nearest cells by cosine-to-centroid. Query side is
    * tiny: explode the per-cell scores and rank.
    * Output: (query_id, _qv, cell). */

@@ -525,4 +525,81 @@ class SimilaritySpec extends SparkTestBase {
       k = 3, nProbe = 1)
     assert(got.count() == 3)
   }
+
+  // ---- knnGraphAuto: the dedup-first kNN-graph dispatch (e4/e6) ----
+
+  // cloned corpus: 40 base vectors from the real test embeddings,
+  // each replicated 1 + (id % 4) times under fresh ids — mixed group
+  // sizes (1..4) exercise self-edges, member expansion, and tie-break
+  // interleaving between clone groups
+  private def clonedCorpus: org.apache.spark.sql.DataFrame = {
+    val base = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 40L)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val rows = base.flatMap { case (id, v) =>
+      (0L to id % 4).map(c => (id + 1000L * (c + 1L), v))
+    } ++ base
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("knnGraphAuto: both regimes emit the identical graph (cloned corpus, e4 form)") {
+    val corpus = clonedCorpus
+    val cen = Similarity.fitIvfCentroids(corpus, nClusters = 4)
+    val canon = Similarity.withCanonIds(corpus)
+    val direct = Similarity.knnGraphDirect(canon, cen, k = 3, maxCellSize = 20, None)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val collapsed = Similarity.knnGraphCollapsed(canon, cen, k = 3, maxCellSize = 20, None)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(direct.nonEmpty)
+    assert(collapsed === direct, "regimes must be unobservable in the output")
+    // the dispatcher picks SOME regime; output must equal both
+    val auto = Similarity.knnGraphAuto(corpus, cen, k = 3, maxCellSize = 20)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(auto === direct)
+    spark.catalog.clearCache()
+  }
+
+  test("knnGraphAuto: regime parity holds under the margin ghost probe (e6 form)") {
+    val corpus = clonedCorpus
+    val cen = Similarity.fitIvfCentroids(corpus, nClusters = 4)
+    val canon = Similarity.withCanonIds(corpus)
+    val m = Some(0.05)
+    val direct = Similarity.knnGraphDirect(canon, cen, k = 3, maxCellSize = 20, m)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val collapsed = Similarity.knnGraphCollapsed(canon, cen, k = 3, maxCellSize = 20, m)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(direct.nonEmpty)
+    assert(collapsed === direct)
+    spark.catalog.clearCache()
+  }
+
+  test("knnGraphAuto: clone mates dominate a clone group's neighbors (self-edge expansion)") {
+    // id 3 has group {3, 1003, 2003, 3003} (3 % 4 = 3 → 3 clones):
+    // every member's top-3 must be its 3 fellow clones at cosine 1.0,
+    // lowest ids first
+    val corpus = clonedCorpus
+    val cen = Similarity.fitIvfCentroids(corpus, nClusters = 4)
+    val out = Similarity.knnGraphAuto(corpus, cen, k = 3, maxCellSize = 20)
+      .filter(col("src").isin(3L, 1003L, 2003L, 3003L))
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(e => (e._2, e._3)).toSeq).toMap
+    val group = Set(3L, 1003L, 2003L, 3003L)
+    group.foreach { id =>
+      val expect = (group - id).toSeq.sorted.map(g => (g, 1.0))
+      assert(out(id) == expect, s"src $id")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("withCanonIds: canonical is the min id per identical embedding; distinct rows self-canon") {
+    val df = Seq(
+      (5L, Seq(1f, 2f)), (9L, Seq(1f, 2f)), (2L, Seq(1f, 2f)),
+      (7L, Seq(3f, 4f)), (8L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    val canon = Similarity.withCanonIds(df)
+      .select("vec_id", "canon_id").as[(Long, Long)].collect().toMap
+    assert(canon == Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 7L -> 7L, 8L -> 8L))
+    // probe: 5 rows, 3 distinct → clone ratio ≈ 0.4 (estimator, wide net)
+    val ratio = Similarity.embeddingCloneRatio(df)
+    assert(ratio > 0.2 && ratio < 0.6, s"got $ratio")
+  }
 }
