@@ -1800,7 +1800,16 @@ object PipelineQueries {
     // ARE the digest's high nibbles), the ±1 HashProjection weights
     // frozen as literals (computed from the same md5 derivation the
     // model uses), fixed-order normalization, then the d5
-    // hyperplane-LSH pair join rolled up per video pair.
+    // hyperplane-LSH pair join rolled up per video pair — in the
+    // engine's DEDUP-FIRST composition: identical frame fingerprints
+    // collapse to one representative BEFORE the embedding chain and
+    // the sig self-join (the fp groups identical payloads exactly
+    // like the engine's payload md5), pairs expand to members after.
+    // Equivalence to the direct join is the engine's argument verbatim
+    // (identical frames → identical embeddings → identical sig and
+    // cosines); the dedup-first form is ALSO what keeps this oracle
+    // replayable at the sf1 clone regime — the direct sig self-join
+    // was the one sweep row DuckDB could not finish at 10×.
     "m3_video_neardup" -> {
       val signs = (0 until 8).map(j => (0 until 16).map(i =>
         graft.functions.HashProjectionModel.signOf(7L, j, i).toInt))
@@ -1830,27 +1839,48 @@ object PipelineQueries {
          |      for j in range(0, least(6, nwin))]) AS u
          |  FROM v),
          |fr AS (SELECT doc_id, u.fi AS frame_idx, md5(u.wx) AS fp FROM fr0),
+         |mem AS (SELECT doc_id * 8 + frame_idx AS id, fp FROM fr),
+         |grp AS MATERIALIZED (SELECT fp, min(id) AS rep FROM mem GROUP BY 1),
+         |memb AS MATERIALIZED (
+         |  SELECT m.id, g.rep FROM mem m JOIN grp g USING (fp)),
          |hn AS (
-         |  SELECT doc_id, frame_idx,
+         |  SELECT rep,
          |    [substr(fp, 2 * k + 1, 1) for k in range(0, 16)] AS cs
-         |  FROM fr),
+         |  FROM grp),
          |ft AS (
-         |  SELECT doc_id, frame_idx,
+         |  SELECT rep,
          |    $histExprs AS f
          |  FROM hn),
          |es AS (
-         |  SELECT doc_id, frame_idx,
+         |  SELECT rep,
          |    $sCols
          |  FROM ft),
          |en AS (SELECT *, sqrt($nrmExpr) AS nrm FROM es),
          |ev AS (
-         |  SELECT doc_id, frame_idx, $evList AS e
+         |  SELECT rep, $evList AS e
          |  FROM en),
-         |sg AS (SELECT doc_id, frame_idx, e, ${sigSql("e", 8, 8)} AS sig FROM ev)
-         |SELECT a.doc_id AS video_a, b.doc_id AS video_b,
-         |  count(*) AS n_frame_pairs, max(${cosSql("a.e", "b.e")}) AS max_cosine
-         |FROM sg a JOIN sg b ON a.sig = b.sig AND a.doc_id < b.doc_id
-         |WHERE ${cosSql("a.e", "b.e")} >= 0.98
+         |sg AS MATERIALIZED (
+         |  SELECT rep, e, ${sigSql("e", 8, 8)} AS sig FROM ev),
+         |cross1 AS (
+         |  SELECT a.rep AS ra, b.rep AS rb, ${cosSql("a.e", "b.e")} AS cosine
+         |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.rep < b.rep
+         |  WHERE ${cosSql("a.e", "b.e")} >= 0.98),
+         |xp AS (
+         |  SELECT least(ma.id, mb.id) AS fa, greatest(ma.id, mb.id) AS fb, c.cosine
+         |  FROM cross1 c
+         |  JOIN memb ma ON ma.rep = c.ra
+         |  JOIN memb mb ON mb.rep = c.rb),
+         |sc2 AS (SELECT rep, ${cosSql("e", "e")} AS cosine FROM sg),
+         |wp AS (
+         |  SELECT ma.id AS fa, mb.id AS fb, s.cosine
+         |  FROM memb ma JOIN memb mb ON ma.rep = mb.rep AND ma.id < mb.id
+         |  JOIN sc2 s ON s.rep = ma.rep
+         |  WHERE s.cosine >= 0.98),
+         |pairs AS (SELECT * FROM xp UNION ALL SELECT * FROM wp)
+         |SELECT fa // 8 AS video_a, fb // 8 AS video_b,
+         |  count(*) AS n_frame_pairs, max(cosine) AS max_cosine
+         |FROM pairs
+         |WHERE fa // 8 <> fb // 8
          |GROUP BY 1, 2""".stripMargin
     },
 
