@@ -123,6 +123,34 @@ object PipelineQueries {
       .map { case (t, i) => s"('${t.replace("'", "''")}', CAST($i AS BIGINT))" }
       .mkString(",\n  ")
 
+  /** Engine-generated (term, idf_i) table for the d8 tf-idf oracle —
+   * [[graft.functions.Dedup.tfidfIdfOf]] collected once per sf dir
+   * (tokenization, stop-term guard and ⌊10⁴·ln(N/df)⌋ are the pair
+   * query's own expressions) and inlined as integer literals: d8
+   * carried the SAME ln-at-a-floor-boundary exposure that flipped the
+   * r11 BM25 family in the driver's DuckDB, it just hadn't hit a
+   * tight margin yet. Min margin goes to stderr for attribution. */
+  private val tfidfIdfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  private def tfidfIdfTable(s: SparkSession, d: String): Seq[(String, Long)] =
+    tfidfIdfMemo.computeIfAbsent(d, _ => {
+      val t = Dedup.tfidfIdfOf(Tables.documents(s, d), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.orderBy(col("margin")).limit(1).collect().headOption.foreach { r =>
+        System.err.println(s"[oracle] d8 tfidf idf min boundary margin: " +
+          s"term='${r.getString(0)}' idf_i=${r.getLong(1)} " +
+          s"margin=${r.getDouble(2)} (quantization-step units)")
+      }
+      val out = t.orderBy(col("term")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      t.unpersist()
+      out
+    })
+  private def tfidfIdfValuesSql(s: SparkSession, d: String): String =
+    tfidfIdfTable(s, d)
+      .map { case (t, i) => s"('${t.replace("'", "''")}', CAST($i AS BIGINT))" }
+      .mkString(",\n  ")
+
   /** Build-once memo for the r6 bucketed BM25 index tables (postings
    * bucketed+sorted on term, doc lengths bucketed on doc_id) — one
    * tokenize+write per sf dir per JVM; every r6 evaluation after
@@ -385,6 +413,36 @@ object PipelineQueries {
     "d16_neardup_auto" -> ((s, d) => {
       Dedup.nearDupAuto(Tables.documents(s, d), "doc_id", "text",
         n = 5, k = 16, bands = 4, threshold = 0.5)
+    }),
+
+    // D17: semantic (embedding-level) decontamination — the eval slice
+    // (vec_id ≡ 0 mod 101) against the rest of the corpus,
+    // cell-blocked by the shared coarse quantizer. Flags
+    // paraphrase-level eval leakage the shingle-based decontaminate
+    // family (d9/d11/d15) cannot see.
+    "d17_semantic_decon" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.semanticDecontaminate(
+        emb.filter(col("vec_id") % 101 =!= 0), "vec_id",
+        emb.filter(col("vec_id") % 101 === 0), "vec_id", "embedding",
+        ivfCentroids(s, d), threshold = 0.35)
+    }),
+
+    // O15: cross-source overlap matrix from KMV sketches — the DIRECT
+    // θ-intersection (restrict both sketches to θ = min(θa, θb), count
+    // surviving common hashes, divide) — accurate where o14's
+    // inclusion-exclusion degrades (small intersections); t34 is the
+    // exact-join ground truth at test scale. Same mirrored-source
+    // augmentation as t34 so real overlap exists to estimate.
+    "o15_kmv_overlap_matrix" -> ((s, d) => {
+      import graft.functions.Kmv
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("text"), col("doc_id"))
+      val mirrored = docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("source", concat(lit("mirror-"), col("source")))
+      val sk = Kmv.sketch(docs.unionByName(mirrored), Seq("source"),
+        col("text"), k = 64)
+      Kmv.intersectEstimate(sk, "source", k = 64)
     }),
 
     // 16-bit SimHash fingerprints
@@ -712,6 +770,18 @@ object PipelineQueries {
       Retrieval.bm25TopKFromTables(s, name,
         Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
         k = 10, maxDfFrac = 1.0)
+    }),
+
+    // R7: pseudo-relevance-feedback query expansion (RM3-lite) — mine
+    // each query's top-5 feedback docs for the 3 heaviest
+    // non-query terms (w_exp = Σ tf·idf_i, exact BIGINT; ties on
+    // term), re-score the expanded term set with the SAME arithmetic
+    // tree. One tokenize + one stats pass serve both passes.
+    "r7_bm25_prf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.bm25PrfTopK(docs, "doc_id", "text",
+        Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
+        k = 10, fbDocs = 5, expTerms = 3, maxDfFrac = 1.0)
     }),
 
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
@@ -1992,6 +2062,36 @@ object PipelineQueries {
         |FROM ds a JOIN ds b ON a.digest = b.digest AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
 
+    // o15: t34's mirrored corpus through the KMV sketch tier — direct
+    // θ-intersection per source pair (θ carried in exact integer hash
+    // space; the single float op is the final division)
+    "o15_kmv_overlap_matrix" ->
+      s"""WITH aug AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT 'mirror-' || source AS source, text FROM documents WHERE doc_id % 11 = 0),
+         |h AS (SELECT source AS g, ${md5Hash32Sql("text")} AS h FROM aug GROUP BY 1, 2),
+         |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM h),
+         |sk AS (SELECT g, h FROM r WHERE rk <= 64),
+         |th AS (
+         |  SELECT g, CASE WHEN count(*) < 64 THEN 4294967296
+         |                 ELSE max(h) + 1 END AS theta_i
+         |  FROM sk GROUP BY 1),
+         |grid AS (
+         |  SELECT a.g AS ga, b.g AS gb, least(a.theta_i, b.theta_i) AS theta_min_i
+         |  FROM th a JOIN th b ON a.g < b.g),
+         |cb AS (
+         |  SELECT sa.g AS ga, sb.g AS gb, count(*) AS n_common
+         |  FROM sk sa JOIN sk sb ON sa.h = sb.h AND sa.g < sb.g
+         |  JOIN grid ON grid.ga = sa.g AND grid.gb = sb.g
+         |  WHERE sa.h < grid.theta_min_i
+         |  GROUP BY 1, 2)
+         |SELECT ga, gb,
+         |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(coalesce(n_common, 0) AS DOUBLE) /
+         |    (CAST(theta_min_i AS DOUBLE) / 4294967296.0) AS estimate
+         |FROM grid LEFT JOIN cb USING (ga, gb)""".stripMargin,
+
     "d11_bloom_decontaminate" ->
       s"""WITH $shingleCte,
          |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 89 <> 0),
@@ -2711,9 +2811,59 @@ object PipelineQueries {
       "e12_knn_graph_canonical" -> knnGraphCanonicalOracleSql(centroids, k = 3),
       "t19_lm_perplexity" -> bigramLmOracleSql(lmTermNanos(spark, sfDir)),
       "t22_bpe_merges" -> bpeMergesOracleSql(bpeReference(spark, sfDir)._1),
-      "t23_bpe_tokenize" -> bpeTokenizeOracleSql(bpeReference(spark, sfDir)._2)) ++
+      "t23_bpe_tokenize" -> bpeTokenizeOracleSql(bpeReference(spark, sfDir)._2),
+      "d8_tfidf_pairs" -> tfidfPairsOracleSql(tfidfIdfValuesSql(spark, sfDir)),
+      "d17_semantic_decon" -> semanticDeconOracleSql(centroids, threshold = 0.35)) ++
       retrievalOracleSql(spark, sfDir)
   }
+
+  /** d17 generated oracle: the corpus slice assigns through n3's
+   * literal-centroid CTEs (source re-pointed at the non-eval rows),
+   * the eval slice through an identical QUALIFY argmin, then same-cell
+   * pairs score with the shared rounded-cosine — mirroring
+   * Dedup.semanticDecontaminate exactly. */
+  private def semanticDeconOracleSql(centroids: Seq[(Int, Seq[Float])],
+      threshold: Double): String =
+    s"""WITH ${ivfCtesSql(centroids, nProbe = 1,
+          source = "(SELECT * FROM embeddings WHERE vec_id % 101 <> 0)")},
+       |bassigned AS (
+       |  SELECT b.vec_id AS bench_id, b.embedding, c.cell
+       |  FROM (SELECT * FROM embeddings WHERE vec_id % 101 = 0) b
+       |  CROSS JOIN centroids c
+       |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
+       |    ORDER BY (c.cc - 2 * list_sum(list_transform(list_zip(b.embedding, c.cv),
+       |      p -> p[1]::DOUBLE * p[2]))) ASC, c.cell ASC) = 1)
+       |SELECT a.neighbor_id AS vec_id, bb.bench_id,
+       |  ${cosSql("a.embedding", "bb.embedding")} AS cosine
+       |FROM assigned a JOIN bassigned bb ON a.cell = bb.cell
+       |WHERE ${cosSql("a.embedding", "bb.embedding")} >= $threshold""".stripMargin
+
+  /** d8 generated oracle: the static oracle's CTE chain with the
+   * dfreq/ln idf computation replaced by the engine-resolved
+   * (term, idf_i) literal table — stop-term guard baked into the
+   * table, every remaining float op a single IEEE step. Overrides the
+   * static entry (which stays as the documented fallback shape). */
+  private def tfidfPairsOracleSql(idfVals: String): String =
+    s"""WITH $toksCte,
+       |terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |idf(term, idf_i) AS (VALUES
+       |  $idfVals),
+       |w AS (
+       |  SELECT t.doc_id, t.term,
+       |    CAST(t.tf AS HUGEINT) * CAST(i.idf_i AS HUGEINT) AS w
+       |  FROM tf t JOIN idf i USING (term)),
+       |norms AS (SELECT doc_id, sum(w * w) AS norm2 FROM w GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+       |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(dot::DOUBLE / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6) AS cosine
+       |FROM dots
+       |JOIN norms na ON na.doc_id = doc_a
+       |JOIN norms nb ON nb.doc_id = doc_b
+       |WHERE round(dot::DOUBLE / (sqrt(na.norm2::DOUBLE) * sqrt(nb.norm2::DOUBLE)), 6) >= 0.4""".stripMargin
 
   /**
    * The lexical-retrieval oracle family (r1-r6), GENERATED per sf dir:
@@ -2806,6 +2956,51 @@ object PipelineQueries {
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank
            |  FROM fused)
+           |WHERE rank <= 10""".stripMargin,
+
+      // r7: PRF expansion — pass-1 lexr's top-5 feedback docs per
+      // query mine the 3 heaviest non-query terms (w_exp =
+      // Σ tf·idf_i exact BIGINTs, ties on term; NOT EXISTS excludes
+      // original terms, mirroring the engine's anti-join), the
+      // expanded term set (UNION ALL — disjoint by the exclusion)
+      // re-scores through the identical arithmetic tree
+      "r7_bm25_prf" ->
+        s"""WITH ${bm25CtesSql(idfVals)},
+           |fb AS (SELECT query_id, doc_id FROM lexr WHERE rank <= 5),
+           |expw AS (
+           |  SELECT f.query_id, tf.term,
+           |    sum(CAST(tf.tf AS BIGINT) * idf.idf_i) AS w_exp
+           |  FROM fb f
+           |  JOIN tf ON tf.doc_id = f.doc_id
+           |  JOIN idf ON idf.term = tf.term
+           |  WHERE NOT EXISTS (SELECT 1 FROM q
+           |    WHERE q.query_id = f.query_id AND q.term = tf.term)
+           |  GROUP BY 1, 2),
+           |expt AS (
+           |  SELECT query_id, term FROM (
+           |    SELECT query_id, term,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY w_exp DESC, term) AS er
+           |    FROM expw)
+           |  WHERE er <= 3),
+           |q2 AS (SELECT query_id, term FROM q
+           |       UNION ALL SELECT query_id, term FROM expt),
+           |sc2 AS (
+           |  SELECT q2.query_id, tf.doc_id,
+           |    sum(CAST(floor(CAST(220 * idf.idf_i * tf.tf AS DOUBLE) /
+           |      (CAST(tf.tf AS DOUBLE) + 0.3 +
+           |       0.9 * (CAST(dl.dl * (SELECT n FROM nn) AS DOUBLE) /
+           |              CAST((SELECT s FROM nn) AS DOUBLE)))) AS BIGINT)) AS score_micro
+           |  FROM q2
+           |  JOIN tf USING (term)
+           |  JOIN idf USING (term)
+           |  JOIN dl ON dl.doc_id = tf.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT query_id, doc_id, score_micro, rank FROM (
+           |  SELECT query_id, doc_id, score_micro,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+           |  FROM sc2)
            |WHERE rank <= 10""".stripMargin)
   }
 

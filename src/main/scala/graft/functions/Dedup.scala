@@ -283,6 +283,51 @@ object Dedup {
         .select(col("train_id"), col("eval_id"), col("common"), col("containment")))
   }
 
+  /**
+   * Embedding-level (semantic) decontamination — the leakage the
+   * exact/n-gram decontaminate family ([[contaminationPairs]],
+   * [[contaminationPairsBloom]]) cannot see: an eval item that was
+   * PARAPHRASED into the training corpus shares no shingles but still
+   * sits next to its source in embedding space. Flags every corpus
+   * vector whose cosine to a benchmark vector reaches `threshold`,
+   * candidate-blocked by the SemDedup coarse quantizer: both sides
+   * assign to their nearest centroid cell ([[Similarity.assignCells]]
+   * — map-only literal argmin, deterministic ties) and only same-cell
+   * pairs are scored, so the pair space is Σ|cell_corpus|·|cell_bench|
+   * — never corpus × bench. The benchmark side is eval-set sized, so
+   * at scale the per-cell bench slices broadcast and the corpus is
+   * read once, map-side.
+   *
+   * Output: (corpusKey, bench_id, cosine) — one row per flagged
+   * (corpus, benchmark) pair, cosine rounded to 6 (the e3/d5 contract;
+   * deterministic cross-engine over the same doubles).
+   */
+  def semanticDecontaminate(corpus: DataFrame, corpusKey: String,
+      bench: DataFrame, benchKey: String, embCol: String,
+      centroids: Seq[(Int, Seq[Float])], threshold: Double,
+      margin: Double = 0.0): DataFrame = {
+    val corpusVecs =
+      corpus.select(col(corpusKey).as("vec_id"), col(embCol).as("embedding"))
+    // margin > 0 is the cross-cell recall lever (the e5 xcell
+    // contract): near-boundary corpus vectors ALSO probe their
+    // second-nearest cell, so a bench vector just across the boundary
+    // is still met — pair space grows by the boundary fraction only.
+    // The bench side assigns once, so each flagged pair joins in
+    // exactly one cell and needs no dedup.
+    val c = (if (margin > 0 && centroids.size >= 2)
+        Similarity.assignCellsWithMargin(corpusVecs, centroids, margin)
+      else Similarity.assignCells(corpusVecs, centroids))
+      .select(col("cell"), col("vec_id"), col("embedding").as("_vc"))
+    val b = Similarity.assignCells(
+        bench.select(col(benchKey).as("vec_id"), col(embCol).as("embedding")),
+        centroids)
+      .select(col("cell"), col("vec_id").as("bench_id"), col("embedding").as("_vb"))
+    c.join(b, Seq("cell"))
+      .withColumn("cosine", round(Similarity.cosine(col("_vc"), col("_vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id").as(corpusKey), col("bench_id"), col("cosine"))
+  }
+
   /** Affine-permutation constants for MinHash (deterministic, shared
    * with the SQL oracle). Products stay < 2^63: base hash < 2^32,
    * multiplier < 2^17. */
@@ -754,6 +799,38 @@ object Dedup {
         .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("nb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"), cosine.as("cosine"))
         .filter(col("cosine") >= threshold))
+  }
+
+  /**
+   * Engine-resolved `(term, idf_i)` table for [[tfidfPairs]] — the
+   * exact tokenization, stop-term guard (`df·2 ≤ N`) and quantized
+   * idf expression (`⌊10⁴·ln(N/df)⌋`, Spark's StrictMath-backed
+   * `log`) the pair query evaluates. Public for the SAME reason as
+   * `Retrieval.idfOf`: the DuckDB oracle collects this DataFrame and
+   * inlines the integers as literals, so the replayed SQL contains no
+   * `ln` and no cross-engine libm ulp can flip a weight at a floor
+   * boundary (the failure mode that took down the r11 BM25 family in
+   * the driver's environment despite passing locally).
+   */
+  def tfidfIdfOf(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val n = df.count()
+    val tf = df.select(col(keyCol).as("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 2 <= n)
+      .select(col("term"),
+        floor(lit(10000.0) * log(lit(n.toDouble) / col("df"))).cast("long").as("idf_i"),
+        // distance of 10⁴·ln(N/df) to its nearest ⌊·⌋ boundary, in
+        // quantization-step units — the attribution diagnostic if an
+        // engine-side flip ever happens (same contract as
+        // Retrieval.idfBoundaryMargins)
+        least(
+          lit(10000.0) * log(lit(n.toDouble) / col("df")) -
+            floor(lit(10000.0) * log(lit(n.toDouble) / col("df"))),
+          floor(lit(10000.0) * log(lit(n.toDouble) / col("df"))) + lit(1.0) -
+            lit(10000.0) * log(lit(n.toDouble) / col("df"))).as("margin"))
   }
 
   /**

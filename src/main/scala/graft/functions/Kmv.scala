@@ -76,4 +76,51 @@ object Kmv {
           .otherwise(lit((k - 1).toDouble) /
             ((col("_hmax") + 1L).cast("double") / HashSpace)).as("estimate"): _*)
   }
+
+  /**
+   * Direct θ-intersection estimate for every unordered pair of groups
+   * — the theta-sketch intersection (Dasgupta et al., "Theta
+   * sketches"): restrict both sketches to the SHARED sampling
+   * threshold θ = min(θ_A, θ_B) and count surviving common hashes;
+   * `|A∩B| ≈ n_common/θ`. Strictly better than o14's
+   * inclusion-exclusion when the intersection is small relative to
+   * the union (there the estimate is a difference of three large
+   * noisy numbers; here it is a direct count). θ is carried in EXACT
+   * integer hash space (2³² for an exact sketch, h_max+1 at
+   * capacity), so the one float op is the final division —
+   * bit-reproducible cross-engine like [[estimate]].
+   *
+   * Output: one row per unordered group pair (ga < gb) — including
+   * zero-overlap pairs — with n_common and the estimate. Scale shape:
+   * the equi-join on h touches only sketch rows (≤ #groups·k), the
+   * pair grid is #groups² — never data-sized; the estimate of a 100 TB
+   * cross-source overlap reads two k-row sketches.
+   */
+  def intersectEstimate(sk: DataFrame, groupCol: String, k: Int = 256): DataFrame = {
+    require(k > 0, s"need positive k, got $k")
+    val th = sk.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"), max(col("h")).as("_hmax"))
+      .select(col(groupCol),
+        when(col("_n") < k, lit(4294967296L))
+          .otherwise(col("_hmax") + 1L).as("theta_i"))
+    val ta = th.select(col(groupCol).as("ga"), col("theta_i").as("_ta"))
+    val tb = th.select(col(groupCol).as("gb"), col("theta_i").as("_tb"))
+    // complete unordered pair grid (groups × groups — tiny, broadcast)
+    val grid = ta.join(tb, col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), least(col("_ta"), col("_tb")).as("theta_min_i"))
+    // count only common hashes below the SHARED threshold — a hash in
+    // A's exact region but above B's θ is not a valid joint sample
+    val commonBelow = sk.select(col(groupCol).as("ga"), col("h"))
+      .join(sk.select(col(groupCol).as("gb"), col("h")), Seq("h"))
+      .filter(col("ga") < col("gb"))
+      .join(broadcast(grid), Seq("ga", "gb"))
+      .filter(col("h") < col("theta_min_i"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_common"))
+    grid.join(commonBelow, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("theta_min_i").cast("double") / HashSpace)).as("estimate"))
+  }
 }

@@ -212,6 +212,17 @@ object Retrieval {
     val qterms = queries.select(col(qKeyCol).as("query_id"),
       explode(array_distinct(col(qTermsCol))).as("term"))
 
+    ownStages(tf, dl)(rankedScores(tf, dfreq, dl, n, s, allowed, qterms, k))
+  }
+
+  /** The scoring half of [[bm25Impl]] — inverted-index join + exact
+   * BIGINT micro-score totals + WindowGroupLimit top-k — factored out
+   * so multi-pass compositions ([[bm25PrfTopK]]) reuse the SAME
+   * arithmetic tree over one set of persisted stats. `qterms` must be
+   * distinct (query_id, term) rows. */
+  private def rankedScores(tf: DataFrame, dfreq: DataFrame, dl: DataFrame,
+      n: Long, s: Long, allowed: Option[DataFrame],
+      qterms: DataFrame, k: Int): DataFrame = {
     // inverted-index join: query terms × (guarded) posting lists.
     // A filter prunes candidate postings EARLIEST (LeftSemi on the
     // doc key) — stats above stay global, per the filtered contract.
@@ -235,11 +246,73 @@ object Retrieval {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
-    ownStages(tf, dl)(
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("doc_id"), col("score_micro"),
-          col("rank").cast("int").as("rank")))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score_micro"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /**
+   * Pseudo-relevance-feedback query expansion (RM3-lite): run BM25,
+   * mine expansion terms from each query's top `fbDocs` results, and
+   * re-score the expanded term set — the classic recall lever when
+   * queries are short and vocabulary mismatch loses relevant docs.
+   *
+   * Expansion-term weight over the feedback set is
+   * `w_exp(q, t) = Σ_{d ∈ fb(q)} tf(d, t) · idf_i(t)` — exact BIGINT
+   * products of exact integers (tf ≤ doc length, idf_i ≤ ~1.2·10⁵,
+   * fbDocs bounded ⇒ no overflow), so term selection is deterministic
+   * cross-engine: top `expTerms` per query by (w_exp DESC, term),
+   * original query terms excluded by anti-join. The expanded query is
+   * the term-set UNION (sets are disjoint by the anti-join), scored by
+   * the same [[rankedScores]] tree — output shape identical to
+   * [[bm25TopK]].
+   *
+   * Scale shape: ONE tokenize and one (N, S, df) stats pass serve both
+   * passes (tf/dl persisted across them); the feedback join is
+   * queries × fbDocs rows against the doc-keyed tf — tiny next to the
+   * posting join either pass runs; expansion adds ≤ expTerms terms per
+   * query, so pass 2 costs the same O(Σ posting-list) as pass 1.
+   */
+  def bm25PrfTopK(docs: DataFrame, keyCol: String, textCol: String,
+      queries: DataFrame, qKeyCol: String, qTermsCol: String,
+      k: Int, fbDocs: Int = 5, expTerms: Int = 3,
+      maxDfFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(expTerms >= 0, s"expTerms must be >= 0, got $expTerms")
+    val (tfIn, dlIn) = postingsOf(docs, keyCol, textCol)
+    val dl = dlIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (n, s) =
+      try {
+        val nn = dl.count()
+        val ss = dl.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+        require(nn > 0 && ss > 0, "bm25 needs a non-empty, non-blank corpus")
+        (nn, ss)
+      } catch { case t: Throwable => dl.unpersist(false); throw t }
+    val tf = tfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = idfOf(tf, n, maxDfFrac)
+    // consumed three times (pass-1 join, expansion anti-join, union)
+    val qterms = queries.select(col(qKeyCol).as("query_id"),
+        explode(array_distinct(col(qTermsCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val fb = rankedScores(tf, dfreq, dl, n, s, None, qterms, fbDocs)
+      .select(col("query_id"), col("doc_id"))
+    val expw = fb.join(tf, Seq("doc_id"))
+      .join(dfreq, Seq("term"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf") * col("idf_i")).as("w_exp"))
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+    val ew = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("w_exp").desc, col("term"))
+    val expTop = expw.withColumn("_er", row_number().over(ew))
+      .filter(col("_er") <= expTerms)
+      .select(col("query_id"), col("term"))
+
+    val q2 = qterms.select(col("query_id"), col("term")).unionByName(expTop)
+    ownStages(tf, dl, qterms)(rankedScores(tf, dfreq, dl, n, s, None, q2, k))
   }
 
   /**
@@ -255,6 +328,18 @@ object Retrieval {
    */
   def writeIndexTables(docs: DataFrame, keyCol: String, textCol: String,
       name: String, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    // a crashed previous build (or a catalog-fresh session over an old
+    // warehouse dir) leaves an orphan table LOCATION that Overwrite
+    // cannot claim — drop both catalog entry and location first
+    Seq(s"${name}_postings", s"${name}_doclen").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val (tf, dl) = postingsOf(docs, keyCol, textCol)
     tf.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, "term").sortBy("term")

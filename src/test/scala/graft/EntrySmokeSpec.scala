@@ -27,7 +27,12 @@ class EntrySmokeSpec extends SparkTestBase {
       "n10_ann_ivf_rpq", "e5_semdedup_xcell", "e6_knn_graph_xcell",
       "e7_cell_balanced_sample", "e8_ann_recall", "e9_cell_stats", "e10_probe_sweep",
       "e11_knn_pagerank", "e12_knn_graph_canonical",
-      "t19_lm_perplexity", "t22_bpe_merges", "t23_bpe_tokenize"),
+      "t19_lm_perplexity", "t22_bpe_merges", "t23_bpe_tokenize",
+      // the retrieval family + d17 ship their idf/centroid literal
+      // tables via dynamicOracleSql (the r11 libm-portability fix)
+      "r1_bm25_topk", "r2_hybrid_rrf", "r3_hard_negatives",
+      "r4_self_retrieval_rr", "r5_bm25_filtered", "r6_bm25_served",
+      "r7_bm25_prf", "d17_semantic_decon"),
       s"unexpected rows-only queries: $rowsOnly")
     // and the dynamic set must cover exactly those — no query without
     // SOME oracle
@@ -41,12 +46,16 @@ class EntrySmokeSpec extends SparkTestBase {
     graft.functions.GlobalRank.releaseStaged()
     spark.catalog.clearCache()
     val before = sc.getPersistentRDDs.keySet
-    // the three call sites that stage a persisted sort per invocation
-    Seq("o3_name_sort_rank", "t32_training_order", "x11_downtime_pareto").foreach { q =>
-      SparkEntry.queries(q)(spark, sf).count()
-    }
+    // the three call sites that stage a persisted sort per invocation.
+    // Hold strong references to the results through the census: the
+    // registry is WEAK by contract, so a discarded result's staged
+    // lineage may be GC-reclaimed before releaseStaged() counts it.
+    val results = Seq("o3_name_sort_rank", "t32_training_order",
+      "x11_downtime_pareto").map(q => SparkEntry.queries(q)(spark, sf))
+    results.foreach(_.count())
     assert(graft.functions.GlobalRank.releaseStaged() >= 3,
       "each GlobalRank call site must register its staged sort")
+    assert(results.nonEmpty) // keep `results` live past the census
     spark.catalog.clearCache()
     assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
       "o3/t32/x11 must leave nothing cached after release")

@@ -143,6 +143,34 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((3L, 4L))) // no shared terms at all
   }
 
+  test("tfidfIdfOf mirrors tfidfPairs' guard and quantized idf, with positive margins") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "completely different words here entirely"),
+      (4L, "more unrelated content nothing shared"),
+      (5L, "filler one two three four"),
+      (6L, "filler five six seven eight"))
+      .toDF("doc_id", "text")
+    val n = docs.count()
+    val idf = Dedup.tfidfIdfOf(docs, "doc_id", "text")
+      .as[(String, Long, Double)].collect()
+    // expected: df per term from the same tokenization, guard df·2 ≤ N
+    val dfm = docs.select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct().groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+      .filter { case (_, df) => df * 2 <= n }
+    assert(idf.map(_._1).toSet == dfm.keySet)
+    idf.foreach { case (t, idfI, margin) =>
+      val f = 1e4 * math.log(n.toDouble / dfm(t))
+      assert(idfI == math.floor(f).toLong, s"term $t")
+      val exp = math.min(f - math.floor(f), 1.0 - (f - math.floor(f)))
+      assert(math.abs(margin - exp) < 1e-9 && margin > 0 && margin <= 0.5, s"term $t")
+    }
+  }
+
   test("connected components: chains, triangles and singleton pairs get min-id labels") {
     // 1-2-3 is a chain (diameter 2), 10-11 a pair, 20/21/22 a triangle
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
@@ -350,5 +378,35 @@ class DedupSpec extends SparkTestBase {
       dim = 8, threshold = 0.99, planes = 4)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("semantic decontamination flags same-cell leakage, honors the cell block") {
+    val cents = Seq(0 -> Seq(1f, 0f), 1 -> Seq(-1f, 0f))
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f)),   // cell 0, near bench 100 → flagged
+      (11L, Seq(0.05f, 1.0f)),  // cell 0, orthogonal to bench 100 → clean
+      (12L, Seq(-0.95f, 0.0f)), // cell 1, near bench 101 → flagged
+      (14L, Seq(0.01f, 1.0f)))  // cell 0 — near bench 102 but CROSS-cell
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Seq(1.0f, 0.05f)),  // cell 0
+      (101L, Seq(-1.0f, -0.02f)), // cell 1
+      (102L, Seq(-0.01f, 1.0f))) // cell 1 — high cosine to 14, other cell
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontaminate(corpus, "vec_id", bench, "vec_id",
+      "embedding", cents, threshold = 0.8)
+      .select("vec_id", "bench_id").as[(Long, Long)].collect().toSet
+    // the cell block is the documented approximation: (14, 102) has
+    // cosine ≈ 0.9998 but lives across the cell boundary, so it is
+    // not flagged — the recall lever at scale is more cells + margin
+    // probes, not a corpus × bench scan
+    assert(out == Set((10L, 100L), (12L, 101L)))
+    // the margin probe closes exactly that miss: vec 14's assignment
+    // gap is |0.98 − 1.02| = 0.04, so margin 0.05 ghosts it into cell
+    // 1 where bench 102 lives
+    val withMargin = Dedup.semanticDecontaminate(corpus, "vec_id", bench,
+      "vec_id", "embedding", cents, threshold = 0.8, margin = 0.05)
+      .select("vec_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(withMargin == Set((10L, 100L), (12L, 101L), (14L, 102L)))
   }
 }

@@ -61,4 +61,42 @@ class KmvSpec extends SparkTestBase {
     assert(math.abs(inter - 1000.0) / 1000.0 < 0.35,
       s"A=${est("A")} B=${est("B")} U=$u inter=$inter")
   }
+
+  test("direct theta-intersection: exact in the exact regime, zero pairs kept") {
+    // all three sets below k ⇒ sketches are the full sets, θ = 1,
+    // estimate = exact |A∩B|; the C×A and C×B rows exist with 0
+    val a = spark.range(0, 60).select(lit("A").as("g"), concat(lit("u"), col("id")).as("v"))
+    val b = spark.range(30, 90).select(lit("B").as("g"), concat(lit("u"), col("id")).as("v"))
+    val c = spark.range(0, 10).select(lit("C").as("g"), concat(lit("z"), col("id")).as("v"))
+    val sk = Kmv.sketch(a.unionByName(b).unionByName(c), Seq("g"), col("v"), k = 256)
+    val out = Kmv.intersectEstimate(sk, "g", k = 256)
+      .select("ga", "gb", "n_common", "estimate")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(out(("A", "B")) == ((30L, 30.0)))
+    assert(out(("A", "C")) == ((0L, 0.0)))
+    assert(out(("B", "C")) == ((0L, 0.0)))
+  }
+
+  test("direct theta-intersection beats inclusion-exclusion shape on a small overlap") {
+    // |A| = |B| = 4000, |A∩B| = 200 (5%) at k = 256 — the regime where
+    // inclusion-exclusion is a difference of three noisy numbers
+    val a = spark.range(0, 4000).select(lit("A").as("g"), concat(lit("u"), col("id")).as("v"))
+    val b = spark.range(3800, 7800).select(lit("B").as("g"), concat(lit("u"), col("id")).as("v"))
+    val k = 256
+    val sk = Kmv.sketch(a.unionByName(b), Seq("g"), col("v"), k)
+    val direct = Kmv.intersectEstimate(sk, "g", k)
+      .select("estimate").as[Double].head()
+    assert(math.abs(direct - 200.0) / 200.0 < 0.75,
+      s"direct θ-intersection estimate $direct vs truth 200")
+    // determinism + partitioning invariance (exact integer θ space)
+    val again = Kmv.intersectEstimate(sk.repartition(13), "g", k)
+      .select("ga", "gb", "n_common", "estimate")
+      .as[(String, String, Long, Double)].collect().toSet
+    val first = Kmv.intersectEstimate(sk, "g", k)
+      .select("ga", "gb", "n_common", "estimate")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(again == first)
+  }
 }

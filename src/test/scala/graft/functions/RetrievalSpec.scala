@@ -241,4 +241,81 @@ class RetrievalSpec extends SparkTestBase {
     assert(after <= before + 1)
     spark.catalog.clearCache()
   }
+
+  // ---- PRF query expansion ----------------------------------------------
+
+  // df(zebra)=1, df(lion)=2, df(moose)=2, df(alpha)=3 > maxDf=2 at
+  // maxDfFrac=0.5 (guarded). Doc 1 is the only zebra doc, so it is the
+  // sole feedback doc for the query; its candidate expansion terms are
+  // lion (tf=2) and moose (tf=1), same df ⇒ lion is strictly heavier.
+  private def prfDocs = Seq(
+    (1L, "zebra lion lion moose"),
+    (2L, "lion alpha savanna"),
+    (3L, "moose alpha tundra"),
+    (4L, "alpha beta gamma delta"))
+    .toDF("doc_id", "text")
+
+  test("prf with expTerms = 0 is exactly plain bm25") {
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text",
+      q("zebra", "gamma"), "query_id", "terms", k = 10)
+      .collect().map(_.toSeq).toSet
+    val prf = Retrieval.bm25PrfTopK(docs, "doc_id", "text",
+      q("zebra", "gamma"), "query_id", "terms", k = 10, fbDocs = 3,
+      expTerms = 0)
+      .collect().map(_.toSeq).toSet
+    assert(prf == plain)
+    spark.catalog.clearCache()
+  }
+
+  test("prf expansion retrieves docs the raw query cannot reach") {
+    val plain = Retrieval.bm25TopK(prfDocs, "doc_id", "text", q("zebra"),
+      "query_id", "terms", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L)) // zebra only appears in doc 1
+    val prf = Retrieval.bm25PrfTopK(prfDocs, "doc_id", "text", q("zebra"),
+      "query_id", "terms", k = 10, fbDocs = 5, expTerms = 1)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    // expTerms=1 selects lion (w_exp = 2·idf) over moose (1·idf):
+    // doc 2 (lion) joins the result set, doc 3 (moose) does not
+    assert(prf.keySet == Set(1L, 2L), s"got $prf")
+    assert(prf(1L) == 1) // the feedback doc still dominates
+    spark.catalog.clearCache()
+  }
+
+  test("prf expansion weights rank candidate terms by sum(tf*idf), ties on term") {
+    // equal weights: doc 1 feedback, candidates "aa" and "bb" both
+    // tf=1 and df=2 — tie broken on term asc, so "aa" is selected
+    val d = Seq(
+      (1L, "zebra aa bb"),
+      (2L, "aa east"),
+      (3L, "bb west"),
+      (4L, "filler one two"),
+      (5L, "filler three four"))
+      .toDF("doc_id", "text")
+    val prf = Retrieval.bm25PrfTopK(d, "doc_id", "text", q("zebra"),
+      "query_id", "terms", k = 10, fbDocs = 5, expTerms = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prf == Set(1L, 2L), s"got $prf") // aa ⇒ doc 2, not bb/doc 3
+    spark.catalog.clearCache()
+  }
+
+  test("prf result is invariant under input repartitioning") {
+    val a = Retrieval.bm25PrfTopK(prfDocs, "doc_id", "text", q("zebra"),
+      "query_id", "terms", k = 10, fbDocs = 5, expTerms = 2)
+      .collect().map(_.toSeq).toSet
+    val b = Retrieval.bm25PrfTopK(prfDocs.repartition(7), "doc_id", "text",
+      q("zebra"), "query_id", "terms", k = 10, fbDocs = 5, expTerms = 2)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    spark.catalog.clearCache()
+  }
+
+  test("prf staged caches are released after the call") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Retrieval.bm25PrfTopK(prfDocs, "doc_id", "text", q("zebra"),
+      "query_id", "terms", k = 3, fbDocs = 2, expTerms = 2).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1) // only the materialized result remains
+    spark.catalog.clearCache()
+  }
 }

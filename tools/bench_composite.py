@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Per-query-MIN composite bench: run graft.Bench N times (default 3,
+each run itself 5-sample min per query) and write ONE total-metric
+line whose per-query values are the min across runs — the artifact
+format bench_guard.py anchors on (BENCH_LOCAL_r*_sf01.json).
+
+On this host the noise is partly calib-invisible (IO/memory contention
+leaves the CPU probe flat while queries run slower), so a single run's
+mins can all be contaminated by one loud window; the cross-run min is
+the credible steady-state number. calib_start/calib_end in the output
+are the MIN across runs' probes (the quietest window observed).
+
+Usage:
+  python3 tools/bench_composite.py [sfDir] [--runs=3] [--out=path]
+"""
+import json, os, re, subprocess, sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SF = next((a for a in sys.argv[1:] if not a.startswith("--")), "/root/testdata/sf0.1")
+RUNS = int(next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--runs=")), "3"))
+OUT = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--out=")), None)
+
+
+def one_run(i):
+    r = subprocess.run(
+        ["sbt", "-batch", "runMain graft.Bench"], cwd=REPO, capture_output=True,
+        text=True, env={**os.environ, "SPARK_GRAFT_SF_DIR": SF, "SPARK_GRAFT_CPUS": "32"})
+    lines = [json.loads(m) for m in re.findall(r'\{"metric":.*\}', r.stdout + r.stderr)]
+    totals = [l for l in lines if l.get("metric") == "total" and "queries" in l
+              and "calib_start" in l]
+    if r.returncode != 0 or not totals:
+        print("\n".join((r.stdout + r.stderr).splitlines()[-20:]))
+        sys.exit(f"bench run {i} failed rc={r.returncode}")
+    t = totals[0]  # the full-precision (f3) line comes first
+    print(f"run {i}: total {t['value']:.1f}s calib "
+          f"{t['calib_start']:.2f}->{t['calib_end']:.2f} loud={t.get('loud_window')}")
+    return t
+
+
+def main():
+    runs = [one_run(i + 1) for i in range(RUNS)]
+    keys = set()
+    for t in runs:
+        keys |= set(t["queries"])
+    comp = {k: min(float(t["queries"][k]) for t in runs if k in t["queries"])
+            for k in sorted(keys)}
+    out = {
+        "metric": "total", "value": round(sum(comp.values()), 2), "unit": "sec",
+        "keys": "query id prefix",
+        "queries": {k: round(v, 3) for k, v in comp.items()},
+        "samples": runs[0].get("samples"),
+        "runs": RUNS,
+        "calib_start": min(float(t["calib_start"]) for t in runs),
+        "calib_end": min(float(t["calib_end"]) for t in runs),
+        "sf": SF,
+    }
+    dest = Path(OUT) if OUT else REPO / "BENCH_LOCAL_composite.json"
+    dest.write_text(json.dumps(out, separators=(",", ":")) + "\n")
+    print(f"composite total {out['value']}s over {len(comp)} queries -> {dest}")
+
+
+if __name__ == "__main__":
+    main()
