@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
 """Bench-regression tripwire: run graft.Bench at a given SF dir and
 compare per-query wall times against a committed reference artifact
-(default BENCH_LOCAL_r11_sf01.json — a per-query MIN composite over
-three 5-sample runs at r11 HEAD, covering all 146 queries incl. the
-r11 additions e13/m4/d16/r1/r2 and the post-fix m3). Fails LOUD when a
+(default BENCH_LOCAL_r12_sf01.json — a per-query MIN composite over
+three 5-sample runs at r12 HEAD via tools/bench_composite.py, covering
+all 153 queries incl. r3-r7/d17/o15). Fails LOUD when a
 query regresses beyond the tolerance, after normalizing for host-load
 drift with the bench's own noise-sentinel calibration when present.
 NOTE: this host's noise is partly calib-INVISIBLE (IO/memory
@@ -26,7 +26,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 SF = next((a for a in sys.argv[1:] if not a.startswith("--")), "/root/testdata/sf0.1")
 REF = REPO / next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--ref=")),
-                  "BENCH_LOCAL_r11_sf01.json")
+                  "BENCH_LOCAL_r12_sf01.json")
 TOL = float(next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--tolerance=")),
                  "2.5"))
 FROM = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--from-json=")), None)
