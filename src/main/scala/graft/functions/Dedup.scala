@@ -305,6 +305,28 @@ object Dedup {
   def semanticDecontaminate(corpus: DataFrame, corpusKey: String,
       bench: DataFrame, benchKey: String, embCol: String,
       centroids: Seq[(Int, Seq[Float])], threshold: Double,
+      margin: Double = 0.0): DataFrame =
+    semanticDecontaminateAgainst(corpus, corpusKey, embCol,
+      assignBenchCells(bench, benchKey, embCol, centroids),
+      centroids, threshold, margin)
+
+  /** The bench side of [[semanticDecontaminate]]: eval vectors
+   * assigned to their quantizer cells — exposed so a STANDING guard
+   * (streaming ingest) assigns the eval set once and serves every
+   * batch from it. Output: (cell, bench_id, _vb). */
+  def assignBenchCells(bench: DataFrame, benchKey: String, embCol: String,
+      centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    Similarity.assignCells(
+        bench.select(col(benchKey).as("vec_id"), col(embCol).as("embedding")),
+        centroids)
+      .select(col("cell"), col("vec_id").as("bench_id"), col("embedding").as("_vb"))
+
+  /** [[semanticDecontaminate]] against a pre-assigned bench table
+   * ([[assignBenchCells]] output) — the per-batch body of the
+   * streaming face, and the batch operator's own implementation. */
+  def semanticDecontaminateAgainst(corpus: DataFrame, corpusKey: String,
+      embCol: String, benchAssigned: DataFrame,
+      centroids: Seq[(Int, Seq[Float])], threshold: Double,
       margin: Double = 0.0): DataFrame = {
     val corpusVecs =
       corpus.select(col(corpusKey).as("vec_id"), col(embCol).as("embedding"))
@@ -318,11 +340,7 @@ object Dedup {
         Similarity.assignCellsWithMargin(corpusVecs, centroids, margin)
       else Similarity.assignCells(corpusVecs, centroids))
       .select(col("cell"), col("vec_id"), col("embedding").as("_vc"))
-    val b = Similarity.assignCells(
-        bench.select(col(benchKey).as("vec_id"), col(embCol).as("embedding")),
-        centroids)
-      .select(col("cell"), col("vec_id").as("bench_id"), col("embedding").as("_vb"))
-    c.join(b, Seq("cell"))
+    c.join(benchAssigned, Seq("cell"))
       .withColumn("cosine", round(Similarity.cosine(col("_vc"), col("_vb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("vec_id").as(corpusKey), col("bench_id"), col("cosine"))

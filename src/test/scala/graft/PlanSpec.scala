@@ -304,6 +304,39 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       p.take(800))
   }
 
+  test("PRF expansion: both passes WindowGroupLimit-pruned, no cartesian (R7)") {
+    // pass 1 (feedback top-fbDocs), the expansion-term top-m, and
+    // pass 2 (final top-k) are all per-query heaps — three
+    // WindowGroupLimits; candidates only ever arrive via term/doc
+    // equi-joins, never a product
+    val p = plan("r7_bm25_prf")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 3, p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+  }
+
+  test("semantic decontamination: map-only literal argmin, cell equi-join (D17)") {
+    // both sides assign via the centroid-literal least-of-structs —
+    // no shuffle before the cell join, no nested-loop pair scan; the
+    // only joins are the cell equi-join (hash or broadcast)
+    val p = plan("d17_semantic_decon")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    assert(p.contains("HashJoin"), p.take(1200)) // cell equi-join
+  }
+
+  test("theta-intersection touches sketch rows only, grid broadcast (O15)") {
+    // after the bottom-k sketch (WindowGroupLimit), the h equi-join and
+    // the θ-grid join run on ≤ groups·k rows; the grid side must
+    // broadcast, and nothing may nested-loop over data-sized input —
+    // the one BroadcastNestedLoop allowed is the groups²-sized
+    // ga < gb grid build itself
+    val p = plan("o15_kmv_overlap_matrix")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("source cap is WindowGroupLimit-pruned per host (T27)") {
     val p = plan("t27_source_caps")
     assert(p.contains("WindowGroupLimit"), p.take(1000))
