@@ -47,5 +47,25 @@ class StreamingKmvSpec extends SparkTestBase {
     val u = Kmv.estimate(Kmv.merge(store, Seq.empty, 128), Seq.empty, 128)
       .select("estimate").as[Double].head()
     assert(math.abs(u - 1300.0) / 1300.0 < 0.4, s"union est $u")
+    // direct θ-intersection off the SAME stored sketches — the o15
+    // estimator composes with the streaming store because a stored
+    // sketch is bit-identical to the flat one (proven above), so the
+    // store-served intersection must equal the flat-data answer
+    // exactly, not approximately
+    val storeInter = Kmv.intersectEstimate(
+        store.select(col("g"), col("h")), "g", 128)
+      .as[(String, String, Long, Double)].collect().toSet
+    val flatInter = Kmv.intersectEstimate(
+        Kmv.sketch(rows.toDF("g", "v"), Seq("g"), col("v").cast("string"), 128),
+        "g", 128)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(storeInter === flatInter, "store-served θ-intersection == flat")
+    // the fixture's groups are DISJOINT (even i → even residues, odd
+    // i → odd residues under ·7919 mod 1300): the direct estimator
+    // says exactly 0, where inclusion-exclusion over the same
+    // sketches (est_A + est_B − est_U ≈ 650 + 650 − 1443) would go
+    // NEGATIVE — the o15 regime in one line
+    val (_, _, nCommon, est) = storeInter.head
+    assert(nCommon == 0L && est == 0.0, s"disjoint groups must estimate 0, got $est")
   }
 }
