@@ -784,6 +784,18 @@ object PipelineQueries {
         k = 10, fbDocs = 5, expTerms = 3, maxDfFrac = 1.0)
     }),
 
+    // R8: PRF served from the bucketed index tables — r7's exact
+    // contract through the r6 serve path (tokenize paid once at index
+    // build; BOTH passes and the feedback mine read the tables), so
+    // the oracle is r7's SQL verbatim.
+    "r8_bm25_prf_served" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val name = bm25IndexTables(s, d)
+      Retrieval.bm25PrfTopKFromTables(s, name,
+        Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
+        k = 10, fbDocs = 5, expTerms = 3, maxDfFrac = 1.0)
+    }),
+
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
     // deterministically AUGMENTED with synthetic PII derived from
     // doc_id (same construction in the oracle) so the redaction is
@@ -2884,9 +2896,56 @@ object PipelineQueries {
       s"""WITH ${bm25CtesSql(idfVals)}
          |SELECT query_id, doc_id, score_micro, rank FROM lexr
          |WHERE rank <= 10""".stripMargin
+    // r7: PRF expansion — pass-1 lexr's top-5 feedback docs per
+    // query mine the 3 heaviest non-query terms (w_exp =
+    // Σ tf·idf_i exact BIGINTs, ties on term; NOT EXISTS excludes
+    // original terms, mirroring the engine's anti-join), the
+    // expanded term set (UNION ALL — disjoint by the exclusion)
+    // re-scores through the identical arithmetic tree. r8 serves the
+    // same contract from the bucketed tables, so it shares the SQL.
+    val r7Sql =
+      s"""WITH ${bm25CtesSql(idfVals)},
+         |fb AS (SELECT query_id, doc_id FROM lexr WHERE rank <= 5),
+         |expw AS (
+         |  SELECT f.query_id, tf.term,
+         |    sum(CAST(tf.tf AS BIGINT) * idf.idf_i) AS w_exp
+         |  FROM fb f
+         |  JOIN tf ON tf.doc_id = f.doc_id
+         |  JOIN idf ON idf.term = tf.term
+         |  WHERE NOT EXISTS (SELECT 1 FROM q
+         |    WHERE q.query_id = f.query_id AND q.term = tf.term)
+         |  GROUP BY 1, 2),
+         |expt AS (
+         |  SELECT query_id, term FROM (
+         |    SELECT query_id, term,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY w_exp DESC, term) AS er
+         |    FROM expw)
+         |  WHERE er <= 3),
+         |q2 AS (SELECT query_id, term FROM q
+         |       UNION ALL SELECT query_id, term FROM expt),
+         |sc2 AS (
+         |  SELECT q2.query_id, tf.doc_id,
+         |    sum(CAST(floor(CAST(220 * idf.idf_i * tf.tf AS DOUBLE) /
+         |      (CAST(tf.tf AS DOUBLE) + 0.3 +
+         |       0.9 * (CAST(dl.dl * (SELECT n FROM nn) AS DOUBLE) /
+         |              CAST((SELECT s FROM nn) AS DOUBLE)))) AS BIGINT)) AS score_micro
+         |  FROM q2
+         |  JOIN tf USING (term)
+         |  JOIN idf USING (term)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score_micro, rank FROM (
+         |  SELECT query_id, doc_id, score_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+         |  FROM sc2)
+         |WHERE rank <= 10""".stripMargin
     Map(
       "r1_bm25_topk" -> r1Sql,
       "r6_bm25_served" -> r1Sql,
+      "r7_bm25_prf" -> r7Sql,
+      "r8_bm25_prf_served" -> r7Sql,
 
       // r3: shingle chain (shared with d2) + capped jaccard verdicts +
       // the bm25 body over the same toks CTE; anti-join on the
@@ -2956,51 +3015,6 @@ object PipelineQueries {
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank
            |  FROM fused)
-           |WHERE rank <= 10""".stripMargin,
-
-      // r7: PRF expansion — pass-1 lexr's top-5 feedback docs per
-      // query mine the 3 heaviest non-query terms (w_exp =
-      // Σ tf·idf_i exact BIGINTs, ties on term; NOT EXISTS excludes
-      // original terms, mirroring the engine's anti-join), the
-      // expanded term set (UNION ALL — disjoint by the exclusion)
-      // re-scores through the identical arithmetic tree
-      "r7_bm25_prf" ->
-        s"""WITH ${bm25CtesSql(idfVals)},
-           |fb AS (SELECT query_id, doc_id FROM lexr WHERE rank <= 5),
-           |expw AS (
-           |  SELECT f.query_id, tf.term,
-           |    sum(CAST(tf.tf AS BIGINT) * idf.idf_i) AS w_exp
-           |  FROM fb f
-           |  JOIN tf ON tf.doc_id = f.doc_id
-           |  JOIN idf ON idf.term = tf.term
-           |  WHERE NOT EXISTS (SELECT 1 FROM q
-           |    WHERE q.query_id = f.query_id AND q.term = tf.term)
-           |  GROUP BY 1, 2),
-           |expt AS (
-           |  SELECT query_id, term FROM (
-           |    SELECT query_id, term,
-           |      row_number() OVER (PARTITION BY query_id
-           |        ORDER BY w_exp DESC, term) AS er
-           |    FROM expw)
-           |  WHERE er <= 3),
-           |q2 AS (SELECT query_id, term FROM q
-           |       UNION ALL SELECT query_id, term FROM expt),
-           |sc2 AS (
-           |  SELECT q2.query_id, tf.doc_id,
-           |    sum(CAST(floor(CAST(220 * idf.idf_i * tf.tf AS DOUBLE) /
-           |      (CAST(tf.tf AS DOUBLE) + 0.3 +
-           |       0.9 * (CAST(dl.dl * (SELECT n FROM nn) AS DOUBLE) /
-           |              CAST((SELECT s FROM nn) AS DOUBLE)))) AS BIGINT)) AS score_micro
-           |  FROM q2
-           |  JOIN tf USING (term)
-           |  JOIN idf USING (term)
-           |  JOIN dl ON dl.doc_id = tf.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT query_id, doc_id, score_micro, rank FROM (
-           |  SELECT query_id, doc_id, score_micro,
-           |    CAST(row_number() OVER (PARTITION BY query_id
-           |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
-           |  FROM sc2)
            |WHERE rank <= 10""".stripMargin)
   }
 

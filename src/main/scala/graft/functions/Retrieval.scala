@@ -278,10 +278,23 @@ object Retrieval {
       queries: DataFrame, qKeyCol: String, qTermsCol: String,
       k: Int, fbDocs: Int = 5, expTerms: Int = 3,
       maxDfFrac: Double = 0.5): DataFrame = {
+    val (tfIn, dlIn) = postingsOf(docs, keyCol, textCol)
+    bm25PrfTopKFromIndex(tfIn, dlIn, queries, qKeyCol, qTermsCol,
+      k, fbDocs, expTerms, maxDfFrac)
+  }
+
+  /** [[bm25PrfTopK]] over a pre-built inverted index — and, through
+   * [[bm25PrfTopKFromTables]], over the bucketed serving tables: the
+   * fit/serve duality the plain ranker has (bm25TopK ↔ r6) applies to
+   * the expansion path unchanged, because PRF only ever reads the
+   * index (both passes and the feedback mine). */
+  def bm25PrfTopKFromIndex(tfIn: DataFrame, dlIn: DataFrame,
+      queries: DataFrame, qKeyCol: String, qTermsCol: String,
+      k: Int, fbDocs: Int = 5, expTerms: Int = 3,
+      maxDfFrac: Double = 0.5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
     require(expTerms >= 0, s"expTerms must be >= 0, got $expTerms")
-    val (tfIn, dlIn) = postingsOf(docs, keyCol, textCol)
     val dl = dlIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (n, s) =
       try {
@@ -314,6 +327,18 @@ object Retrieval {
     val q2 = qterms.select(col("query_id"), col("term")).unionByName(expTop)
     ownStages(tf, dl, qterms)(rankedScores(tf, dfreq, dl, n, s, None, q2, k))
   }
+
+  /** PRF served from [[writeIndexTables]] output — identical rankings
+   * to [[bm25PrfTopK]] over the corpus the index was built from,
+   * without re-tokenizing anything (the r6 serve contract, for the
+   * expansion path). */
+  def bm25PrfTopKFromTables(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, qKeyCol: String, qTermsCol: String,
+      k: Int, fbDocs: Int = 5, expTerms: Int = 3,
+      maxDfFrac: Double = 0.5): DataFrame =
+    bm25PrfTopKFromIndex(spark.table(s"${name}_postings"),
+      spark.table(s"${name}_doclen"), queries, qKeyCol, qTermsCol,
+      k, fbDocs, expTerms, maxDfFrac)
 
   /**
    * Materialize the inverted index as BUCKETED tables — the standing

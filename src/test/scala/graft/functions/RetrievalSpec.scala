@@ -310,6 +310,20 @@ class RetrievalSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("prf served from the bucketed tables equals the direct operator") {
+    Retrieval.writeIndexTables(prfDocs, "doc_id", "text", "rix_prf", buckets = 4)
+    val direct = Retrieval.bm25PrfTopK(prfDocs, "doc_id", "text", q("zebra"),
+      "query_id", "terms", k = 10, fbDocs = 5, expTerms = 2)
+      .collect().map(_.toSeq).toSet
+    val served = Retrieval.bm25PrfTopKFromTables(spark, "rix_prf", q("zebra"),
+      "query_id", "terms", k = 10, fbDocs = 5, expTerms = 2)
+      .collect().map(_.toSeq).toSet
+    assert(served === direct)
+    spark.sql("DROP TABLE rix_prf_postings")
+    spark.sql("DROP TABLE rix_prf_doclen")
+    spark.catalog.clearCache()
+  }
+
   test("prf staged caches are released after the call") {
     val before = spark.sparkContext.getPersistentRDDs.size
     Retrieval.bm25PrfTopK(prfDocs, "doc_id", "text", q("zebra"),
