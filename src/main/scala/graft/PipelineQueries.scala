@@ -269,10 +269,16 @@ object PipelineQueries {
 
   /** BM25 CTE chain mirroring Retrieval.bm25TopK at maxDfFrac = 1.0
    * over the r1 self-query set — ends in `lexr` (query_id, doc_id,
-   * score_micro, rank). Identical arithmetic tree: 220·idf_i·tf over
-   * tf + 0.3 + 0.9·(dl·N/S), every float op a single IEEE step over
-   * exact-integer operands, per-(query,doc) totals exact BIGINT sums,
-   * rank tie-broken on doc_id. `idfValues` is the ENGINE-generated
+   * score_micro, rank). Identical arithmetic: the per-term score is
+   * EXACT integer division, (2200·S·idf_i·tf) // (10·S·tf + 3·S +
+   * 9·dl·N) in HUGEINT (the engine's DECIMAL(38,0) `div` — the
+   * ⌊220·idf·tf/(tf+0.3+0.9·dl·N/S)⌋ ratio multiplied through by
+   * 10·S, value-identical), per-(query,doc) totals exact BIGINT sums,
+   * rank tie-broken on doc_id. ZERO float ops remain in the chain:
+   * the r11/r12 driver gates proved even single-IEEE-step float
+   * trees mirrored operand-for-operand can resolve differently
+   * across environments at floor boundaries, so the family is now
+   * all-integer end to end. `idfValues` is the ENGINE-generated
    * (term, idf_i) literal table ([[Retrieval.idfOf]] collected — the
    * ivfCentroids generated-literal pattern): the one libm ln in the
    * chain is resolved engine-side and shipped as integers, so the
@@ -300,10 +306,10 @@ object PipelineQueries {
        |  FROM toks WHERE doc_id % 97 = 0),
        |sc AS (
        |  SELECT q.query_id, tf.doc_id,
-       |    sum(CAST(floor(CAST(220 * idf.idf_i * tf.tf AS DOUBLE) /
-       |      (CAST(tf.tf AS DOUBLE) + 0.3 +
-       |       0.9 * (CAST(dl.dl * (SELECT n FROM nn) AS DOUBLE) /
-       |              CAST((SELECT s FROM nn) AS DOUBLE)))) AS BIGINT)) AS score_micro
+       |    sum(CAST((2200::HUGEINT * idf.idf_i * tf.tf * (SELECT s FROM nn)) //
+       |      (10::HUGEINT * (SELECT s FROM nn) * tf.tf +
+       |       3::HUGEINT * (SELECT s FROM nn) +
+       |       9::HUGEINT * dl.dl * (SELECT n FROM nn)) AS BIGINT)) AS score_micro
        |  FROM q
        |  JOIN tf USING (term)
        |  JOIN idf USING (term)
@@ -2926,10 +2932,10 @@ object PipelineQueries {
          |       UNION ALL SELECT query_id, term FROM expt),
          |sc2 AS (
          |  SELECT q2.query_id, tf.doc_id,
-         |    sum(CAST(floor(CAST(220 * idf.idf_i * tf.tf AS DOUBLE) /
-         |      (CAST(tf.tf AS DOUBLE) + 0.3 +
-         |       0.9 * (CAST(dl.dl * (SELECT n FROM nn) AS DOUBLE) /
-         |              CAST((SELECT s FROM nn) AS DOUBLE)))) AS BIGINT)) AS score_micro
+         |    sum(CAST((2200::HUGEINT * idf.idf_i * tf.tf * (SELECT s FROM nn)) //
+         |      (10::HUGEINT * (SELECT s FROM nn) * tf.tf +
+         |       3::HUGEINT * (SELECT s FROM nn) +
+         |       9::HUGEINT * dl.dl * (SELECT n FROM nn)) AS BIGINT)) AS score_micro
          |  FROM q2
          |  JOIN tf USING (term)
          |  JOIN idf USING (term)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -39,17 +39,21 @@ import org.apache.spark.sql.functions._
  *    driver-gate lesson ([[idfBoundaryMargins]] is the attribution
  *    diagnostic);
  *  - the per-term score idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
- *    is evaluated as ⌊220·idf_i·tf / (tf + 0.3 + 0.9·(dl·N / S))⌋ —
- *    the numerator is an exact integer (< 2⁵³ for any realistic
- *    corpus), dl·N and S are exact integers, and every floating-point
- *    step (one division, one multiply, two adds, one final division,
- *    floor) is a correctly-rounded IEEE op on identical operand trees
- *    in Spark and the SQL oracle — deterministic by construction;
+ *    — mathematically ⌊220·idf_i·tf / (tf + 0.3 + 0.9·(dl·N / S))⌋ —
+ *    is evaluated with ZERO floating-point operations: multiplying
+ *    the ratio through by 10·S gives the identical value as exact
+ *    integer division, score = (2200·S·idf_i·tf) div
+ *    (10·S·tf + 3·S + 9·dl·N), carried in DECIMAL(38,0) (Spark) /
+ *    HUGEINT (oracle). Two driver rounds (r11, r12) proved that even
+ *    single-IEEE-step float trees mirrored operand-for-operand can
+ *    resolve differently across engine environments at floor
+ *    boundaries; exact integer arithmetic removes the boundary
+ *    entirely — no libm, no rounding, nothing environment-sensitive;
  *  - per-(query, doc) totals sum those BIGINT micro-scores exactly, so
  *    accumulation order (partitioning) cannot perturb the ranking.
- *  Caveat recorded here: dl·N stays < 2⁵³ through ~10⁹ docs × 10⁴
- *  tokens; past that, switch the dl·N/S factor to dl/avgdl with a
- *  pre-quantized avgdl (one more floor boundary), same layout.
+ *  Headroom recorded here: the numerator magnitude is
+ *  2200·S·idf_i·tf ≲ 10²⁶ at S = 10¹³ tokens (≈ 100 TB of text) —
+ *  twelve orders below the DECIMAL(38,0)/HUGEINT ceiling.
  *
  * Query-term semantics: DISTINCT terms per query (set-of-terms, the
  * common practical choice); a query term absent from the corpus (or
@@ -230,16 +234,26 @@ object Retrieval {
     val posting = candTf.join(dfreq, Seq("term")).join(dl, Seq("doc_id"))
     val matched = qterms.join(posting, Seq("term"))
 
-    // per-term micro-score — every float op is one IEEE step over
-    // exact-integer operands, mirrored verbatim in the SQL oracle
-    val denom = col("tf").cast("double") + lit(0.3) +
-      lit(0.9) * ((col("dl") * lit(n)).cast("double") / lit(s.toDouble))
-    val scoreMicro =
-      floor((lit(220L) * col("idf_i") * col("tf")).cast("double") / denom)
-        .cast("long")
+    // per-term micro-score — ZERO float ops. The rational form
+    // ⌊220·idf_i·tf / (tf + 0.3 + 0.9·dl·N/S)⌋ multiplied through by
+    // 10·S is the SAME value (the ratio is unchanged and floor
+    // commutes with it), but every operand is now an exact integer:
+    //   score = (2200·S·idf_i·tf) div (10·S·tf + 3·S + 9·dl·N).
+    // DECIMAL(38,0) carries the products exactly (the numerator
+    // ~2200·S·idf·tf passes the int64 range near S ≈ 10¹³; worst
+    // realistic magnitude ~10²⁶ ≪ 10³⁸) and `div` is Catalyst's
+    // IntegralDivide — BigDecimal divideToIntegralValue, exact. The
+    // oracle mirrors the identical formula in HUGEINT, so the score
+    // is environment-proof by construction: no libm, no IEEE
+    // rounding, nothing an engine or platform can resolve differently.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val num = dec(lit(2200L)) * dec(col("idf_i")) * dec(col("tf")) * dec(lit(s))
+    val den = dec(lit(10L)) * dec(lit(s)) * dec(col("tf")) +
+      dec(lit(3L)) * dec(lit(s)) + dec(lit(9L)) * dec(col("dl")) * dec(lit(n))
 
     val scored = matched
-      .select(col("query_id"), col("doc_id"), scoreMicro.as("_sm"))
+      .select(col("query_id"), col("doc_id"), num.as("_num"), den.as("_den"))
+      .withColumn("_sm", expr("_num div _den"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("_sm")).as("score_micro"))
 

@@ -332,4 +332,58 @@ class RetrievalSpec extends SparkTestBase {
     assert(after <= before + 1) // only the materialized result remains
     spark.catalog.clearCache()
   }
+
+  /** The integer-division score, recomputed independently with BigInt —
+   * the reference the engine's DECIMAL(38,0) `div` and the oracle's
+   * HUGEINT `//` must both equal. */
+  private def refScore(idfI: Long, tf: Long, dl: Long, n: Long, s: Long): BigInt =
+    (BigInt(2200) * idfI * tf * s) /
+      (BigInt(10) * s * tf + BigInt(3) * s + BigInt(9) * dl * n)
+
+  test("score_micro is the exact BigInt integer-division value (no float anywhere)") {
+    val (tfDf, dlDf) = Retrieval.postingsOf(docs, "doc_id", "text")
+    val dl = dlDf.as[(Long, Long)].collect().toMap
+    val n = dl.size.toLong
+    val s = dl.values.sum
+    val idf = Retrieval.idfOf(tfDf, n, maxDfFrac = 1.0)
+      .as[(String, Long)].collect().toMap
+    val tf = tfDf.as[(Long, String, Long)].collect()
+      .map { case (d, t, f) => ((d, t), f) }.toMap
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      q("zebra", "gamma", "beta"), "query_id", "terms",
+      k = 10, maxDfFrac = 1.0)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty)
+    for ((id, got) <- out) {
+      val want = Seq("zebra", "gamma", "beta").flatMap { t =>
+        for (f <- tf.get((id, t)); i <- idf.get(t))
+          yield refScore(i, f, dl(id), n, s)
+      }.sum
+      assert(BigInt(got) == want, s"doc $id: $got != $want")
+    }
+  }
+
+  test("adversarial magnitudes: S ~ 10^13 (int64-overflow range) scores exactly") {
+    // dl sized so 2200·S·idf_i·tf ≈ 2·10^20 — far past the int64 max
+    // (9.2·10^18); DECIMAL(38,0) must carry it exactly
+    val tfIn = Seq((1L, "t", 5L), (2L, "t", 9999L), (2L, "u", 1L))
+      .toDF("doc_id", "term", "tf")
+    val dlIn = Seq((1L, 4000000000000L), (2L, 6000000000000L))
+      .toDF("doc_id", "dl")
+    val n = 2L
+    val s = 10000000000000L
+    val idf = Retrieval.idfOf(tfIn, n, maxDfFrac = 1.0)
+      .as[(String, Long)].collect().toMap
+    val out = Retrieval.bm25TopKFromIndex(tfIn, dlIn,
+      Seq((9L, Seq("t", "u"))).toDF("query_id", "terms"),
+      "query_id", "terms", k = 10, maxDfFrac = 1.0)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toMap
+    val want1 = refScore(idf("t"), 5L, 4000000000000L, n, s)
+    val want2 = refScore(idf("t"), 9999L, 6000000000000L, n, s) +
+      refScore(idf("u"), 1L, 6000000000000L, n, s)
+    assert(BigInt(2200) * s * idf("t") * 9999L > BigInt(Long.MaxValue),
+      "test must actually exceed the int64 range")
+    assert(out == Map(1L -> want1.toLong, 2L -> want2.toLong))
+    spark.catalog.clearCache()
+  }
 }
