@@ -118,10 +118,17 @@ object PipelineQueries {
         .orderBy(col("term")).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
     })
-  private def bm25IdfValuesSql(s: SparkSession, d: String): String =
-    bm25IdfTable(s, d)
+  private def bm25IdfValuesSql(s: SparkSession, d: String): String = {
+    val rows = bm25IdfTable(s, d)
+    // an empty VALUES list is syntactically invalid oracle SQL — a
+    // corpus whose every term is stop-guarded must fail loudly at
+    // generation time, not as a DuckDB parse error in the gate
+    require(rows.nonEmpty,
+      s"bm25 oracle for $d: every term stop-guarded — no idf literals to inline")
+    rows
       .map { case (t, i) => s"('${t.replace("'", "''")}', CAST($i AS BIGINT))" }
       .mkString(",\n  ")
+  }
 
   /** Engine-generated (term, idf_i) table for the d8 tf-idf oracle —
    * [[graft.functions.Dedup.tfidfIdfOf]] collected once per sf dir
@@ -146,10 +153,14 @@ object PipelineQueries {
       t.unpersist()
       out
     })
-  private def tfidfIdfValuesSql(s: SparkSession, d: String): String =
-    tfidfIdfTable(s, d)
+  private def tfidfIdfValuesSql(s: SparkSession, d: String): String = {
+    val rows = tfidfIdfTable(s, d)
+    require(rows.nonEmpty,
+      s"tfidf oracle for $d: every term stop-guarded — no idf literals to inline")
+    rows
       .map { case (t, i) => s"('${t.replace("'", "''")}', CAST($i AS BIGINT))" }
       .mkString(",\n  ")
+  }
 
   /** Build-once memo for the r6 bucketed BM25 index tables (postings
    * bucketed+sorted on term, doc lengths bucketed on doc_id) — one
@@ -158,7 +169,12 @@ object PipelineQueries {
   private val bm25IxMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def bm25IndexTables(s: SparkSession, d: String): String =
     bm25IxMemo.computeIfAbsent(d, _ => {
-      val name = s"graft_bm25ix_${Integer.toHexString(d.hashCode)}"
+      // full md5 of the dir path, not String.hashCode: a 32-bit
+      // collision between two sf dirs in one JVM would silently serve
+      // r6/r8 rankings from the wrong corpus
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val name = s"graft_bm25ix_$digest"
       Retrieval.writeIndexTables(Tables.documents(s, d), "doc_id", "text", name)
       name
     })

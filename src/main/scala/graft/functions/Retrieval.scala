@@ -153,10 +153,19 @@ object Retrieval {
    * cross-engine libm ulp can ever flip a score — the idf boundary is
    * resolved once, engine-side, and shipped as data.
    */
-  def idfOf(tf: DataFrame, n: Long, maxDfFrac: Double): DataFrame = {
+  def idfOf(tf: DataFrame, n: Long, maxDfFrac: Double): DataFrame =
+    idfFromDf(tf.groupBy(col("term")).agg(count(lit(1)).as("df")), n, maxDfFrac)
+
+  /** [[idfOf]] from a PRECOMPUTED (term, df) table — the serve-path
+   * variant: a standing index materializes document frequency once
+   * ([[writeIndexTables]]'s `_df` table) and every query batch after
+   * derives the stop guard + idf_i from it without aggregating the
+   * postings again. The guard and the quantized-idf expression are
+   * the same code path as [[idfOf]], so served and direct rankings
+   * are identical by construction. */
+  def idfFromDf(dfTab: DataFrame, n: Long, maxDfFrac: Double): DataFrame = {
     val maxDf = math.floor(n * maxDfFrac).toLong
-    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+    dfTab.filter(col("df") <= maxDf)
       .withColumn("idf_i",
         floor(lit(1e4) * log(
           (lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
@@ -323,7 +332,19 @@ object Retrieval {
     val qterms = queries.select(col(qKeyCol).as("query_id"),
         explode(array_distinct(col(qTermsCol))).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ownStages(tf, dl, qterms)(
+      prfRanked(tf, dfreq, dl, n, s, qterms, k, fbDocs, expTerms))
+  }
 
+  /** The two-pass PRF body over resolved stats — shared between the
+   * fit path ([[bm25PrfTopKFromIndex]], which derives (n, s, dfreq)
+   * per call) and the serve path ([[bm25PrfTopKFromStats]], which
+   * reads them from the materialized stats tables). `qterms` must be
+   * distinct (query_id, term) rows, persisted by the caller (three
+   * consumers: pass-1 join, expansion anti-join, union). */
+  private def prfRanked(tf: DataFrame, dfreq: DataFrame, dl: DataFrame,
+      n: Long, s: Long, qterms: DataFrame,
+      k: Int, fbDocs: Int, expTerms: Int): DataFrame = {
     val fb = rankedScores(tf, dfreq, dl, n, s, None, qterms, fbDocs)
       .select(col("query_id"), col("doc_id"))
     val expw = fb.join(tf, Seq("doc_id"))
@@ -339,31 +360,64 @@ object Retrieval {
       .select(col("query_id"), col("term"))
 
     val q2 = qterms.select(col("query_id"), col("term")).unionByName(expTop)
-    ownStages(tf, dl, qterms)(rankedScores(tf, dfreq, dl, n, s, None, q2, k))
+    rankedScores(tf, dfreq, dl, n, s, None, q2, k)
   }
 
   /** PRF served from [[writeIndexTables]] output — identical rankings
    * to [[bm25PrfTopK]] over the corpus the index was built from,
    * without re-tokenizing anything (the r6 serve contract, for the
-   * expansion path). */
+   * expansion path). Delegates to [[bm25PrfTopKFromStats]]: corpus
+   * stats come from the materialized `_stats`/`_df` tables, so
+   * NEITHER pass (nor the feedback mine) rescans the postings or
+   * doc-length tables for N/S/df. */
   def bm25PrfTopKFromTables(spark: org.apache.spark.sql.SparkSession,
       name: String, queries: DataFrame, qKeyCol: String, qTermsCol: String,
       k: Int, fbDocs: Int = 5, expTerms: Int = 3,
       maxDfFrac: Double = 0.5): DataFrame =
-    bm25PrfTopKFromIndex(spark.table(s"${name}_postings"),
-      spark.table(s"${name}_doclen"), queries, qKeyCol, qTermsCol,
+    bm25PrfTopKFromStats(spark, name, queries, qKeyCol, qTermsCol,
       k, fbDocs, expTerms, maxDfFrac)
+
+  /** [[bm25PrfTopKFromTables]], explicitly: both scoring passes and
+   * the expansion mine run against the standing index with (N, S)
+   * read from the 1-row `_stats` table and idf derived from the
+   * vocabulary-sized `_df` table — the PRF serve path pays ZERO
+   * stats passes over postings/doclen per call (it used to pay the
+   * rescan twice, once per pass). */
+  def bm25PrfTopKFromStats(spark: org.apache.spark.sql.SparkSession,
+      name: String, queries: DataFrame, qKeyCol: String, qTermsCol: String,
+      k: Int, fbDocs: Int = 5, expTerms: Int = 3,
+      maxDfFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(expTerms >= 0, s"expTerms must be >= 0, got $expTerms")
+    val (n, s) = readStats(spark, name)
+    val dfreq = idfFromDf(spark.table(s"${name}_df"), n, maxDfFrac)
+    val qterms = queries.select(col(qKeyCol).as("query_id"),
+        explode(array_distinct(col(qTermsCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ownStages(qterms)(
+      prfRanked(spark.table(s"${name}_postings"), dfreq,
+        spark.table(s"${name}_doclen"), n, s, qterms, k, fbDocs, expTerms))
+  }
 
   /**
    * Materialize the inverted index as BUCKETED tables — the standing
    * serve path for a repeated query workload ([[SCALE.md]]'s "pay the
-   * tokenize once" recipe). Postings bucket+sort on `term`: the
-   * vocabulary-sized df aggregation then reads pre-clustered buckets
-   * with NO exchange (the WarehouseSpec bucketed-agg property), and
-   * only matched posting rows ever shuffle at query time. Doc lengths
-   * bucket on `doc_id` for the same reason on their join key. Pay
-   * tokenize + two clustered writes once; serve from
-   * [[bm25TopKFromTables]] after.
+   * tokenize once" recipe). Four tables:
+   *  - `_postings` (doc_id, term, tf), bucket+sort on `term` — only
+   *    matched posting rows ever shuffle at query time;
+   *  - `_doclen` (doc_id, dl), bucketed on `doc_id` (its join key);
+   *  - `_df` (term, df), bucket+sort on `term` — document frequency
+   *    materialized ONCE, derived from the just-written postings
+   *    buckets with no exchange (the WarehouseSpec bucketed-agg
+   *    property) and no second tokenize;
+   *  - `_stats` — one row (n, s): corpus size and total token mass.
+   * The `_df`/`_stats` pair is what makes serving fit-free: at a
+   * standing 100 TB index, recomputing N/S/df per query batch is an
+   * O(index) scan that dominates the serve cost — materialized, a
+   * query batch touches only its matched posting lists. Pay tokenize
+   * + the clustered writes once; serve from [[bm25TopKFromStats]] /
+   * [[bm25PrfTopKFromStats]] after.
    */
   def writeIndexTables(docs: DataFrame, keyCol: String, textCol: String,
       name: String, buckets: Int = 32): Unit = {
@@ -371,7 +425,8 @@ object Retrieval {
     // a crashed previous build (or a catalog-fresh session over an old
     // warehouse dir) leaves an orphan table LOCATION that Overwrite
     // cannot claim — drop both catalog entry and location first
-    Seq(s"${name}_postings", s"${name}_doclen").foreach { t =>
+    Seq(s"${name}_postings", s"${name}_doclen", s"${name}_df",
+        s"${name}_stats").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(
@@ -386,16 +441,60 @@ object Retrieval {
     dl.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, "doc_id")
       .saveAsTable(s"${name}_doclen")
+    // stats derive from the tables just written (not from tf/dl, whose
+    // lineage would tokenize the corpus twice more): the df agg reads
+    // pre-clustered term buckets exchange-free, the (n, s) pair is one
+    // O(doclen) pass at BUILD time so no serve call ever pays it
+    spark.table(s"${name}_postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(s"${name}_df")
+    spark.table(s"${name}_doclen")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_stats")
+  }
+
+  /** The (N, S) pair of a materialized index — one 1-row table read. */
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+      name: String): (Long, Long) = {
+    val st = spark.table(s"${name}_stats").head()
+    val (n, s) = (st.getAs[Long]("n"), st.getAs[Long]("s"))
+    require(n > 0 && s > 0, "bm25 needs a non-empty, non-blank corpus")
+    (n, s)
   }
 
   /** BM25 top-k served from [[writeIndexTables]] output — identical
    * rankings to [[bm25TopK]] over the corpus the index was built
-   * from, without re-tokenizing anything. */
+   * from, without re-tokenizing anything. Delegates to
+   * [[bm25TopKFromStats]] (requires an index written by a version
+   * that materializes the `_df`/`_stats` tables). */
   def bm25TopKFromTables(spark: org.apache.spark.sql.SparkSession, name: String,
       queries: DataFrame, qKeyCol: String, qTermsCol: String,
       k: Int, maxDfFrac: Double = 0.5): DataFrame =
-    bm25TopKFromIndex(spark.table(s"${name}_postings"),
-      spark.table(s"${name}_doclen"), queries, qKeyCol, qTermsCol, k, maxDfFrac)
+    bm25TopKFromStats(spark, name, queries, qKeyCol, qTermsCol, k, maxDfFrac)
+
+  /** The fit-free serve path: rank against the standing index with
+   * corpus stats read from the materialized tables — (N, S) from the
+   * 1-row `_stats` table, the guard + idf from the vocabulary-sized
+   * `_df` table. NO aggregate ever runs over the postings or
+   * doc-length tables at serve time (plan-asserted in PlanSpec): a
+   * query batch costs its matched posting lists, independent of the
+   * standing index size — the fit-once/serve-many discipline. */
+  def bm25TopKFromStats(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, qKeyCol: String, qTermsCol: String,
+      k: Int, maxDfFrac: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfFrac > 0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val (n, s) = readStats(spark, name)
+    val dfreq = idfFromDf(spark.table(s"${name}_df"), n, maxDfFrac)
+    val qterms = queries.select(col(qKeyCol).as("query_id"),
+      explode(array_distinct(col(qTermsCol))).as("term"))
+    rankedScores(spark.table(s"${name}_postings"), dfreq,
+      spark.table(s"${name}_doclen"), n, s, None, qterms, k)
+  }
 
   /** Self-retrieval reciprocal rank — the retrieval-quality eval over
    * a corpus-derived query set (does a document's own query find it,

@@ -304,6 +304,18 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       p.take(800))
   }
 
+  test("BM25 serve path reads materialized stats — no full-postings aggregate (R6/R8)") {
+    // the fit-once/serve-many property: a serve call must read (N, S)
+    // from the 1-row _stats table and idf from the vocabulary-sized
+    // _df table, never re-aggregate the postings — at a standing
+    // 100 TB index the per-call df rescan would dominate serve cost.
+    // A term-keyed aggregate in the plan IS that rescan.
+    for (q <- Seq("r6_bm25_served", "r8_bm25_prf_served")) {
+      val p = plan(q)
+      assert(!p.contains("keys=[term#"), s"$q: ${p.take(1500)}")
+    }
+  }
+
   test("PRF expansion: both passes WindowGroupLimit-pruned, no cartesian (R7)") {
     // pass 1 (feedback top-fbDocs), the expansion-term top-m, and
     // pass 2 (final top-k) are all per-query heaps — three

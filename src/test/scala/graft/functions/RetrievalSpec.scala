@@ -163,8 +163,23 @@ class RetrievalSpec extends SparkTestBase {
     val agg = spark.table("rix_test_postings").groupBy(col("term")).count()
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(1000))
-    spark.sql("DROP TABLE rix_test_postings")
-    spark.sql("DROP TABLE rix_test_doclen")
+    // the serve-path property: stats come from the materialized
+    // _stats/_df tables — NO aggregate over the postings (df) and no
+    // term-keyed aggregate anywhere in the serve plan
+    val servePlan = Retrieval.bm25TopKFromStats(spark, "rix_test", q,
+      "query_id", "terms", k = 10).queryExecution.executedPlan.toString
+    assert(!servePlan.contains("keys=[term#"), servePlan.take(1500))
+    assert(servePlan.contains("rix_test_df"), servePlan.take(1500))
+    // the materialized df/stats tables match a from-scratch derivation
+    val dfTab = spark.table("rix_test_df").as[(String, Long)].collect().toMap
+    val (tfRef, dlRef) = Retrieval.postingsOf(d, "doc_id", "text")
+    val dfRef = tfRef.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    assert(dfTab == dfRef)
+    val st = spark.table("rix_test_stats").as[(Long, Long)].collect().head
+    assert(st == ((dlRef.count(), dlRef.agg(sum(col("dl"))).head().getLong(0))))
+    Seq("postings", "doclen", "df", "stats")
+      .foreach(t => spark.sql(s"DROP TABLE rix_test_$t"))
     spark.catalog.clearCache()
   }
 
@@ -319,8 +334,14 @@ class RetrievalSpec extends SparkTestBase {
       "query_id", "terms", k = 10, fbDocs = 5, expTerms = 2)
       .collect().map(_.toSeq).toSet
     assert(served === direct)
-    spark.sql("DROP TABLE rix_prf_postings")
-    spark.sql("DROP TABLE rix_prf_doclen")
+    // the PRF serve plan must not rescan postings/doclen for stats
+    // either — no term-keyed aggregate in either pass
+    val servePlan = Retrieval.bm25PrfTopKFromStats(spark, "rix_prf", q("zebra"),
+      "query_id", "terms", k = 10, fbDocs = 5, expTerms = 2)
+      .queryExecution.executedPlan.toString
+    assert(!servePlan.contains("keys=[term#"), servePlan.take(1500))
+    Seq("postings", "doclen", "df", "stats")
+      .foreach(t => spark.sql(s"DROP TABLE rix_prf_$t"))
     spark.catalog.clearCache()
   }
 
