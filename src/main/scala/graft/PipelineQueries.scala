@@ -818,6 +818,31 @@ object PipelineQueries {
         k = 10, fbDocs = 5, expTerms = 3, maxDfFrac = 1.0)
     }),
 
+    // R9: the 100 TB RAG serving shape end to end — r2's hybrid
+    // contract with BOTH arms on standing indexes: the lexical arm
+    // served from the bucketed BM25 tables (stats materialized, no
+    // per-call fit — the r6 path) and the dense arm from the
+    // persisted IVF index (cell-partition-pruned probes — the n3
+    // path), fused with the same ⌊10⁶/(60+rank)⌋ RRF. Unlike r2's
+    // definitionally-exact brute-force dense arm (queries × corpus),
+    // every per-query cost here is sublinear in corpus size, so THIS
+    // is the query a production RAG stack runs. Oracle: r1's integer
+    // BM25 chain + n3's centroid-literal probe CTEs over the r-family
+    // query set, fused with r2's exact contrib arithmetic.
+    "r9_hybrid_rrf_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val name = bm25IndexTables(s, d)
+      val lex = Retrieval.bm25TopKFromTables(s, name,
+        Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
+        k = 10, maxDfFrac = 1.0)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val dense = Similarity.ivfTopKIndexed(s, ivfIndexPath(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0),
+        k = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+    }),
+
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
     // deterministically AUGMENTED with synthetic PII derived from
     // doc_id (same construction in the oracle) so the redaction is
@@ -2913,6 +2938,7 @@ object PipelineQueries {
    */
   private def retrievalOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
     val idfVals = bm25IdfValuesSql(spark, sfDir)
+    val centroids = ivfCentroids(spark, sfDir)
     // r1: see bm25CtesSql for the arithmetic-tree mirror
     val r1Sql =
       s"""WITH ${bm25CtesSql(idfVals)}
@@ -2963,11 +2989,47 @@ object PipelineQueries {
          |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
          |  FROM sc2)
          |WHERE rank <= 10""".stripMargin
+    // r9: the lexical chain (identical to r1 — the serve tables are
+    // contractually transparent) fused with the IVF-indexed dense arm:
+    // n3's centroid-literal assignment/probe CTEs re-pointed at the
+    // r-family query set (vec_id ≡ 0 mod 97), stage-1 rank by the
+    // shared rounded cosine within probed cells, RRF contrib/fuse
+    // arithmetic identical to r2's
+    val r9Sql =
+      s"""WITH ${bm25CtesSql(idfVals)},
+         |${ivfCtesSql(centroids, nProbe = 4,
+             querySource = "(SELECT * FROM embeddings WHERE vec_id % 97 = 0)")},
+         |dense AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT p.query_id, a.neighbor_id AS doc_id,
+         |      CAST(row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${cosSql("a.embedding", "p.qv")} DESC, a.neighbor_id) AS INTEGER) AS rank
+         |    FROM assigned a JOIN probes p ON a.cell = p.cell
+         |    WHERE p.query_id <> a.neighbor_id)
+         |  WHERE rank <= 10),
+         |contrib AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000.0 / CAST(rank + 60 AS DOUBLE)) AS BIGINT) AS m
+         |  FROM lexr WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000.0 / CAST(rank + 60 AS DOUBLE)) AS BIGINT) AS m
+         |  FROM dense),
+         |fused AS (
+         |  SELECT query_id, doc_id, sum(m) AS rrf_micro
+         |  FROM contrib GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rrf_micro, rank FROM (
+         |  SELECT query_id, doc_id, rrf_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank
+         |  FROM fused)
+         |WHERE rank <= 10""".stripMargin
     Map(
       "r1_bm25_topk" -> r1Sql,
       "r6_bm25_served" -> r1Sql,
       "r7_bm25_prf" -> r7Sql,
       "r8_bm25_prf_served" -> r7Sql,
+      "r9_hybrid_rrf_indexed" -> r9Sql,
 
       // r3: shingle chain (shared with d2) + capped jaccard verdicts +
       // the bm25 body over the same toks CTE; anti-join on the
@@ -3710,7 +3772,8 @@ object PipelineQueries {
   /** Centroid-literal CTEs shared by the n3/n6 generated oracles:
    * cell assignment of the corpus + nProbe probe cells per query. */
   private def ivfCtesSql(centroids: Seq[(Int, Seq[Float])], nProbe: Int,
-      source: String = "embeddings"): String = {
+      source: String = "embeddings",
+      querySource: String = "(SELECT * FROM embeddings WHERE vec_id < 20)"): String = {
     def fmt(d: Double) = d.toString
     def vec(c: Seq[Float]) = c.map(x => fmt(x.toDouble)).mkString("[", ", ", "]")
     val rows = centroids.map { case (i, c) =>
@@ -3729,7 +3792,7 @@ object PipelineQueries {
        |    ORDER BY (c.cc - 2 * ${vc("e.embedding", "c.cv")}) ASC, c.cell ASC) = 1),
        |probes AS (
        |  SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell
-       |  FROM (SELECT * FROM embeddings WHERE vec_id < 20) q CROSS JOIN centroids c
+       |  FROM $querySource q CROSS JOIN centroids c
        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
        |    ORDER BY (${vc("q.embedding", "c.cv")} /
        |      (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) * c.sqrtcc)) DESC,
