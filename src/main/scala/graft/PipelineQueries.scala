@@ -2134,7 +2134,7 @@ object PipelineQueries {
          |sk AS (SELECT g, h FROM r WHERE rk <= 64),
          |th AS (
          |  SELECT g, CASE WHEN count(*) < 64 THEN 4294967296
-         |                 ELSE max(h) + 1 END AS theta_i
+         |                 ELSE max(h) END AS theta_i
          |  FROM sk GROUP BY 1),
          |grid AS (
          |  SELECT a.g AS ga, b.g AS gb, least(a.theta_i, b.theta_i) AS theta_min_i

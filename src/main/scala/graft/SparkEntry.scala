@@ -803,7 +803,7 @@ object SparkEntry {
    * CTE — exact below k, (k−1)/θ at k, both engines bit-identical. */
   private def kmvEstimateSql(k: Int): String =
     s"""CASE WHEN n_hashes < $k THEN CAST(n_hashes AS DOUBLE)
-       |     ELSE ${(k - 1).toDouble}::DOUBLE / (CAST(hmax + 1 AS DOUBLE) / 4294967296.0::DOUBLE)
+       |     ELSE ${(k - 1).toDouble}::DOUBLE / (CAST(hmax AS DOUBLE) / 4294967296.0::DOUBLE)
        |END""".stripMargin
 
   private def hllOracleSql(src: String, groupCol: String, valueSql: String,

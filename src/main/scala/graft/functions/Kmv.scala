@@ -63,7 +63,10 @@ object Kmv {
   /**
    * Distinct estimate per group: exact count when the sketch holds
    * fewer than k hashes (the sketch IS the distinct set), else
-   * (k−1)/θ with θ = (h_max+1)/2^32 — deterministic double
+   * (k−1)/θ with θ = h_max/2^32 — h_max is the k-th minimum itself,
+   * so exactly k−1 retained hashes lie STRICTLY below θ: the standard
+   * theta-sketch convention, shared with [[intersectEstimate]] so the
+   * two estimators are mutually consistent. Deterministic double
    * arithmetic both engines share. Output: (groupCols..., n_hashes,
    * estimate).
    */
@@ -74,7 +77,7 @@ object Kmv {
       .select(g :+ col("n_hashes") :+
         when(col("n_hashes") < k, col("n_hashes").cast("double"))
           .otherwise(lit((k - 1).toDouble) /
-            ((col("_hmax") + 1L).cast("double") / HashSpace)).as("estimate"): _*)
+            (col("_hmax").cast("double") / HashSpace)).as("estimate"): _*)
   }
 
   /**
@@ -86,7 +89,8 @@ object Kmv {
    * inclusion-exclusion when the intersection is small relative to
    * the union (there the estimate is a difference of three large
    * noisy numbers; here it is a direct count). θ is carried in EXACT
-   * integer hash space (2³² for an exact sketch, h_max+1 at
+   * integer hash space (2³² for an exact sketch, h_max — the k-th
+   * minimum, strictly-below counting, [[estimate]]'s convention — at
    * capacity), so the one float op is the final division —
    * bit-reproducible cross-engine like [[estimate]].
    *
@@ -102,7 +106,7 @@ object Kmv {
       .agg(count(lit(1)).as("_n"), max(col("h")).as("_hmax"))
       .select(col(groupCol),
         when(col("_n") < k, lit(4294967296L))
-          .otherwise(col("_hmax") + 1L).as("theta_i"))
+          .otherwise(col("_hmax")).as("theta_i"))
     val ta = th.select(col(groupCol).as("ga"), col("theta_i").as("_ta"))
     val tb = th.select(col(groupCol).as("gb"), col("theta_i").as("_tb"))
     // complete unordered pair grid (groups × groups — tiny, broadcast)

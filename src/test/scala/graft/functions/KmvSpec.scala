@@ -99,4 +99,25 @@ class KmvSpec extends SparkTestBase {
       .as[(String, String, Long, Double)].collect().toSet
     assert(again == first)
   }
+
+  test("estimate and intersectEstimate share one theta convention (θ = k-th min)") {
+    // at capacity both estimators must use θ = h_max (the k-th
+    // minimum) with strictly-below counting — exactly k−1 retained
+    // hashes below θ, so estimate == (k−1)/(θ/2³²) and a group
+    // intersected with ITSELF (two copies under different labels)
+    // counts k−1 common hashes below θ_min
+    val k = 64
+    val base = spark.range(0, 5000)
+    val two = base.select(lit("A").as("g"), concat(lit("u"), col("id")).as("v"))
+      .unionByName(base.select(lit("B").as("g"), concat(lit("u"), col("id")).as("v")))
+    val sk = Kmv.sketch(two, Seq("g"), col("v"), k)
+    val hmax = sk.filter(col("g") === "A").agg(max(col("h"))).as[Long].head()
+    val est = Kmv.estimate(sk, Seq("g"), k)
+      .filter(col("g") === "A").select("estimate").as[Double].head()
+    assert(est === (k - 1).toDouble / (hmax.toDouble / 4294967296.0))
+    val inter = Kmv.intersectEstimate(sk, "g", k)
+      .select("n_common", "estimate").as[(Long, Double)].head()
+    assert(inter._1 === (k - 1).toLong, "identical sketches: k-1 common below θ")
+    assert(inter._2 === est, "self-intersection estimate == distinct estimate")
+  }
 }

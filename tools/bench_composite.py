@@ -51,8 +51,14 @@ def main():
         "queries": {k: round(v, 3) for k, v in comp.items()},
         "samples": runs[0].get("samples"),
         "runs": RUNS,
-        "calib_start": min(float(t["calib_start"]) for t in runs),
-        "calib_end": min(float(t["calib_end"]) for t in runs),
+        # the (calib_start, calib_end) PAIR comes from the single
+        # quietest run (minimal mean), never per-field minima across
+        # runs — mixing probes from different runs would skew
+        # bench_guard's load-drift normalization that anchors on them
+        **(lambda q: {"calib_start": float(q["calib_start"]),
+                      "calib_end": float(q["calib_end"])})(
+            min(runs, key=lambda t: (float(t["calib_start"]) +
+                                     float(t["calib_end"])) / 2.0)),
         "sf": SF,
     }
     dest = Path(OUT) if OUT else REPO / "BENCH_LOCAL_composite.json"
