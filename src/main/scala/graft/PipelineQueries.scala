@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
  */
 object PipelineQueries {
 
+  /** Full md5 hex of an sf-dir path — the collision-proof key for
+   * fit-once artifact paths and table names (a 32-bit String.hashCode
+   * collision between two dirs in one JVM would silently serve
+   * results from the wrong corpus). */
+  private def dirDigest(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** Fit-once IVF index memo: first call per (JVM, sf dir) builds the
    * persisted index (KMeans fit + cell-partitioned corpus write) under
    * tmpdir; later calls reuse it. The fit is deterministic
@@ -23,7 +31,7 @@ object PipelineQueries {
   private val ivfIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexPath(s: SparkSession, d: String): String =
     ivfIndexMemo.computeIfAbsent(d, _ => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-${dirDigest(d)}"
       // label rides into the index so filtered searches (n11) push
       // their predicate into the same cell-pruned scan
       Similarity.buildIvfIndex(Tables.embeddings(s, d), path, // k derived from corpus size
@@ -35,7 +43,7 @@ object PipelineQueries {
   private val ivfSq8Memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfSq8Path(s: SparkSession, d: String): String =
     ivfSq8Memo.computeIfAbsent(d, _ => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfsq8-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfsq8-${dirDigest(d)}"
       Similarity.buildIvfSq8Index(Tables.embeddings(s, d), path) // k derived from corpus size
       path
     })
@@ -55,7 +63,7 @@ object PipelineQueries {
   private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfPqPath(s: SparkSession, d: String): String =
     ivfPqMemo.computeIfAbsent(d, _ => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq-${dirDigest(d)}"
       Similarity.buildIvfPqIndexWith(Tables.embeddings(s, d), path, dim = 64,
         ivfCentroids(s, d), pqCodebooks(s, d))
       path
@@ -75,7 +83,7 @@ object PipelineQueries {
   private val ivfRpqMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfRpqPath(s: SparkSession, d: String): String =
     ivfRpqMemo.computeIfAbsent(d, _ => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfrpq-${Integer.toHexString(d.hashCode)}"
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfrpq-${dirDigest(d)}"
       Similarity.buildIvfRpqIndexWith(Tables.embeddings(s, d), path, dim = 64,
         ivfCentroids(s, d), rpqCodebooks(s, d))
       path
@@ -172,9 +180,7 @@ object PipelineQueries {
       // full md5 of the dir path, not String.hashCode: a 32-bit
       // collision between two sf dirs in one JVM would silently serve
       // r6/r8 rankings from the wrong corpus
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val name = s"graft_bm25ix_$digest"
+      val name = s"graft_bm25ix_${dirDigest(d)}"
       Retrieval.writeIndexTables(Tables.documents(s, d), "doc_id", "text", name)
       name
     })

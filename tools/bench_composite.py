@@ -8,7 +8,9 @@ On this host the noise is partly calib-invisible (IO/memory contention
 leaves the CPU probe flat while queries run slower), so a single run's
 mins can all be contaminated by one loud window; the cross-run min is
 the credible steady-state number. calib_start/calib_end in the output
-are the MIN across runs' probes (the quietest window observed).
+are the PAIR from the single quietest run (minimal mean) — never
+per-field minima mixed across runs, which would pair probes from
+different load regimes and skew bench_guard's drift normalization.
 
 Usage:
   python3 tools/bench_composite.py [sfDir] [--runs=3] [--out=path]
