@@ -492,8 +492,11 @@ object Retrieval {
     val dfreq = idfFromDf(spark.table(s"${name}_df"), n, maxDfFrac)
     val qterms = queries.select(col(qKeyCol).as("query_id"),
       explode(array_distinct(col(qTermsCol))).as("term"))
-    rankedScores(spark.table(s"${name}_postings"), dfreq,
-      spark.table(s"${name}_doclen"), n, s, None, qterms, k)
+    // own the (queries × k)-sized result like every other family
+    // member: repeated actions on the same batch read the persisted
+    // top-k instead of re-running the posting join
+    ownStages()(rankedScores(spark.table(s"${name}_postings"), dfreq,
+      spark.table(s"${name}_doclen"), n, s, None, qterms, k))
   }
 
   /** Self-retrieval reciprocal rank — the retrieval-quality eval over
