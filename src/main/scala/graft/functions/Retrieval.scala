@@ -421,7 +421,21 @@ object Retrieval {
    */
   def writeIndexTables(docs: DataFrame, keyCol: String, textCol: String,
       name: String, buckets: Int = 32): Unit = {
-    val spark = docs.sparkSession
+    val (tf, dl) = postingsOf(docs, keyCol, textCol)
+    writeIndexTablesFrom(docs.sparkSession, tf, dl, name, buckets)
+  }
+
+  /** [[writeIndexTables]] from a PREBUILT (doc_id, term, tf) /
+   * (doc_id, dl) index — the publish step for indexes that never came
+   * from a one-shot document scan: a
+   * [[graft.streaming.StreamingRetrieval]] snapshot publishes its
+   * collapsed store into the bucketed serve tables, closing the
+   * fit/serve duality for streamed corpora (tokenize paid per
+   * micro-batch at ingest, clustered layout + stats paid once per
+   * publish, every query after served fit-free by
+   * [[bm25TopKFromStats]]). */
+  def writeIndexTablesFrom(spark: org.apache.spark.sql.SparkSession,
+      tf: DataFrame, dl: DataFrame, name: String, buckets: Int = 32): Unit = {
     // a crashed previous build (or a catalog-fresh session over an old
     // warehouse dir) leaves an orphan table LOCATION that Overwrite
     // cannot claim — drop both catalog entry and location first
@@ -434,7 +448,6 @@ object Retrieval {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    val (tf, dl) = postingsOf(docs, keyCol, textCol)
     tf.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(s"${name}_postings")

@@ -92,6 +92,26 @@ object StreamingRetrieval {
     Retrieval.bm25TopKFromIndex(tf, dl, queries, qKeyCol, qTermsCol, k, maxDfFrac)
   }
 
+  /** Publish a SNAPSHOT of the streamed store into the bucketed serve
+   * tables ([[Retrieval.writeIndexTablesFrom]]: postings + doclen +
+   * the materialized (term, df) and 1-row (n, s) stats) — the
+   * fit/serve duality closed for STREAMED corpora: tokenize is paid
+   * per micro-batch at ingest, the clustered layout + stats once per
+   * publish, and every query after is served fit-free by
+   * [[Retrieval.bm25TopKFromStats]] / [[Retrieval.bm25PrfTopKFromStats]]
+   * — no read-time stats recompute, no counters read-quiesce concern
+   * (tables are immutable between publishes). [[topK]] stays the
+   * always-current read; published tables are the epoch snapshot a
+   * standing query fleet serves from, re-published on whatever cadence
+   * staleness tolerates. Snapshot isolation: safe to run while the
+   * stream appends or [[compact]] folds. */
+  def publishTables(spark: SparkSession, dir: String, name: String,
+      buckets: Int = 32): Unit = {
+    implicit val s: SparkSession = spark
+    val (tf, dl) = index(dir, snapshot = true)
+    Retrieval.writeIndexTablesFrom(spark, tf, dl, name, buckets)
+  }
+
   /** Fold both fact stores into their compacted bases; [[index]] (and
    * therefore [[topK]]) is invariant across the fold. Same reader
    * quiesce requirement as [[SketchCompaction.compact]]. */

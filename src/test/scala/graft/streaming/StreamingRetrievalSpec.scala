@@ -115,4 +115,36 @@ class StreamingRetrievalSpec extends SparkTestBase {
     assert(storeTopK(s"$dir/store") === batchTopK(corpus))
     spark.catalog.clearCache()
   }
+
+  test("publishTables: streamed store -> bucketed serve tables, fit-free and identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sr-pub").toString + "/ix"
+    corpus.grouped(3).zipWithIndex.foreach { case (b, i) =>
+      StreamingRetrieval.processBatch(spark, docsDf(b), "doc_id", "text", dir, i.toLong)
+    }
+    StreamingRetrieval.publishTables(spark, dir, "srpub_test", buckets = 4)
+    val served = Retrieval.bm25TopKFromTables(spark, "srpub_test", queries,
+        "query_id", "terms", k = 5, maxDfFrac = 0.6)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(served === batchTopK(corpus))
+    assert(served === storeTopK(dir))
+    // published stats match the store exactly (blank docs included)
+    val st = spark.table("srpub_test_stats").as[(Long, Long)].collect().head
+    assert(st._1 === corpus.size.toLong)
+    // the serve plan is fit-free: no term-keyed (df) aggregate
+    val p = Retrieval.bm25TopKFromStats(spark, "srpub_test", queries,
+      "query_id", "terms", k = 5, maxDfFrac = 0.6)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("keys=[term#"), p.take(1500))
+    // a re-publish after more batches overwrites cleanly (epoch cadence)
+    StreamingRetrieval.processBatch(spark,
+      docsDf(Seq((9L, "omega zebra"))), "doc_id", "text", dir, 99L)
+    StreamingRetrieval.publishTables(spark, dir, "srpub_test", buckets = 4)
+    val again = Retrieval.bm25TopKFromTables(spark, "srpub_test", queries,
+        "query_id", "terms", k = 5, maxDfFrac = 0.6)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(again === batchTopK(corpus :+ (9L, "omega zebra")))
+    Seq("postings", "doclen", "df", "stats")
+      .foreach(t => spark.sql(s"DROP TABLE srpub_test_$t"))
+    spark.catalog.clearCache()
+  }
 }
