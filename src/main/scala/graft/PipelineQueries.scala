@@ -424,6 +424,30 @@ object PipelineQueries {
         n = 5, k = 16, bands = 4, threshold = 0.5)
     }),
 
+    // D18: LSH candidate recall vs the exact-Jaccard truth — the
+    // dedup-tier "measure, don't guess" eval (e8's ANN-recall shape,
+    // lexically): what fraction of the true ≥τ near-dup pairs do the
+    // banded MinHash candidates reach? minhashDedupPairs verifies its
+    // candidates exactly, so found ⊆ truth and the one number IS
+    // band-coverage — the metric you tune (k, bands) against before
+    // trusting LSH on a new corpus. Both producers are the gate-green
+    // d2/d3 operators; the comparison is pair-list sized.
+    "d18_lsh_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5,
+          threshold = 0.5, maxShingleFreq = Some(ShingleFreqCap))
+        .select(col("doc_a"), col("doc_b"))
+      val found = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+          n = 5, k = 16, bands = 4, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b")).withColumn("_hit", lit(1))
+      truth.join(found, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          when(col("n_true") === 0, lit(0.0))
+            .otherwise(round(col("n_found").cast("double") /
+              col("n_true").cast("double"), 6)).as("recall"))
+    }),
+
     // Composed pipeline: exact-dedup first, LSH near-dup on
     // representatives, pairs expanded back through clone groups
     "d6_dedup_pipeline" -> ((s, d) => {
@@ -2446,6 +2470,41 @@ object PipelineQueries {
          |${jaccardSql(0.5)}
          |SELECT j.doc_a, j.doc_b, j.jaccard
          |FROM jac j SEMI JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b""".stripMargin
+    },
+
+    // d18: d2's capped-exact truth chain + d3's minhash band-candidate
+    // chain over ONE shared shingle CTE, left-joined into three counts;
+    // recall idiom matches e8's (explicit DOUBLE casts, round 6,
+    // zero-truth guarded)
+    "d18_lsh_recall" -> {
+      val hash32 = (1 to 8).map { kk =>
+        s"(strpos('0123456789abcdef', substr(md5(shingle), $kk, 1)) - 1) * ${math.pow(16, 8 - kk).toLong}"
+      }.mkString("(", " + ", ")")
+      val sigCols = (0 until 16).map { i =>
+        s"min((h * ${graft.functions.Dedup.minhashA(i)} + ${graft.functions.Dedup.minhashB(i)}) % ${graft.functions.Dedup.MinhashMod}) AS sig_$i"
+      }.mkString(",\n    ")
+      val bandRows = (0 until 4).map { b =>
+        val slice = (0 until 4).map(r => s"sig_${b * 4 + r}::VARCHAR").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($slice) AS key FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $shingleCte,
+         |${jaccardCappedSql(0.5, ShingleFreqCap)},
+         |sig AS (
+         |  SELECT doc_id,
+         |    $sigCols
+         |  FROM (SELECT doc_id, $hash32 AS h FROM sh) GROUP BY doc_id),
+         |bands AS (
+         |  $bandRows),
+         |lshc AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT
+         |  count(*) AS n_true,
+         |  count(l.doc_a) AS n_found,
+         |  CASE WHEN count(*) = 0 THEN 0.0
+         |       ELSE round(CAST(count(l.doc_a) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |  END AS recall
+         |FROM jac j LEFT JOIN lshc l ON j.doc_a = l.doc_a AND j.doc_b = l.doc_b""".stripMargin
     },
 
     "d6_dedup_pipeline" -> {
