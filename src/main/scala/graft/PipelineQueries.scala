@@ -480,6 +480,30 @@ object PipelineQueries {
         ivfCentroids(s, d), threshold = 0.35)
     }),
 
+    // D19: fuzzy (edit-distance ≤ 1) self-join on customer names — the
+    // entity-resolution shape: candidate pairs from a FastSS
+    // deletion-neighborhood equi-join (never all-pairs), verified with
+    // exact levenshtein, then enriched with whether the linked records
+    // agree on nation (the attribute-agreement signal an ER pipeline
+    // scores next). Integer/string ops only — nothing
+    // environment-sensitive.
+    "d19_fuzzy_join" -> ((s, d) => {
+      import graft.functions.FuzzyJoin
+      val cust = Tables.customer(s, d)
+        .select(col("c_name"), col("c_nationkey"))
+      val pairs = FuzzyJoin.editDistance1Pairs(cust, "c_name", minLen = 4)
+        .withColumnRenamed("left_str", "left_name")
+        .withColumnRenamed("right_str", "right_name")
+      val a = cust.select(col("c_name").as("left_name"),
+        col("c_nationkey").as("_na"))
+      val b = cust.select(col("c_name").as("right_name"),
+        col("c_nationkey").as("_nb"))
+      pairs.join(a, Seq("left_name")).join(b, Seq("right_name"))
+        .select(col("left_name"), col("right_name"),
+          when(col("_na") === col("_nb"), lit(1)).otherwise(lit(0))
+            .cast("int").as("same_nation"))
+    }),
+
     // O15: cross-source overlap matrix from KMV sketches — the DIRECT
     // θ-intersection (restrict both sketches to θ = min(θa, θb), count
     // surviving common hashes, divide) — accurate where o14's
@@ -2471,6 +2495,33 @@ object PipelineQueries {
          |SELECT j.doc_a, j.doc_b, j.jaccard
          |FROM jac j SEMI JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b""".stripMargin
     },
+
+    // d19: the FastSS deletion-neighborhood chain mirrored in SQL — a
+    // list comprehension generates the same single-deletion keys
+    // (plus the string itself), the candidate join and the exact
+    // levenshtein verify match the engine step for step. Both engines'
+    // levenshtein is the classic unit-cost edit distance; inputs are
+    // ASCII so byte/codepoint conventions cannot diverge.
+    "d19_fuzzy_join" ->
+      """WITH v AS (
+        |  SELECT DISTINCT c_name AS s FROM customer
+        |  WHERE c_name IS NOT NULL AND len(c_name) >= 4),
+        |keys AS (
+        |  SELECT s, unnest(list_distinct(list_append(
+        |    [substr(s, 1, i - 1) || substr(s, i + 1, len(s))
+        |     for i in range(1, len(s) + 1)], s))) AS k
+        |  FROM v),
+        |cand AS (
+        |  SELECT DISTINCT a.s AS left_name, b.s AS right_name
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.s < b.s),
+        |p AS (
+        |  SELECT left_name, right_name FROM cand
+        |  WHERE levenshtein(left_name, right_name) <= 1)
+        |SELECT p.left_name, p.right_name,
+        |       CASE WHEN x.c_nationkey = y.c_nationkey THEN 1 ELSE 0 END AS same_nation
+        |FROM p
+        |JOIN customer x ON p.left_name = x.c_name
+        |JOIN customer y ON p.right_name = y.c_name""".stripMargin,
 
     // d18: d2's capped-exact truth chain + d3's minhash band-candidate
     // chain over ONE shared shingle CTE, left-joined into three counts;

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate string matching (entity resolution) — find all pairs of
+ * strings within a small edit distance, WITHOUT comparing all pairs.
+ * The reference keys every lookup on exact ids
+ * (machine-downtime-monitor-on-aws `query-data.ts` — `machineId`
+ * equality); a large-scale training-data pipeline additionally needs
+ * the fuzzy form: near-identical record keys (OCR noise, typos,
+ * inconsistent serials) that exact joins miss and that feed the same
+ * dedup machinery once linked.
+ *
+ * Method: FastSS deletion neighborhoods (Bocek, Hunt, Stiller 2007,
+ * "Fast Similarity Search in Large Dictionaries" — public knowledge).
+ * For k = 1: two strings are within edit distance 1 **only if** their
+ * deletion neighborhoods (the string plus every single-character
+ * deletion) intersect — substitution shares the key with the differing
+ * character deleted from both sides, insertion/deletion shares the
+ * shorter string itself. The converse does not hold (shared keys can
+ * sit at distance 2), so candidates are verified with the exact
+ * `levenshtein` built-in — candidate generation is a recall-complete
+ * filter, verification restores precision. The same candidate/verify
+ * split as [[Dedup.minhashDedupPairs]], but here the candidate step
+ * is EXACT-recall by construction (a theorem, not a probability).
+ *
+ * Scale shape (the part that must survive 100 TB):
+ *  - candidates come from an equi-join on deletion keys, NEVER string
+ *    × string: |keys| = Σ(len+1) ≈ mean-length × |vocab|, and the
+ *    join shuffles short strings hash-partitioned by key;
+ *  - the verify step runs only on candidate pairs (codegen'd
+ *    `levenshtein`, exact integer — nothing environment-sensitive);
+ *  - `minLen` (default 4) is the skew guard: deletion keys of very
+ *    short strings are hubs (every 2-char string shares single-char
+ *    keys with dozens of neighbors) and edit distance 1 on a 2-char
+ *    key is not a meaningful match anyway — the [[Dedup]]
+ *    `maxShingleFreq` lesson applied to neighborhoods;
+ *  - for heavy-tailed key distributions an optional `maxKeyFreq` cap
+ *    drops hub keys outright — pairs reachable ONLY through a dropped
+ *    hub are missed (a documented recall cap, d2's contract), so the
+ *    default (None) keeps exact semantics.
+ *
+ * k ≥ 2 generalizes by taking neighborhoods of up to k deletions
+ * (O(lenᵏ) keys per string) with the identical join+verify shape; the
+ * implementation ships k = 1, the overwhelmingly common linkage radius
+ * for key-like strings.
+ */
+object FuzzyJoin {
+
+  /** Deletion neighborhood of a string for k = 1: the string itself
+   * plus every single-character deletion, deduplicated (deleting any
+   * character of a run yields one key). Pure codegen'd expression —
+   * no UDF. */
+  def deletionKeys(s: Column): Column =
+    array_union(
+      transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))),
+      array(s))
+
+  /**
+   * All unordered pairs of distinct values of `strCol` within edit
+   * distance 1. Output: (left_str, right_str) with left_str <
+   * right_str — fully deterministic, no scores, no floats. Input rows
+   * are deduplicated on the string value first (linkage is a property
+   * of the value, not the row); strings shorter than `minLen` are
+   * excluded (skew guard + match quality, see object doc).
+   */
+  def editDistance1Pairs(strs: DataFrame, strCol: String, minLen: Int = 4,
+      maxKeyFreq: Option[Long] = None): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    maxKeyFreq.foreach(m => require(m >= 2, s"maxKeyFreq must be >= 2, got $m"))
+    val v = strs.select(col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= minLen)
+      .distinct()
+    val keysAll = v.select(col("s"), explode(deletionKeys(col("s"))).as("k"))
+    // hub-key cap (optional): drop keys shared by more than maxKeyFreq
+    // strings BEFORE the self-join — same window-count shape as
+    // Dedup's shingle-frequency cap, same documented recall tradeoff
+    val keys = maxKeyFreq.fold(keysAll) { m =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+      keysAll.withColumn("_kf", count(lit(1)).over(w))
+        .filter(col("_kf") <= m).drop("_kf")
+    }
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.k") === col("b.k") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("left_str"), col("b.s").as("right_str"))
+      .distinct()
+    cand.filter(levenshtein(col("left_str"), col("right_str")) <= 1)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pairsOf(strs: Seq[String], minLen: Int = 4,
+      maxKeyFreq: Option[Long] = None): Set[(String, String)] =
+    FuzzyJoin.editDistance1Pairs(strs.toDF("s"), "s", minLen, maxKeyFreq)
+      .as[(String, String)].collect().toSet
+
+  // reference levenshtein for the completeness check — textbook DP
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def bruteEd1(strs: Seq[String], minLen: Int): Set[(String, String)] = {
+    val v = strs.distinct.filter(_.length >= minLen).sorted
+    (for {
+      i <- v.indices; j <- (i + 1) until v.length
+      if lev(v(i), v(j)) <= 1
+    } yield (v(i), v(j))).toSet
+  }
+
+  test("substitution, insertion, deletion neighbors found; distance-2 rejected") {
+    val got = pairsOf(Seq("abcd", "abxd", "abcde", "zzzz", "abd", "ab"))
+    // "abd"/"ab" are under minLen=4; abxd↔abcde is distance 2
+    assert(got === Set(("abcd", "abcde"), ("abcd", "abxd")))
+  }
+
+  test("deletion-neighborhood candidates are recall-complete vs brute force (FastSS k=1)") {
+    // deterministic pseudo-random pool with dense ed-1 neighborhoods:
+    // key-like strings over a tiny alphabet, several lengths
+    val rnd = new scala.util.Random(42)
+    val pool = (0 until 300).map { _ =>
+      val len = 4 + rnd.nextInt(4)
+      (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    assert(pairsOf(pool) === bruteEd1(pool, minLen = 4))
+  }
+
+  test("duplicate input rows collapse; result invariant to partitioning") {
+    val strs = Seq("abcd", "abcd", "abcd", "abce", "abce")
+    for (parts <- Seq(1, 7)) {
+      val df = strs.toDF("s").repartition(parts)
+      val got = FuzzyJoin.editDistance1Pairs(df, "s")
+        .as[(String, String)].collect().toSet
+      assert(got === Set(("abcd", "abce")), s"parts=$parts")
+    }
+  }
+
+  test("zero-padded serial keys: only one-digit variants link") {
+    val names = (1 to 30).map(i => f"Cust#$i%04d")
+    val got = pairsOf(names)
+    // every pair here differs only in digits; verify against brute force
+    assert(got === bruteEd1(names, minLen = 4))
+    assert(got.contains(("Cust#0001", "Cust#0002")))
+    assert(!got.contains(("Cust#0009", "Cust#0010"))) // two digits move
+  }
+
+  test("maxKeyFreq drops hub keys — recall cap is observable and bounded") {
+    // 12 strings all within ed 1 of "aaaa" through its hub keys
+    val hub = (0 until 12).map(i => s"aaa${('a' + i).toChar}")
+    val exact = pairsOf(hub)
+    val capped = pairsOf(hub, maxKeyFreq = Some(4L))
+    assert(capped.subsetOf(exact))
+    assert(capped.size < exact.size)
+  }
+
+  test("plan: candidates come from an equi-join, never a cartesian") {
+    val df = (1 to 100).map(i => f"key$i%05d").toDF("s")
+    val plan = FuzzyJoin.editDistance1Pairs(df, "s")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
