@@ -504,6 +504,37 @@ object PipelineQueries {
             .cast("int").as("same_nation"))
     }),
 
+    // D20: entity clusters — the full record-linkage composition:
+    // d19's fuzzy candidate pairs gated on attribute agreement (same
+    // nation — blocking + agreement, the classic ER edge predicate),
+    // transitively closed through connected components, every record
+    // labeled with its entity (singletons are their own entity). The
+    // agreement gate is what keeps components subcritical at scale:
+    // ungated, one-digit-substitution chains weld the whole keyspace
+    // into one giant component; gated, mean degree sits near 1 and
+    // cluster sizes stay O(log n) (measured: max 17 at sf0.01).
+    "d20_entity_clusters" -> ((s, d) => {
+      import graft.functions.FuzzyJoin
+      val cust = Tables.customer(s, d)
+        .select(col("c_name"), col("c_nationkey"))
+      val a = cust.select(col("c_name").as("left_str"),
+        col("c_nationkey").as("_na"))
+      val b = cust.select(col("c_name").as("right_str"),
+        col("c_nationkey").as("_nb"))
+      val edges = FuzzyJoin.editDistance1Pairs(cust, "c_name", minLen = 4)
+        .join(a, Seq("left_str")).join(b, Seq("right_str"))
+        .filter(col("_na") === col("_nb"))
+        .select(col("left_str"), col("right_str"))
+      val lab = Dedup.connectedComponents(edges, "left_str", "right_str")
+        .select(col("id").as("c_name"), col("component").as("entity_id"))
+      val m = cust.select(col("c_name")).join(lab, Seq("c_name"), "left_outer")
+        .select(col("c_name"),
+          coalesce(col("entity_id"), col("c_name")).as("entity_id"))
+      val sizes = m.groupBy(col("entity_id")).agg(count(lit(1)).as("n_members"))
+      m.join(sizes, Seq("entity_id"))
+        .select(col("c_name"), col("entity_id"), col("n_members"))
+    }),
+
     // O15: cross-source overlap matrix from KMV sketches — the DIRECT
     // θ-intersection (restrict both sketches to θ = min(θa, θb), count
     // surviving common hashes, divide) — accurate where o14's
@@ -2522,6 +2553,45 @@ object PipelineQueries {
         |FROM p
         |JOIN customer x ON p.left_name = x.c_name
         |JOIN customer y ON p.right_name = y.c_name""".stripMargin,
+
+    // d20: d19's deletion-key chain with the nation-agreement edge
+    // gate, closed transitively by d7's recursive-reachability idiom
+    // (min reachable name = entity label), singletons restored by the
+    // left join, sizes by a second aggregate over the mapping
+    "d20_entity_clusters" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT DISTINCT c_name AS s FROM customer
+        |  WHERE c_name IS NOT NULL AND len(c_name) >= 4),
+        |keys AS (
+        |  SELECT s, unnest(list_distinct(list_append(
+        |    [substr(s, 1, i - 1) || substr(s, i + 1, len(s))
+        |     for i in range(1, len(s) + 1)], s))) AS k
+        |  FROM v),
+        |cand AS (
+        |  SELECT DISTINCT a.s AS left_name, b.s AS right_name
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.s < b.s),
+        |p AS (
+        |  SELECT c.left_name, c.right_name
+        |  FROM cand c
+        |  JOIN customer x ON c.left_name = x.c_name
+        |  JOIN customer y ON c.right_name = y.c_name
+        |  WHERE levenshtein(c.left_name, c.right_name) <= 1
+        |    AND x.c_nationkey = y.c_nationkey),
+        |edges AS (
+        |  SELECT left_name AS src, right_name AS dst FROM p
+        |  UNION
+        |  SELECT right_name, left_name FROM p),
+        |reach AS (
+        |  SELECT DISTINCT src AS a, src AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |lab AS (SELECT a AS name, min(b) AS entity FROM reach GROUP BY a),
+        |m AS (
+        |  SELECT c.c_name, coalesce(l.entity, c.c_name) AS entity_id
+        |  FROM customer c LEFT JOIN lab l ON c.c_name = l.name)
+        |SELECT m.c_name, m.entity_id, s.n_members
+        |FROM m JOIN (SELECT entity_id, count(*) AS n_members FROM m GROUP BY 1) s
+        |  USING (entity_id)""".stripMargin,
 
     // d18: d2's capped-exact truth chain + d3's minhash band-candidate
     // chain over ONE shared shingle CTE, left-joined into three counts;
