@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.functions.FuzzyJoin
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming fuzzy linkage — the incremental face of
+ * [[graft.functions.FuzzyJoin.editDistance1Pairs]]: as records
+ * arrive, emit every (standing ∪ batch) string pair within edit
+ * distance 1 that involves a batch string, and add the batch strings'
+ * deletion keys to the standing store. The union of emitted pairs
+ * over any prefix of the stream equals the batch operator over the
+ * distinct strings seen so far (the parity property
+ * `StreamingFuzzyLinkSpec` pins), so an entity-resolution pipeline
+ * can maintain its linkage graph incrementally and re-run only the
+ * closure ([[graft.functions.Dedup.connectedComponents]] /
+ * incremental cluster maintenance) downstream.
+ *
+ * Semantics:
+ *  - cross-batch: batch strings probe the standing (key, s) store by
+ *    deletion key — an equi-join against state, never batch ×
+ *    standing-corpus;
+ *  - within-batch: the batch's own key self-join (a.s < b.s), so two
+ *    strings arriving together still link;
+ *  - all candidates are verified with exact `levenshtein` ≤ 1 before
+ *    emission; output rows are (left_str < right_str) distinct per
+ *    batch. A string re-arriving in a later batch re-emits its pairs
+ *    (at-least-once pair log); downstream consumers take the distinct
+ *    set, which replay cannot perturb.
+ *
+ * Replay idempotency (foreachBatch is at-least-once): store rows are
+ * stamped with batchId and the standing read EXCLUDES rows stamped
+ * with the CURRENT batchId, so a replayed batch recomputes the exact
+ * same pair set whether or not its first attempt's append survived —
+ * the [[StreamingNearDedup]] discipline.
+ *
+ * Scale: state is the deletion-key log — Σ(len+1) short rows per
+ * string, shuffled by key (content-derived key space); no driver-side
+ * structure, no pairwise work outside verified candidates.
+ * [[compactStore]] rewrites the log distinct-(k, s) periodically;
+ * read-time distinct keeps correctness in between.
+ */
+object StreamingFuzzyLink {
+
+  /** batch_id stamped on compacted / backfilled store rows — live
+   * streaming batch ids are non-negative, so it never collides. */
+  val PreHistoryBatchId: Long = -1L
+
+  /** One micro-batch: returns the verified (left_str, right_str)
+   * pairs involving this batch's strings and appends the batch
+   * strings' deletion keys to the store. Call directly in
+   * tests/backfills with a fresh, monotonically increasing id. */
+  def processBatch(spark: SparkSession, batch: DataFrame, strCol: String,
+      storePath: String, batchId: Long, minLen: Int = 4): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val names = batch.select(col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= minLen)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val batchKeys = names
+      .select(col("s"), explode(FuzzyJoin.deletionKeys(col("s"))).as("k"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val standing = readStore(spark, storePath)
+        .filter(col("batch_id") =!= batchId)
+        .select(col("k"), col("s")).distinct()
+
+      // cross-batch candidates: batch keys probe the standing store;
+      // normalize orientation so the pair set is orderless
+      val cross = batchKeys.as("b")
+        .join(standing.as("st"), col("b.k") === col("st.k") &&
+          col("b.s") =!= col("st.s"))
+        .select(least(col("b.s"), col("st.s")).as("left_str"),
+          greatest(col("b.s"), col("st.s")).as("right_str"))
+
+      // within-batch candidates: the batch's own key self-join
+      val within = batchKeys.as("a")
+        .join(batchKeys.as("c"), col("a.k") === col("c.k") &&
+          col("a.s") < col("c.s"))
+        .select(col("a.s").as("left_str"), col("c.s").as("right_str"))
+
+      val pairs = cross.unionByName(within).distinct()
+        .filter(levenshtein(col("left_str"), col("right_str")) <= 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+
+      // record the batch's keys AFTER computing pairs (stamped, so a
+      // replay's standing read excludes whatever this append left)
+      batchKeys.select(col("k"), col("s"), lit(batchId).as("batch_id"))
+        .write.mode(SaveMode.Append).parquet(storePath)
+      pairs
+    } finally { batchKeys.unpersist(); names.unpersist(); () }
+  }
+
+  private def readStore(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case _: Exception =>
+        import spark.implicits._
+        Seq.empty[(String, String, Long)].toDF("k", "s", "batch_id")
+    }
+
+  /** Rewrite the store distinct on (k, s) — stage-then-swap, the
+   * [[StreamingNearDedup.compactStore]] shape. */
+  def compactStore(spark: SparkSession, path: String): Unit = {
+    val staged = s"$path-staged"
+    readStore(spark, path)
+      .select(col("k"), col("s")).distinct()
+      .withColumn("batch_id", lit(PreHistoryBatchId))
+      .write.mode(SaveMode.Overwrite).parquet(staged)
+    spark.read.parquet(staged)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Attach to a streaming DataFrame: verified pairs land in
+   * `outPath` (an at-least-once pair log; consumers take distinct). */
+  def attach(stream: DataFrame, strCol: String, storePath: String,
+      outPath: String, checkpoint: String, minLen: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = processBatch(batch.sparkSession, batch, strCol,
+          storePath, batchId, minLen)
+        out.write.mode(SaveMode.Append).parquet(outPath)
+        out.unpersist()
+        ()
+      }
+      .start()
+}
