@@ -535,6 +535,27 @@ object PipelineQueries {
         .select(col("c_name"), col("entity_id"), col("n_members"))
     }),
 
+    // D21: sorted-neighborhood blocking recall vs the FastSS-exact
+    // truth — d18's "measure, don't guess" eval for the ER tier: the
+    // cheap O(|V|·w) generator against the recall-complete one. The
+    // 18% single-pass number (w = 3, serial keys) is the lesson:
+    // lexicographic neighborhoods only see suffix-ish edits, which is
+    // why production SNM is multi-pass under rotated sort keys.
+    "d21_snm_recall" -> ((s, d) => {
+      import graft.functions.FuzzyJoin
+      val cust = Tables.customer(s, d).select(col("c_name"))
+      val truth = FuzzyJoin.editDistance1Pairs(cust, "c_name", minLen = 4)
+      val found = FuzzyJoin.sortedNeighborhoodPairs(cust, "c_name",
+          window = 3, minLen = 4)
+        .withColumn("_hit", lit(1))
+      truth.join(found, Seq("left_str", "right_str"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_found"))
+        .select(col("n_true"), col("n_found"),
+          when(col("n_true") === 0, lit(0.0))
+            .otherwise(round(col("n_found").cast("double") /
+              col("n_true").cast("double"), 6)).as("recall"))
+    }),
+
     // O15: cross-source overlap matrix from KMV sketches — the DIRECT
     // θ-intersection (restrict both sketches to θ = min(θa, θb), count
     // surviving common hashes, divide) — accurate where o14's
@@ -2592,6 +2613,38 @@ object PipelineQueries {
         |SELECT m.c_name, m.entity_id, s.n_members
         |FROM m JOIN (SELECT entity_id, count(*) AS n_members FROM m GROUP BY 1) s
         |  USING (entity_id)""".stripMargin,
+
+    // d21: d19's deletion-key truth chain + a row_number
+    // sorted-neighborhood candidate chain, left-joined into the d18
+    // recall idiom (explicit DOUBLE casts, round 6, zero-truth guard)
+    "d21_snm_recall" ->
+      """WITH v AS (
+        |  SELECT DISTINCT c_name AS s FROM customer
+        |  WHERE c_name IS NOT NULL AND len(c_name) >= 4),
+        |keys AS (
+        |  SELECT s, unnest(list_distinct(list_append(
+        |    [substr(s, 1, i - 1) || substr(s, i + 1, len(s))
+        |     for i in range(1, len(s) + 1)], s))) AS k
+        |  FROM v),
+        |cand AS (
+        |  SELECT DISTINCT a.s AS left_str, b.s AS right_str
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.s < b.s),
+        |truth AS (
+        |  SELECT left_str, right_str FROM cand
+        |  WHERE levenshtein(left_str, right_str) <= 1),
+        |r AS (SELECT s, row_number() OVER (ORDER BY s) AS rk FROM v),
+        |snm AS (
+        |  SELECT a.s AS left_str, b.s AS right_str
+        |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3),
+        |found AS (
+        |  SELECT left_str, right_str FROM snm
+        |  WHERE levenshtein(left_str, right_str) <= 1)
+        |SELECT count(*) AS n_true, count(f.left_str) AS n_found,
+        |  CASE WHEN count(*) = 0 THEN 0.0
+        |       ELSE round(CAST(count(f.left_str) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |  END AS recall
+        |FROM truth t LEFT JOIN found f
+        |  ON t.left_str = f.left_str AND t.right_str = f.right_str""".stripMargin,
 
     // d18: d2's capped-exact truth chain + d3's minhash band-candidate
     // chain over ONE shared shingle CTE, left-joined into three counts;

@@ -89,4 +89,42 @@ object FuzzyJoin {
       .distinct()
     cand.filter(levenshtein(col("left_str"), col("right_str")) <= 1)
   }
+
+  /**
+   * Sorted-neighborhood blocking (Hernández & Stolfo 1995 — the other
+   * classic ER candidate generator): sort the distinct strings, pair
+   * each with its next `window` successors, verify with exact
+   * `levenshtein`. Output shape identical to [[editDistance1Pairs]]
+   * (left_str < right_str holds because rank order IS lexicographic
+   * order).
+   *
+   * Unlike the deletion-neighborhood join, SNM's recall is NOT
+   * complete — it only sees edits that keep the pair within `window`
+   * sort positions (suffix-ish edits on a shared prefix), which is
+   * why production SNM runs multiple passes under different sort
+   * keys. It earns its place as the cheap generator: O(|V|·window)
+   * candidates with NO key explosion, and the d21 eval measures
+   * exactly what that cheapness costs (18% single-pass recall on the
+   * serial-key corpus at sf0.01).
+   *
+   * Scale shape: the sort is [[GlobalRank.withGlobalRank]]'s
+   * range-partitioned two-pass (no single-partition Window); the
+   * neighbor pairing is an EQUI-join on exploded rank offsets
+   * (rank + 1 … rank + window), never a range join.
+   */
+  def sortedNeighborhoodPairs(strs: DataFrame, strCol: String,
+      window: Int = 3, minLen: Int = 4): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val v = strs.select(col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= minLen)
+      .distinct()
+    val ranked = GlobalRank.withGlobalRank(v, Seq(col("s")), "_r")
+    val probes = ranked.select(col("s").as("left_str"),
+      explode(sequence(col("_r") + 1, col("_r") + window)).as("_rr"))
+    probes.join(ranked.select(col("s").as("right_str"), col("_r").as("_rr")),
+        Seq("_rr"))
+      .filter(levenshtein(col("left_str"), col("right_str")) <= 1)
+      .select(col("left_str"), col("right_str"))
+  }
 }

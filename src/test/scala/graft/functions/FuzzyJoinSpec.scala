@@ -75,6 +75,44 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(capped.size < exact.size)
   }
 
+  private def bruteSnm(strs: Seq[String], w: Int, minLen: Int): Set[(String, String)] = {
+    val v = strs.distinct.filter(_.length >= minLen).sorted
+    (for {
+      i <- v.indices; j <- (i + 1) to math.min(i + w, v.length - 1)
+      if lev(v(i), v(j)) <= 1
+    } yield (v(i), v(j))).toSet
+  }
+
+  test("sorted-neighborhood pairs match the brute-force definition") {
+    val rnd = new scala.util.Random(7)
+    val pool = (0 until 200).map { _ =>
+      (0 until (4 + rnd.nextInt(3))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    for (w <- Seq(1, 3, 5)) {
+      val got = FuzzyJoin.sortedNeighborhoodPairs(pool.toDF("s"), "s", window = w)
+        .as[(String, String)].collect().toSet
+      assert(got === bruteSnm(pool, w, minLen = 4), s"w=$w")
+    }
+  }
+
+  test("SNM recall is a subset of the FastSS truth (found ⊆ truth)") {
+    val names = (1 to 60).map(i => f"Cust#$i%04d")
+    val truth = pairsOf(names)
+    val snm = FuzzyJoin.sortedNeighborhoodPairs(names.toDF("s"), "s", window = 3)
+      .as[(String, String)].collect().toSet
+    assert(snm.subsetOf(truth))
+    assert(snm.nonEmpty && snm.size < truth.size) // single-pass SNM misses edits
+  }
+
+  test("plan: SNM uses the two-pass global rank — no single-partition Window") {
+    val df = (1 to 100).map(i => f"key$i%05d").toDF("s")
+    val p = FuzzyJoin.sortedNeighborhoodPairs(df, "s")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    graft.functions.GlobalRank.releaseStaged()
+  }
+
   test("plan: candidates come from an equi-join, never a cartesian") {
     val df = (1 to 100).map(i => f"key$i%05d").toDF("s")
     val plan = FuzzyJoin.editDistance1Pairs(df, "s")
