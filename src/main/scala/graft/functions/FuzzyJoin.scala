@@ -87,8 +87,18 @@ object FuzzyJoin {
         col("a.k") === col("b.k") && col("a.s") < col("b.s"))
       .select(col("a.s").as("left_str"), col("b.s").as("right_str"))
       .distinct()
-    cand.filter(levenshtein(col("left_str"), col("right_str")) <= 1)
+    cand.filter(ed1(col("left_str"), col("right_str")))
   }
+
+  /** The verify predicate: edit distance ≤ 1, evaluated with the
+   * THRESHOLDED levenshtein (returns −1 past the bound) — banded DP,
+   * O(len) per candidate instead of the full O(len²) matrix. The
+   * verify is the fuzzy family's hot inner loop (runs once per
+   * candidate pair), so the band matters at scale; results are
+   * pinned identical to the unthresholded form by the brute-force
+   * parity tests. */
+  private def ed1(l: Column, r: Column): Column =
+    levenshtein(l, r, 1) >= 0
 
   /**
    * Sorted-neighborhood blocking (Hernández & Stolfo 1995 — the other
@@ -124,7 +134,7 @@ object FuzzyJoin {
       explode(sequence(col("_r") + 1, col("_r") + window)).as("_rr"))
     probes.join(ranked.select(col("s").as("right_str"), col("_r").as("_rr")),
         Seq("_rr"))
-      .filter(levenshtein(col("left_str"), col("right_str")) <= 1)
+      .filter(ed1(col("left_str"), col("right_str")))
       .select(col("left_str"), col("right_str"))
   }
 }

@@ -80,8 +80,10 @@ object StreamingFuzzyLink {
           col("a.s") < col("c.s"))
         .select(col("a.s").as("left_str"), col("c.s").as("right_str"))
 
+      // thresholded levenshtein (−1 past the bound): banded O(len)
+      // verify, the FuzzyJoin.ed1 convention
       val pairs = cross.unionByName(within).distinct()
-        .filter(levenshtein(col("left_str"), col("right_str")) <= 1)
+        .filter(levenshtein(col("left_str"), col("right_str"), 1) >= 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
       pairs.count()
 
