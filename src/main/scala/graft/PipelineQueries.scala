@@ -525,7 +525,12 @@ object PipelineQueries {
         .join(a, Seq("left_str")).join(b, Seq("right_str"))
         .filter(col("_na") === col("_nb"))
         .select(col("left_str"), col("right_str"))
-      val lab = Dedup.connectedComponents(edges, "left_str", "right_str")
+      // star variant, not min-label: serial-key linkage graphs form
+      // long thin CHAINS (one-digit steps), so component diameter
+      // grows with scale — at 10× a 139-member chain needs >20
+      // min-label rounds but ~log² star rounds. Chain topology is
+      // exactly what the star variant is for.
+      val lab = Dedup.connectedComponentsStar(edges, "left_str", "right_str")
         .select(col("id").as("c_name"), col("component").as("entity_id"))
       val m = cust.select(col("c_name")).join(lab, Seq("c_name"), "left_outer")
         .select(col("c_name"),

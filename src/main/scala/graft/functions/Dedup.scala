@@ -910,7 +910,15 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // Non-convergence guard: min-label needs O(diameter) rounds, and a
+    // long thin chain (serial-key linkage graphs — the d20 topology at
+    // 10×, where a 139-member chain exceeded 20 rounds and silently
+    // split) can exceed maxIter with FEW edges, which the auto
+    // dispatcher's edge-count heuristic cannot see. Returning
+    // unconverged labels is a wrong answer; finish with the
+    // O(log²n)-round star variant instead — identical label contract.
+    if (changed > 0) connectedComponentsStar(pairs, aCol, bCol)
+    else labels
   }
 
   /**

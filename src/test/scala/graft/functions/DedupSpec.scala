@@ -330,6 +330,18 @@ class DedupSpec extends SparkTestBase {
     assert(countFiles(new java.io.File(dir)) > 0, "no reliable checkpoint files written")
   }
 
+  test("min-label CC past maxIter falls through to star — never returns unconverged labels") {
+    // path 0-1-...-60: diameter 60 > the default 20 min-label rounds.
+    // Pre-guard this SILENTLY split the component (the d20-at-10×
+    // regression: a 139-member serial-key chain split 94/45); the
+    // non-convergence fallback must hand off to the star variant and
+    // return the true single component.
+    val path = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(path, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(got == (0L to 60L).map(i => (i, 0L)).toSet)
+  }
+
   test("alternating-star CC: labels identical to min-label, path diameter >> rounds") {
     // long path 0-1-2-...-255: diameter 255 would cost min-label 255
     // rounds; the star rounds collapse it in O(log^2 n). maxIter = 12
