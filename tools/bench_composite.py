@@ -28,13 +28,23 @@ def one_run(i):
     r = subprocess.run(
         ["sbt", "-batch", "runMain graft.Bench"], cwd=REPO, capture_output=True,
         text=True, env={**os.environ, "SPARK_GRAFT_SF_DIR": SF, "SPARK_GRAFT_CPUS": "32"})
-    lines = [json.loads(m) for m in re.findall(r'\{"metric":.*\}', r.stdout + r.stderr)]
-    totals = [l for l in lines if l.get("metric") == "total" and "queries" in l
-              and "calib_start" in l]
+    out = r.stdout + r.stderr
+    lines = [json.loads(m) for m in re.findall(r'\{"metric":.*\}', out)]
+    totals = [l for l in lines if l.get("metric") == "total" and "queries" in l]
+    # prefer a line carrying calib fields inline; past ~155 queries the
+    # final JSON line goes LEAN to fit Bench's 1870-byte consumer budget
+    # and the calib pair lives only on the prefixed BENCH_CALIB
+    # diagnostic line — fall back to parsing that
+    with_calib = [l for l in totals if "calib_start" in l]
     if r.returncode != 0 or not totals:
-        print("\n".join((r.stdout + r.stderr).splitlines()[-20:]))
+        print("\n".join(out.splitlines()[-20:]))
         sys.exit(f"bench run {i} failed rc={r.returncode}")
-    t = totals[0]  # the full-precision (f3) line comes first
+    t = (with_calib or totals)[0]  # the full-precision (f3) line comes first
+    if "calib_start" not in t:
+        m = re.search(r"BENCH_CALIB start=([0-9.]+) end=([0-9.]+)", out)
+        if not m:
+            sys.exit(f"bench run {i}: no calib fields and no BENCH_CALIB line")
+        t["calib_start"], t["calib_end"] = float(m.group(1)), float(m.group(2))
     print(f"run {i}: total {t['value']:.1f}s calib "
           f"{t['calib_start']:.2f}->{t['calib_end']:.2f} loud={t.get('loud_window')}")
     return t
