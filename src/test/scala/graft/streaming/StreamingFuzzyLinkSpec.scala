@@ -67,6 +67,50 @@ class StreamingFuzzyLinkSpec extends SparkTestBase {
     assert(e3 === Set(("abcd", "abcf"), ("abce", "abcf")))
   }
 
+  test("streamed linkage + agreement gate + closure == batch d20 (composition parity)") {
+    // the streaming ER pipeline end to end: names stream through the
+    // fuzzy linker in three arrivals; the accumulated pair log, gated
+    // and closed exactly as d20 does it batch-side, must reproduce
+    // the batch query's entity labels bit for bit
+    val dir = "/root/testdata/sf0.001"
+    val store = tmp()
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_name"), col("c_nationkey"))
+    val names = cust.select(col("c_name")).as[String].collect().toSeq.sorted
+    val chunks = names.grouped(names.size / 3 + 1).toSeq
+    val pairLog = chunks.zipWithIndex.map { case (c, i) =>
+      val out = StreamingFuzzyLink.processBatch(
+        spark, c.toDF("s"), "s", store, i.toLong)
+      val set = out.as[(String, String)].collect().toSet
+      out.unpersist()
+      set
+    }.reduce(_ ++ _)
+
+    val a = cust.select(col("c_name").as("left_str"),
+      col("c_nationkey").as("_na"))
+    val b = cust.select(col("c_name").as("right_str"),
+      col("c_nationkey").as("_nb"))
+    val edges = pairLog.toSeq.toDF("left_str", "right_str")
+      .join(a, Seq("left_str")).join(b, Seq("right_str"))
+      .filter(col("_na") === col("_nb"))
+      .select(col("left_str"), col("right_str"))
+    val lab = graft.functions.Dedup
+      .connectedComponentsStar(edges, "left_str", "right_str")
+      .select(col("id").as("c_name"), col("component").as("entity_id"))
+    val m = cust.select(col("c_name")).join(lab, Seq("c_name"), "left_outer")
+      .select(col("c_name"),
+        coalesce(col("entity_id"), col("c_name")).as("entity_id"))
+    val sizes = m.groupBy(col("entity_id")).agg(count(lit(1)).as("n_members"))
+    val got = m.join(sizes, Seq("entity_id"))
+      .select(col("c_name"), col("entity_id"), col("n_members"))
+      .as[(String, String, Long)].collect().toSet
+
+    val expect = graft.SparkEntry.queries("d20_entity_clusters")(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === expect)
+    assert(expect.exists(_._3 > 1)) // real multi-member entities exist
+  }
+
   test("re-arrival re-emits standing pairs; distinct set is stable") {
     val store = tmp()
     val Seq(_, _, e3) = run(store,
