@@ -909,7 +909,6 @@ object Dedup {
       labels = next.select(col("id"), col("component"))
       iter += 1
     }
-    edges.unpersist()
     // Non-convergence guard: min-label needs O(diameter) rounds, and a
     // long thin chain (serial-key linkage graphs — the d20 topology at
     // 10×, where a 139-member chain exceeded 20 rounds and silently
@@ -917,8 +916,16 @@ object Dedup {
     // dispatcher's edge-count heuristic cannot see. Returning
     // unconverged labels is a wrong answer; finish with the
     // O(log²n)-round star variant instead — identical label contract.
-    if (changed > 0) connectedComponentsStar(pairs, aCol, bCol)
-    else labels
+    // The star pass runs on the PERSISTED symmetric edge set (its node
+    // set and canonical edges materialize eagerly before this method
+    // unpersists), so the caller's pair-generation plan — exactly the
+    // expensive part on workloads big enough to trigger this — is not
+    // recomputed.
+    val out =
+      if (changed > 0) connectedComponentsStar(edges, "_src", "_dst")
+      else labels
+    edges.unpersist()
+    out
   }
 
   /**

@@ -53,6 +53,10 @@ object StreamingFuzzyLink {
    * tests/backfills with a fresh, monotonically increasing id. */
   def processBatch(spark: SparkSession, batch: DataFrame, strCol: String,
       storePath: String, batchId: Long, minLen: Int = 4): DataFrame = {
+    // same bound the batch operator enforces — the parity contract
+    // (stream prefix == editDistance1Pairs) must hold argument for
+    // argument, not just on the defaults
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     import org.apache.spark.storage.StorageLevel
     val names = batch.select(col(strCol).cast("string").as("s"))
       .filter(col("s").isNotNull && length(col("s")) >= minLen)
@@ -85,12 +89,17 @@ object StreamingFuzzyLink {
       val pairs = cross.unionByName(within).distinct()
         .filter(levenshtein(col("left_str"), col("right_str"), 1) >= 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      pairs.count()
-
-      // record the batch's keys AFTER computing pairs (stamped, so a
-      // replay's standing read excludes whatever this append left)
-      batchKeys.select(col("k"), col("s"), lit(batchId).as("batch_id"))
-        .write.mode(SaveMode.Append).parquet(storePath)
+      try {
+        pairs.count()
+        // record the batch's keys AFTER computing pairs (stamped, so a
+        // replay's standing read excludes whatever this append left)
+        batchKeys.select(col("k"), col("s"), lit(batchId).as("batch_id"))
+          .write.mode(SaveMode.Append).parquet(storePath)
+      } catch {
+        // a failed materialize/append propagates (the caller replays
+        // the batch), but must not leak the cached pair blocks
+        case t: Throwable => pairs.unpersist(false); throw t
+      }
       pairs
     } finally { batchKeys.unpersist(); names.unpersist(); () }
   }
@@ -98,13 +107,25 @@ object StreamingFuzzyLink {
   private def readStore(spark: SparkSession, path: String): DataFrame =
     try spark.read.parquet(path)
     catch {
-      case _: Exception =>
+      // ONLY the first-batch "store not created yet" case maps to an
+      // empty standing store. Any OTHER read failure must propagate:
+      // swallowing a transient FS error would serve an empty state,
+      // emit no cross-batch pairs, commit, and permanently break the
+      // stream-vs-batch parity contract with no error anywhere.
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getMessage).exists(m =>
+            m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
+              m.contains("UNABLE_TO_INFER_SCHEMA")) =>
         import spark.implicits._
         Seq.empty[(String, String, Long)].toDF("k", "s", "batch_id")
     }
 
   /** Rewrite the store distinct on (k, s) — stage-then-swap, the
-   * [[StreamingNearDedup.compactStore]] shape. */
+   * [[StreamingNearDedup.compactStore]] shape. SINGLE-WRITER
+   * maintenance op: run it with the stream stopped, or from the
+   * stream's own foreachBatch slot between batches — an append
+   * landing between this method's read and its overwrite of `path`
+   * would be lost (and with it the linkage of those keys). */
   def compactStore(spark: SparkSession, path: String): Unit = {
     val staged = s"$path-staged"
     readStore(spark, path)

@@ -45,6 +45,22 @@ def one_run(i):
         if not m:
             sys.exit(f"bench run {i}: no calib fields and no BENCH_CALIB line")
         t["calib_start"], t["calib_end"] = float(m.group(1)), float(m.group(2))
+        # the lean line may be a rounded tier (fsig/f1: ~2 significant
+        # digits); BENCH_FULL carries every query at f3 under its FULL
+        # name — re-key it to the lean line's short ids so the artifact
+        # keys stay stable for bench_guard, but the values are exact
+        mf = re.search(r"BENCH_FULL (\{.*\})", out)
+        if mf:
+            full = json.loads(mf.group(1))
+            pref = {k: k.split("_", 1)[0] for k in full}
+            counts = {}
+            for p in pref.values():
+                counts[p] = counts.get(p, 0) + 1
+            short = {k: (p if counts[p] == 1 else k) for k, p in pref.items()}
+            remapped = {short[k]: v for k, v in full.items()}
+            if set(remapped) == set(t["queries"]):
+                t["queries"] = remapped
+                t["value"] = round(sum(remapped.values()), 3)
     print(f"run {i}: total {t['value']:.1f}s calib "
           f"{t['calib_start']:.2f}->{t['calib_end']:.2f} loud={t.get('loud_window')}")
     return t
