@@ -59,6 +59,22 @@ object FuzzyJoin {
         concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s)))),
       array(s))
 
+  /** Deletion neighborhood for k = 2: [[deletionKeys]] plus every
+   * two-character deletion (positions i < j), deduplicated. O(len²/2)
+   * keys per string — the FastSS key-count/radius tradeoff. The
+   * length guard matters: Spark's `sequence(1, 0)` is DESCENDING, so
+   * the pair loop must not run on strings shorter than 2. */
+  def deletionKeys2(s: Column): Column =
+    array_union(
+      deletionKeys(s),
+      when(length(s) >= 2, array_distinct(flatten(
+        transform(sequence(lit(1), length(s) - lit(1)), i =>
+          transform(sequence(i + lit(1), length(s)), j =>
+            concat(s.substr(lit(1), i - lit(1)),
+              s.substr(i + lit(1), j - i - lit(1)),
+              s.substr(j + lit(1), length(s))))))))
+        .otherwise(array(s)))
+
   /**
    * All unordered pairs of distinct values of `strCol` within edit
    * distance 1. Output: (left_str, right_str) with left_str <
@@ -68,13 +84,31 @@ object FuzzyJoin {
    * excluded (skew guard + match quality, see object doc).
    */
   def editDistance1Pairs(strs: DataFrame, strCol: String, minLen: Int = 4,
-      maxKeyFreq: Option[Long] = None): DataFrame = {
+      maxKeyFreq: Option[Long] = None): DataFrame =
+    editDistancePairs(strs, strCol, maxDist = 1, minLen, maxKeyFreq)
+
+  /**
+   * [[editDistance1Pairs]] generalized to radius `maxDist` ∈ {1, 2}:
+   * neighborhoods of up to `maxDist` deletions (recall-complete for
+   * ed ≤ maxDist — each edit op deletes at most one character from
+   * each side of the alignment), candidates equi-joined on the keys,
+   * verified with the thresholded `levenshtein`. Output shape is
+   * identical ((left_str, right_str), left < right). Radius 2 pays
+   * O(len²/2) keys per string and denser candidate buckets — raise
+   * `minLen` (short strings within two edits of each other are mostly
+   * noise) and consider `maxKeyFreq` on hub-prone keyspaces.
+   */
+  def editDistancePairs(strs: DataFrame, strCol: String, maxDist: Int,
+      minLen: Int = 4, maxKeyFreq: Option[Long] = None): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     maxKeyFreq.foreach(m => require(m >= 2, s"maxKeyFreq must be >= 2, got $m"))
+    val keyFn: Column => Column =
+      if (maxDist == 1) deletionKeys else deletionKeys2
     val v = strs.select(col(strCol).cast("string").as("s"))
       .filter(col("s").isNotNull && length(col("s")) >= minLen)
       .distinct()
-    val keysAll = v.select(col("s"), explode(deletionKeys(col("s"))).as("k"))
+    val keysAll = v.select(col("s"), explode(keyFn(col("s"))).as("k"))
     // hub-key cap (optional): drop keys shared by more than maxKeyFreq
     // strings BEFORE the self-join — same window-count shape as
     // Dedup's shingle-frequency cap, same documented recall tradeoff
@@ -87,7 +121,7 @@ object FuzzyJoin {
         col("a.k") === col("b.k") && col("a.s") < col("b.s"))
       .select(col("a.s").as("left_str"), col("b.s").as("right_str"))
       .distinct()
-    cand.filter(ed1(col("left_str"), col("right_str")))
+    cand.filter(levenshtein(col("left_str"), col("right_str"), maxDist) >= 0)
   }
 
   /** The verify predicate: edit distance ≤ 1, evaluated with the

@@ -47,6 +47,44 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(pairsOf(pool) === bruteEd1(pool, minLen = 4))
   }
 
+  private def bruteEdK(strs: Seq[String], k: Int, minLen: Int): Set[(String, String)] = {
+    val v = strs.distinct.filter(_.length >= minLen).sorted
+    (for {
+      i <- v.indices; j <- (i + 1) until v.length
+      if lev(v(i), v(j)) <= k
+    } yield (v(i), v(j))).toSet
+  }
+
+  test("radius-2 neighborhoods are recall-complete vs brute force (FastSS k=2)") {
+    val rnd = new scala.util.Random(11)
+    val pool = (0 until 200).map { _ =>
+      val len = 4 + rnd.nextInt(4)
+      (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val got = FuzzyJoin.editDistancePairs(pool.toDF("s"), "s", maxDist = 2)
+      .as[(String, String)].collect().toSet
+    assert(got === bruteEdK(pool, k = 2, minLen = 4))
+  }
+
+  test("radius-2 on serial keys: two-digit variants link, three do not; radius-1 is a subset") {
+    val names = (1 to 40).map(i => f"Cust#$i%04d")
+    val ed2 = FuzzyJoin.editDistancePairs(names.toDF("s"), "s", maxDist = 2)
+      .as[(String, String)].collect().toSet
+    assert(ed2 === bruteEdK(names, k = 2, minLen = 4))
+    assert(pairsOf(names).subsetOf(ed2))
+    assert(ed2.contains(("Cust#0009", "Cust#0010"))) // two digits move
+    assert(ed2.size > pairsOf(names).size)
+  }
+
+  test("length-guard edge: 1-char and 2-char strings produce no degenerate radius-2 keys") {
+    // sequence(1, 0) descends in Spark; the guard must keep short
+    // strings from generating garbage keys (minLen=1 admits them)
+    val got = FuzzyJoin.editDistancePairs(
+      Seq("a", "b", "ab", "ba", "xyz").toDF("s"), "s", maxDist = 2, minLen = 1)
+      .as[(String, String)].collect().toSet
+    assert(got === bruteEdK(Seq("a", "b", "ab", "ba", "xyz"), k = 2, minLen = 1))
+  }
+
   test("duplicate input rows collapse; result invariant to partitioning") {
     val strs = Seq("abcd", "abcd", "abcd", "abce", "abce")
     for (parts <- Seq(1, 7)) {
