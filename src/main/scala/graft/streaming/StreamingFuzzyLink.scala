@@ -58,10 +58,12 @@ object StreamingFuzzyLink {
     // argument, not just on the defaults
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     import org.apache.spark.storage.StorageLevel
+    // `names` is consumed exactly once (to derive batchKeys, which IS
+    // persisted and carries the reuse across cross/within/append), so
+    // it is deliberately NOT cached
     val names = batch.select(col(strCol).cast("string").as("s"))
       .filter(col("s").isNotNull && length(col("s")) >= minLen)
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val batchKeys = names
       .select(col("s"), explode(FuzzyJoin.deletionKeys(col("s"))).as("k"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -101,7 +103,7 @@ object StreamingFuzzyLink {
         case t: Throwable => pairs.unpersist(false); throw t
       }
       pairs
-    } finally { batchKeys.unpersist(); names.unpersist(); () }
+    } finally { batchKeys.unpersist(); () }
   }
 
   private def readStore(spark: SparkSession, path: String): DataFrame =
@@ -116,28 +118,68 @@ object StreamingFuzzyLink {
           if Option(e.getMessage).exists(m =>
             m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
               m.contains("UNABLE_TO_INFER_SCHEMA")) =>
-        import spark.implicits._
-        Seq.empty[(String, String, Long)].toDF("k", "s", "batch_id")
+        // `path` missing but a compaction stage survives ⇒ compactStore
+        // crashed between its delete and rewrite of `path`. Recover the
+        // staged snapshot (a complete distinct-(k,s) image of the store
+        // at compaction time) instead of serving the empty store the
+        // missing path would otherwise map to — the exact silent
+        // parity break the comment above forbids.
+        val stagedPath = staged(path)
+        if (pathExists(spark, stagedPath)) {
+          val snap = spark.read.parquet(stagedPath)
+          snap.write.mode(SaveMode.Overwrite).parquet(path)
+          spark.read.parquet(path)
+        } else {
+          import spark.implicits._
+          Seq.empty[(String, String, Long)].toDF("k", "s", "batch_id")
+        }
     }
+
+  private def staged(path: String): String = s"$path-staged"
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Rewrite the store distinct on (k, s) — stage-then-swap, the
    * [[StreamingNearDedup.compactStore]] shape. SINGLE-WRITER
    * maintenance op: run it with the stream stopped, or from the
    * stream's own foreachBatch slot between batches — an append
    * landing between this method's read and its overwrite of `path`
-   * would be lost (and with it the linkage of those keys). */
+   * would be lost (and with it the linkage of those keys).
+   *
+   * Crash safety: the staged snapshot is deleted only AFTER the swap
+   * into `path` completes, and [[readStore]] restores it whenever
+   * `path` is missing but the stage exists — a crash anywhere in the
+   * swap window can lose at most the rewrite, never the store.
+   *
+   * Re-stamping to [[PreHistoryBatchId]] also makes compaction the
+   * REQUIRED step before re-attaching an existing store under a NEW
+   * checkpoint: fresh checkpoints restart batch ids at 0, and the
+   * replay-exclusion filter (`batch_id =!= currentBatchId`) would hide
+   * standing keys stamped with a reused live id. */
   def compactStore(spark: SparkSession, path: String): Unit = {
-    val staged = s"$path-staged"
+    val stagedPath = staged(path)
     readStore(spark, path)
       .select(col("k"), col("s")).distinct()
       .withColumn("batch_id", lit(PreHistoryBatchId))
-      .write.mode(SaveMode.Overwrite).parquet(staged)
-    spark.read.parquet(staged)
+      .write.mode(SaveMode.Overwrite).parquet(stagedPath)
+    spark.read.parquet(stagedPath)
       .write.mode(SaveMode.Overwrite).parquet(path)
+    val p = new org.apache.hadoop.fs.Path(stagedPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   /** Attach to a streaming DataFrame: verified pairs land in
-   * `outPath` (an at-least-once pair log; consumers take distinct). */
+   * `outPath` (an at-least-once pair log; consumers take distinct).
+   *
+   * A store is bound to ONE checkpoint lineage: the replay-exclusion
+   * filter keys on batchId uniqueness, and a fresh checkpoint restarts
+   * ids at 0. To reuse an existing store under a new checkpoint, run
+   * [[compactStore]] first — it re-stamps every row to
+   * [[PreHistoryBatchId]], which no live batch id ever collides with. */
   def attach(stream: DataFrame, strCol: String, storePath: String,
       outPath: String, checkpoint: String, minLen: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -146,8 +188,11 @@ object StreamingFuzzyLink {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val out = processBatch(batch.sparkSession, batch, strCol,
           storePath, batchId, minLen)
-        out.write.mode(SaveMode.Append).parquet(outPath)
-        out.unpersist()
+        // a failed write replays the batch — must not leak the cached
+        // pair blocks across retries (processBatch guards its own
+        // append path the same way)
+        try out.write.mode(SaveMode.Append).parquet(outPath)
+        finally { out.unpersist(); () }
         ()
       }
       .start()

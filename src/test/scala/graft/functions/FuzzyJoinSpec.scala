@@ -142,6 +142,51 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(snm.nonEmpty && snm.size < truth.size) // single-pass SNM misses edits
   }
 
+  test("multi-pass SNM: each pass ⊆ truth, union ⊇ every pass, reverse key sees prefix edits") {
+    // serial keys with the edit in the FIRST character — the shape a
+    // lexicographic sort scatters (the strings land in distant sort
+    // positions) but the reversed key brings adjacent
+    val names = (1 to 40).flatMap(i => Seq(f"A-$i%04d-X", f"B-$i%04d-X"))
+    val truth = pairsOf(names)
+    val byPass = FuzzyJoin.defaultSnmPasses.map { case (nm, p) =>
+      nm -> FuzzyJoin.sortedNeighborhoodPairsBy(names.toDF("s"), "s", p, window = 3)
+        .as[(String, String)].collect().toSet
+    }.toMap
+    val union = FuzzyJoin.multiPassSnmPairs(names.toDF("s"), "s", window = 3)
+      .as[(String, String)].collect().toSet
+    byPass.foreach { case (nm, s) =>
+      assert(s.subsetOf(truth), s"pass $nm emitted a non-edit pair")
+      assert(s.subsetOf(union), s"union must cover pass $nm")
+    }
+    assert(union === byPass.values.reduce(_ ++ _))
+    // every (A-k, B-k) pair is a first-char edit: invisible to the
+    // identity pass at this window, found by the reversed pass
+    val prefixEdits = (1 to 40).map(i => (f"A-$i%04d-X", f"B-$i%04d-X")).toSet
+    assert(prefixEdits.subsetOf(truth))
+    assert((byPass("identity") & prefixEdits).isEmpty,
+      "identity pass should scatter first-char edits at window 3")
+    assert(prefixEdits.subsetOf(byPass("reverse")),
+      "reversed key must bring first-char-edit pairs adjacent")
+    assert(prefixEdits.subsetOf(union))
+  }
+
+  test("multi-pass union recall strictly improves on single-pass for mid-string edits") {
+    // edits in the middle: identity scatters them; the half-rotation
+    // key moves the differing character into the sort prefix's
+    // complement — union recall must be >= identity recall, strictly
+    // greater when rotation finds pairs identity missed
+    val names = (1 to 50).flatMap(i => Seq(f"XX-$i%03d-AA", f"XY-$i%03d-AA"))
+    val truth = pairsOf(names)
+    val id = FuzzyJoin.sortedNeighborhoodPairsBy(names.toDF("s"), "s", identity, window = 3)
+      .as[(String, String)].collect().toSet
+    val union = FuzzyJoin.multiPassSnmPairs(names.toDF("s"), "s", window = 3)
+      .as[(String, String)].collect().toSet
+    assert(id.subsetOf(union))
+    assert(union.subsetOf(truth))
+    assert(union.size > id.size,
+      s"rotated passes found nothing beyond identity (id=${id.size}, union=${union.size}, truth=${truth.size})")
+  }
+
   test("plan: SNM uses the two-pass global rank — no single-partition Window") {
     val df = (1 to 100).map(i => f"key$i%05d").toDF("s")
     val p = FuzzyJoin.sortedNeighborhoodPairs(df, "s")

@@ -111,6 +111,51 @@ class StreamingFuzzyLinkSpec extends SparkTestBase {
     assert(expect.exists(_._3 > 1)) // real multi-member entities exist
   }
 
+  test("compaction deletes its staged snapshot after a successful swap") {
+    val store = tmp()
+    run(store, Seq(batch1 -> 0L, batch2 -> 1L))
+    StreamingFuzzyLink.compactStore(spark, store)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store-staged")),
+      "staged snapshot must not outlive a completed compaction")
+  }
+
+  test("crash between compaction's delete and rewrite recovers from staged (no silent empty store)") {
+    val store = tmp()
+    run(store, Seq(batch1 -> 0L, batch2 -> 1L))
+    // simulate the crash window: the staged snapshot exists, `store`
+    // itself is gone (compactStore died between its Overwrite-delete
+    // of `store` and the rewrite). Build staged exactly as
+    // compactStore does, then drop the store dir.
+    spark.read.parquet(store)
+      .select(col("k"), col("s")).distinct()
+      .withColumn("batch_id", lit(StreamingFuzzyLink.PreHistoryBatchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store-staged")
+    val p = new org.apache.hadoop.fs.Path(store)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // next batch must still see the standing keys — a missing store
+    // with a surviving stage is a crashed swap, NOT a fresh store
+    val Seq(e) = run(store, Seq(Seq("abcf") -> 2L))
+    assert(e === Set(("abcd", "abcf"), ("abce", "abcf")))
+    // and the store path itself is restored for subsequent readers
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
+  }
+
+  test("failed append does not leak cached pair blocks (retry hygiene)") {
+    val store = tmp()
+    // make the store path unwritable-as-directory: a plain FILE at
+    // the path makes the parquet Append throw after pairs are cached
+    java.nio.file.Files.write(java.nio.file.Paths.get(store, "x"),
+      "not-a-parquet-store".getBytes)
+    val blocked = java.nio.file.Paths.get(store, "x").toString
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[Exception] {
+      StreamingFuzzyLink.processBatch(
+        spark, Seq("abcd", "abce").toDF("s"), "s", blocked, 0L)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "processBatch must unpersist its caches when the append fails")
+  }
+
   test("re-arrival re-emits standing pairs; distinct set is stable") {
     val store = tmp()
     val Seq(_, _, e3) = run(store,

@@ -50,6 +50,7 @@ def one_run(i):
         # name — re-key it to the lean line's short ids so the artifact
         # keys stay stable for bench_guard, but the values are exact
         mf = re.search(r"BENCH_FULL (\{.*\})", out)
+        remapped_ok = False
         if mf:
             full = json.loads(mf.group(1))
             pref = {k: k.split("_", 1)[0] for k in full}
@@ -61,6 +62,20 @@ def one_run(i):
             if set(remapped) == set(t["queries"]):
                 t["queries"] = remapped
                 t["value"] = round(sum(remapped.values()), 3)
+                remapped_ok = True
+        if not remapped_ok:
+            # never silently record the lean line's rounded tier
+            # (fsig/f1, ~2 significant digits) as if it were exact
+            print(f"WARNING run {i}: BENCH_FULL remap "
+                  f"{'missing' if not mf else 'key-mismatched vs lean line'} — "
+                  f"keeping ROUNDED per-query values from the lean tier",
+                  file=sys.stderr)
+        # the lean line drops `samples`; recover it from any line that
+        # still carries it so the artifact stays self-describing
+        if "samples" not in t:
+            carrier = next((l for l in lines if "samples" in l), None)
+            if carrier:
+                t["samples"] = carrier["samples"]
     print(f"run {i}: total {t['value']:.1f}s calib "
           f"{t['calib_start']:.2f}->{t['calib_end']:.2f} loud={t.get('loud_window')}")
     return t
@@ -77,7 +92,10 @@ def main():
         "metric": "total", "value": round(sum(comp.values()), 2), "unit": "sec",
         "keys": "query id prefix",
         "queries": {k: round(v, 3) for k, v in comp.items()},
-        "samples": runs[0].get("samples"),
+        # omit rather than record null — a "samples": null artifact
+        # contradicts the documented 5-sample protocol
+        **({"samples": runs[0]["samples"]} if runs[0].get("samples") is not None
+           else {}),
         "runs": RUNS,
         # the (calib_start, calib_end) PAIR comes from the single
         # quietest run (minimal mean), never per-field minima across

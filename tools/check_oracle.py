@@ -9,6 +9,7 @@ import json, math, subprocess, sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -59,11 +60,120 @@ def canon(rows, cols):
 
 
 def vals_eq(a, b):
+    # Type-sensitive: the driver hashes SERIALIZED cells, so a DuckDB
+    # Decimal('42') vs Spark int64 42 is a driver FAIL even though
+    # Python's == says True (the r11–r13 HUGEINT saga: sum(BIGINT)
+    # widens to HUGEINT in DuckDB → decimal128 through Arrow → hash
+    # mismatch on value-equal results, invisible to a pure value
+    # compare). Require the same canonical type family per cell.
+    if a is None or b is None:
+        return a is None and b is None
+    ka, kb = _type_key(a), _type_key(b)
+    if ka != kb:
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
     return a == b
+
+
+def _type_key(v):
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return type(v).__name__
+
+
+# --- Result-schema diff: DuckDB DESCRIBE vs Spark parquet schema ------
+# The driver's hash is serialization-sensitive, so column TYPES must
+# match, not just values. HUGEINT/UHUGEINT in an oracle result is an
+# unconditional fail (no Spark type maps to it). Integer widths are
+# compared exactly (the oracles CAST row_number() to INTEGER for this
+# reason); timestamps compare at family level (driver data is
+# TIMESTAMP_NS parquet, Spark writes µs — driver-green today).
+
+def _duck_type_canon(t):
+    t = t.upper()
+    ints = {"TINYINT": "INT8", "SMALLINT": "INT16", "INTEGER": "INT32",
+            "BIGINT": "INT64", "UTINYINT": "UINT8", "USMALLINT": "UINT16",
+            "UINTEGER": "UINT32", "UBIGINT": "UINT64"}
+    if t in ints:
+        return ints[t]
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "HUGEINT"
+    if t.startswith("DECIMAL"):
+        return "DECIMAL"
+    if t in ("FLOAT", "REAL"):
+        return "FLOAT32"
+    if t == "DOUBLE":
+        return "FLOAT64"
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    if t == "DATE":
+        return "DATE"
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "STRING"
+    if t == "BOOLEAN":
+        return "BOOL"
+    if t == "BLOB":
+        return "BINARY"
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "LIST")):
+        return "NESTED"
+    return t
+
+
+def _arrow_type_canon(t):
+    if pa.types.is_boolean(t):
+        return "BOOL"
+    if pa.types.is_integer(t):
+        return str(t).upper()  # e.g. int64 → INT64, uint32 → UINT32
+    if pa.types.is_float32(t):
+        return "FLOAT32"
+    if pa.types.is_float64(t):
+        return "FLOAT64"
+    if pa.types.is_decimal(t):
+        return "DECIMAL"
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP"
+    if pa.types.is_date(t):
+        return "DATE"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "STRING"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BINARY"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_struct(t) or pa.types.is_map(t)):
+        return "NESTED"
+    return str(t).upper()
+
+
+def schema_types_ok(name, spark_schema, sql):
+    try:
+        dtypes = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    except Exception as e:
+        print(f"FAIL {name}: duckdb DESCRIBE error: {e}")
+        return False
+    stypes = {f.name: f.type for f in spark_schema}
+    ok = True
+    for col in sorted(set(dtypes) | set(stypes)):
+        if col not in dtypes or col not in stypes:
+            continue  # column-set mismatch reported by the value path
+        dc = _duck_type_canon(dtypes[col])
+        sc_ = _arrow_type_canon(stypes[col])
+        if dc == "HUGEINT":
+            print(f"FAIL {name}: oracle column '{col}' is {dtypes[col]} "
+                  f"(no Spark equivalent — cast the aggregate, e.g. "
+                  f"CAST(sum(..) AS BIGINT))")
+            ok = False
+        elif dc != sc_:
+            print(f"FAIL {name}: type mismatch on '{col}': "
+                  f"duck={dtypes[col]}({dc}) spark={stypes[col]}({sc_})")
+            ok = False
+    return ok
 
 
 # Above this many rows, the per-row Python compare would materialize
@@ -112,6 +222,10 @@ for arg in sys.argv:
     if arg.startswith("--only="):
         only = set(arg.split("=", 1)[1].split(","))
 
+# --types-only: skip value comparison, just diff result schemas (fast
+# full-surface sweep for latent type widening — verdict r13 #3)
+types_only = "--types-only" in sys.argv
+
 fails = 0
 for name in sorted(oracle):
     if only is not None and name not in only:
@@ -122,6 +236,13 @@ for name in sorted(oracle):
         fails += 1
         continue
     n_spark = sum(pq.ParquetFile(f).metadata.num_rows for f in pdir.glob("*.parquet"))
+    spark_schema = pq.ParquetFile(next(pdir.glob("*.parquet"))).schema_arrow
+    if not schema_types_ok(name, spark_schema, oracle[name]):
+        fails += 1
+        continue
+    if types_only:
+        print(f"OK   {name} (types)")
+        continue
     if n_spark > BIG_ROWS:
         if not duckdb_bag_compare(name, pdir, oracle[name], n_spark):
             fails += 1
