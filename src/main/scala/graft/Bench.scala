@@ -114,7 +114,11 @@ object Bench {
       (k, rel)
     }
     println("BENCH_SPREAD " + spreads.map { case (k, r) => s"$k=${f3(r)}" }.mkString(" "))
-    println(s"BENCH_CALIB start=${f3(calibStart)} end=${f3(calibEnd)} loud_window=$loudWindow")
+    // samples rides on the diagnostic line too: past ~155 queries the
+    // final JSON line goes lean (drops the samples field), and the
+    // composite tool back-fills from here so artifacts never record
+    // "samples": null against the documented 5-sample protocol
+    println(s"BENCH_CALIB start=${f3(calibStart)} end=${f3(calibEnd)} loud_window=$loudWindow samples=$samples")
     val (spreadArgmax, spreadMax) =
       if (spreads.isEmpty) ("", 0.0) else spreads.maxBy(_._2)
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")

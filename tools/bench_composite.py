@@ -76,6 +76,10 @@ def one_run(i):
             carrier = next((l for l in lines if "samples" in l), None)
             if carrier:
                 t["samples"] = carrier["samples"]
+            else:
+                ms = re.search(r"BENCH_CALIB .*\bsamples=(\d+)", out)
+                if ms:
+                    t["samples"] = int(ms.group(1))
     print(f"run {i}: total {t['value']:.1f}s calib "
           f"{t['calib_start']:.2f}->{t['calib_end']:.2f} loud={t.get('loud_window')}")
     return t
