@@ -123,24 +123,14 @@ object StreamingFuzzyLink {
         // staged snapshot (a complete distinct-(k,s) image of the store
         // at compaction time) instead of serving the empty store the
         // missing path would otherwise map to — the exact silent
-        // parity break the comment above forbids.
-        val stagedPath = staged(path)
-        if (pathExists(spark, stagedPath)) {
-          val snap = spark.read.parquet(stagedPath)
-          snap.write.mode(SaveMode.Overwrite).parquet(path)
-          spark.read.parquet(path)
-        } else {
+        // parity break the comment above forbids. The recovery deletes
+        // the stage so a stale snapshot can never resurrect a store
+        // that was later deleted on purpose.
+        StagedStoreSwap.recover(spark, path).getOrElse {
           import spark.implicits._
           Seq.empty[(String, String, Long)].toDF("k", "s", "batch_id")
         }
     }
-
-  private def staged(path: String): String = s"$path-staged"
-
-  private def pathExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
 
   /** Rewrite the store distinct on (k, s) — stage-then-swap, the
    * [[StreamingNearDedup.compactStore]] shape. SINGLE-WRITER
@@ -160,16 +150,11 @@ object StreamingFuzzyLink {
    * replay-exclusion filter (`batch_id =!= currentBatchId`) would hide
    * standing keys stamped with a reused live id. */
   def compactStore(spark: SparkSession, path: String): Unit = {
-    val stagedPath = staged(path)
     readStore(spark, path)
       .select(col("k"), col("s")).distinct()
       .withColumn("batch_id", lit(PreHistoryBatchId))
-      .write.mode(SaveMode.Overwrite).parquet(stagedPath)
-    spark.read.parquet(stagedPath)
-      .write.mode(SaveMode.Overwrite).parquet(path)
-    val p = new org.apache.hadoop.fs.Path(stagedPath)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
+      .write.mode(SaveMode.Overwrite).parquet(StagedStoreSwap.stagedPath(path))
+    StagedStoreSwap.swapFromStaged(spark, path)
   }
 
   /** Attach to a streaming DataFrame: verified pairs land in

@@ -107,10 +107,21 @@ object StreamingNearDedup {
       if (df.columns.contains("batch_id")) df
       else df.withColumn("batch_id", lit(PreHistoryBatchId))
     } catch {
-      case _: Exception =>
-        import spark.implicits._
-        Seq.empty[(Int, String, java.sql.Timestamp, Long)]
-          .toDF("band", "key", "ts", "batch_id")
+      // ONLY the "store not created yet" case maps to an empty store
+      // (after checking for a crashed compaction swap to recover —
+      // the StreamingFuzzyLink discipline). Any other read failure
+      // propagates: swallowing a transient FS error would serve empty
+      // state, re-admit every standing near-duplicate, and commit —
+      // a silent, permanent dedup break.
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getMessage).exists(m =>
+            m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist") ||
+              m.contains("UNABLE_TO_INFER_SCHEMA")) =>
+        StagedStoreSwap.recover(spark, path).getOrElse {
+          import spark.implicits._
+          Seq.empty[(Int, String, java.sql.Timestamp, Long)]
+            .toDF("band", "key", "ts", "batch_id")
+        }
     }
 
   /** Rewrite the store keeping only keys seen since `cutoff` (run
@@ -121,14 +132,12 @@ object StreamingNearDedup {
    * live store. */
   def compactStore(spark: SparkSession, path: String,
       cutoff: java.sql.Timestamp): Unit = {
-    val staged = s"$path-staged"
     readStore(spark, path)
       .groupBy(col("band"), col("key")).agg(max(col("ts")).as("ts"))
       .filter(col("ts") >= cutoff)
       .withColumn("batch_id", lit(PreHistoryBatchId))
-      .write.mode(SaveMode.Overwrite).parquet(staged)
-    spark.read.parquet(staged)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(SaveMode.Overwrite).parquet(StagedStoreSwap.stagedPath(path))
+    StagedStoreSwap.swapFromStaged(spark, path)
   }
 
   /** Attach to a streaming DataFrame: kept rows land in `outPath`. */

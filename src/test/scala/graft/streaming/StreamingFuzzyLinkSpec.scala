@@ -136,8 +136,11 @@ class StreamingFuzzyLinkSpec extends SparkTestBase {
     // with a surviving stage is a crashed swap, NOT a fresh store
     val Seq(e) = run(store, Seq(Seq("abcf") -> 2L))
     assert(e === Set(("abcd", "abcf"), ("abce", "abcf")))
-    // and the store path itself is restored for subsequent readers
+    // and the store path itself is restored for subsequent readers,
+    // with the stage consumed (a stale snapshot left behind would
+    // resurrect old state if the store were later deleted on purpose)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store-staged")))
   }
 
   test("failed append does not leak cached pair blocks (retry hygiene)") {

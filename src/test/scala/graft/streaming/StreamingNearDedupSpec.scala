@@ -94,6 +94,46 @@ class StreamingNearDedupSpec extends SparkTestBase {
     assert(again == Set(9L))
   }
 
+  test("crashed compaction swap recovers from staged; transient read errors propagate") {
+    val store = java.nio.file.Files.createTempDirectory("neardedup-store3").toString + "/s"
+    StreamingNearDedup.processBatch(spark,
+      Seq((1L, base, ts(0))).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", store, horizonSec = 600, batchId = 0L)
+    // simulate the crash window: the staged snapshot exists, `store`
+    // is gone (compactStore died between its Overwrite-delete of the
+    // live path and the rewrite)
+    spark.read.parquet(store)
+      .groupBy(col("band"), col("key")).agg(max(col("ts")).as("ts"))
+      .withColumn("batch_id", lit(StreamingNearDedup.PreHistoryBatchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store-staged")
+    val p = new org.apache.hadoop.fs.Path(store)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // the near-copy must STILL be suppressed — a missing store with a
+    // surviving stage is a crashed swap, not a fresh store
+    val kept = StreamingNearDedup.processBatch(spark,
+      Seq((2L, nearCopy, ts(1))).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", store, horizonSec = 600, batchId = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set.empty[Long], "standing state lost across the crash window")
+    // and the recovery consumed the stage (a stale snapshot must not
+    // resurrect a store deleted on purpose later)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store-staged")))
+  }
+
+  test("a non-missing-path read failure propagates instead of serving an empty store") {
+    val dir = java.nio.file.Files.createTempDirectory("neardedup-store4").toString
+    val bad = s"$dir/s"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(bad))
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad, "part-x.parquet"),
+      "corrupt".getBytes)
+    intercept[Exception] {
+      StreamingNearDedup.processBatch(spark,
+        Seq((2L, nearCopy, ts(1))).toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", bad, horizonSec = 600, batchId = 1L)
+        .count()
+    }
+  }
+
   test("end-to-end over a real stream via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("neardedup-e2e").toString

@@ -70,16 +70,13 @@ def one_run(i):
                   f"{'missing' if not mf else 'key-mismatched vs lean line'} — "
                   f"keeping ROUNDED per-query values from the lean tier",
                   file=sys.stderr)
-        # the lean line drops `samples`; recover it from any line that
-        # still carries it so the artifact stays self-describing
+        # the lean line drops `samples`; recover it from the BENCH_CALIB
+        # diagnostic line (Bench prints exactly ONE {"metric":...} line,
+        # so there is no other JSON carrier to scan)
         if "samples" not in t:
-            carrier = next((l for l in lines if "samples" in l), None)
-            if carrier:
-                t["samples"] = carrier["samples"]
-            else:
-                ms = re.search(r"BENCH_CALIB .*\bsamples=(\d+)", out)
-                if ms:
-                    t["samples"] = int(ms.group(1))
+            ms = re.search(r"BENCH_CALIB .*\bsamples=(\d+)", out)
+            if ms:
+                t["samples"] = int(ms.group(1))
     print(f"run {i}: total {t['value']:.1f}s calib "
           f"{t['calib_start']:.2f}->{t['calib_end']:.2f} loud={t.get('loud_window')}")
     return t

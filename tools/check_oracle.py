@@ -106,7 +106,7 @@ def _duck_type_canon(t):
     if t in ("HUGEINT", "UHUGEINT"):
         return "HUGEINT"
     if t.startswith("DECIMAL"):
-        return "DECIMAL"
+        return t.replace(" ", "")  # keep (p,s): serialized decimals differ per precision/scale
     if t in ("FLOAT", "REAL"):
         return "FLOAT32"
     if t == "DOUBLE":
@@ -136,7 +136,7 @@ def _arrow_type_canon(t):
     if pa.types.is_float64(t):
         return "FLOAT64"
     if pa.types.is_decimal(t):
-        return "DECIMAL"
+        return f"DECIMAL({t.precision},{t.scale})"
     if pa.types.is_timestamp(t):
         return "TIMESTAMP"
     if pa.types.is_date(t):
@@ -159,9 +159,17 @@ def schema_types_ok(name, spark_schema, sql):
         return False
     stypes = {f.name: f.type for f in spark_schema}
     ok = True
+    if set(dtypes) != set(stypes):
+        # fail here, not just in the value path: --types-only skips the
+        # value compare, and a column-set drift is a guaranteed driver
+        # hash failure the types sweep must not wave through
+        print(f"FAIL {name}: column sets differ: "
+              f"duck-only={sorted(set(dtypes) - set(stypes))} "
+              f"spark-only={sorted(set(stypes) - set(dtypes))}")
+        ok = False
     for col in sorted(set(dtypes) | set(stypes)):
         if col not in dtypes or col not in stypes:
-            continue  # column-set mismatch reported by the value path
+            continue  # reported above
         dc = _duck_type_canon(dtypes[col])
         sc_ = _arrow_type_canon(stypes[col])
         if dc == "HUGEINT":
