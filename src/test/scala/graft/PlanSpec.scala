@@ -107,6 +107,16 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(800))
   }
 
+  test("multi-pass SNM: no single-partition Window, no cartesian, equi-joins only (D22)") {
+    val p = plan("d22_snm_multipass")
+    // each pass sorts via the two-pass global rank — a Window node
+    // here would mean a single-partition sort bottleneck at scale
+    assert(!p.contains("Window"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    graft.functions.GlobalRank.releaseStaged()
+  }
+
   test("inverted-index join is an equi-join, never a cartesian product (D2)") {
     val p = plan("d2_jaccard_pairs")
     assert(!p.contains("CartesianProduct"), p.take(600))

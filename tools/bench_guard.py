@@ -26,7 +26,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 SF = next((a for a in sys.argv[1:] if not a.startswith("--")), "/root/testdata/sf0.1")
 REF = REPO / next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--ref=")),
-                  "BENCH_LOCAL_r13_sf01.json")
+                  "BENCH_LOCAL_r14_sf01.json")
 TOL = float(next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--tolerance=")),
                  "2.5"))
 FROM = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--from-json=")), None)
