@@ -536,10 +536,16 @@ object PipelineQueries {
     // nation — blocking + agreement, the classic ER edge predicate),
     // transitively closed through connected components, every record
     // labeled with its entity (singletons are their own entity). The
-    // agreement gate is what keeps components subcritical at scale:
-    // ungated, one-digit-substitution chains weld the whole keyspace
-    // into one giant component; gated, mean degree sits near 1 and
-    // cluster sizes stay O(log n) (measured: max 17 at sf0.01).
+    // agreement gate is what keeps components subcritical at LOW key
+    // density: ungated, one-digit-substitution chains weld the whole
+    // keyspace into one giant component; gated, mean degree sits near
+    // 1 here (measured: max cluster 17 at sf0.01). On DENSE serial
+    // keyspaces a single agreement attribute is not enough — ErScale
+    // measured max clusters growing linearly (~2% of names) at
+    // 10×/100× the name count, so at that density the levers are more
+    // agreement attributes, maxKeyFreq hub caps, and minLen
+    // (SCALE.md round 14); the closure machinery itself stays
+    // sublinear in wall-clock across both decades.
     "d20_entity_clusters" -> ((s, d) => {
       val cust = Tables.customer(s, d)
         .select(col("c_name"), col("c_nationkey"))
