@@ -55,38 +55,60 @@ object ErScale {
     factors.foreach { f =>
       val path = s"${sys.props("java.io.tmpdir")}/graft-erscale-$f"
       // materialize so the timed stages read a real table, not an
-      // in-memory union (scan + shuffle costs stay representative)
-      (0 until f).map(i => base.select((col("k") + lit(i * n0)).as("k"),
-          col("c_nationkey")))
-        .reduce(_ unionByName _)
-        .select(format_string("Customer#%09d", col("k")).as("c_name"),
+      // in-memory union; the F-way replication is an explode over one
+      // base scan, not an F-leaf union re-reading the source F times
+      base.select(col("k"), col("c_nationkey"),
+          explode(sequence(lit(0L), lit((f - 1).toLong))).as("_i"))
+        .select(format_string("Customer#%09d", col("k") + col("_i") * n0)
+            .as("c_name"),
           col("c_nationkey"))
         .write.mode(SaveMode.Overwrite).parquet(path)
       val cust = spark.read.parquet(path)
+      val names = n0 * f
 
+      // stage 1 — FastSS candidate join + verify, timed alone; the
+      // verified pairs are WRITTEN so stage 2 times the gate+closure
+      // only (not a second pair build — the stages must be disjoint
+      // for the published table to add up)
+      val pairsPath = s"$path-pairs"
       val (pairCount, pairsSec) = timed {
-        FuzzyJoin.editDistance1Pairs(cust.select(col("c_name")), "c_name").count()
+        FuzzyJoin.editDistance1Pairs(cust.select(col("c_name")), "c_name")
+          .write.mode(SaveMode.Overwrite).parquet(pairsPath)
+        spark.read.parquet(pairsPath).count()
       }
+
+      // stage 2 — agreement gate + star closure over the materialized
+      // pairs; entities use the d20 semantics (every name labeled,
+      // singletons are their own entity)
       val ((entities, maxCluster), ccSec) = timed {
+        val pairs = spark.read.parquet(pairsPath)
         val a = cust.select(col("c_name").as("left_str"),
           col("c_nationkey").as("_na"))
         val b = cust.select(col("c_name").as("right_str"),
           col("c_nationkey").as("_nb"))
-        val edges = FuzzyJoin.editDistance1Pairs(
-            cust.select(col("c_name")), "c_name")
+        val edges = pairs
           .join(a, Seq("left_str")).join(b, Seq("right_str"))
           .filter(col("_na") === col("_nb"))
           .select(col("left_str"), col("right_str"))
         val lab = Dedup.connectedComponentsStar(edges, "left_str", "right_str")
         val agg = lab.groupBy(col("component")).agg(count(lit(1)).as("m"))
-          .agg(count(lit(1)), max(col("m"))).head()
-        (agg.getLong(0), agg.getLong(1))
+          .agg(count(lit(1)).as("c"), max(col("m")).as("mx"),
+            sum(col("m")).as("linked")).head()
+        val (linkedComponents, mx, linkedNames) =
+          (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        (linkedComponents + (names - linkedNames), mx)
       }
+
       val (snmCount, snmSec) = timed {
-        FuzzyJoin.multiPassSnmPairs(cust.select(col("c_name")), "c_name").count()
+        val c = FuzzyJoin.multiPassSnmPairs(cust.select(col("c_name")), "c_name")
+          .count()
+        // GlobalRank's caller contract: release the staged sorted
+        // lineages (3 passes persist 3) before the next factor runs
+        graft.functions.GlobalRank.releaseStaged()
+        c
       }
       println(
-        s"""{"metric":"er_scale","factor":$f,"names":${n0 * f},""" +
+        s"""{"metric":"er_scale","factor":$f,"names":$names,""" +
         s""""pairs":$pairCount,"pairs_sec":${"%.2f".format(pairsSec)},""" +
         s""""cc_sec":${"%.2f".format(ccSec)},"snm_sec":${"%.2f".format(snmSec)},""" +
         s""""entities":$entities,"max_cluster":$maxCluster,"snm_pairs":$snmCount}""")

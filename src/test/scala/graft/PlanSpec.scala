@@ -108,13 +108,14 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
   }
 
   test("multi-pass SNM: no single-partition Window, no cartesian, equi-joins only (D22)") {
-    val p = plan("d22_snm_multipass")
-    // each pass sorts via the two-pass global rank — a Window node
-    // here would mean a single-partition sort bottleneck at scale
-    assert(!p.contains("Window"), p.take(600))
-    assert(!p.contains("CartesianProduct"), p.take(600))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
-    graft.functions.GlobalRank.releaseStaged()
+    try {
+      val p = plan("d22_snm_multipass")
+      // each pass sorts via the two-pass global rank — a Window node
+      // here would mean a single-partition sort bottleneck at scale
+      assert(!p.contains("Window"), p.take(600))
+      assert(!p.contains("CartesianProduct"), p.take(600))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    } finally graft.functions.GlobalRank.releaseStaged()
   }
 
   test("inverted-index join is an equi-join, never a cartesian product (D2)") {

@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
 """Bench-regression tripwire: run graft.Bench at a given SF dir and
 compare per-query wall times against a committed reference artifact
-(default BENCH_LOCAL_r12_sf01.json — a per-query MIN composite over
-three 5-sample runs at r12 HEAD via tools/bench_composite.py, covering
-all 153 queries incl. r3-r7/d17/o15). Fails LOUD when a
+(default BENCH_LOCAL_r14_sf01.json — a per-query MIN composite over
+three 5-sample runs at r14 HEAD via tools/bench_composite.py, covering
+all 160 queries incl. d22 and the memoized ER family). Fails LOUD when a
 query regresses beyond the tolerance, after normalizing for host-load
 drift with the bench's own noise-sentinel calibration when present.
 NOTE: this host's noise is partly calib-INVISIBLE (IO/memory
