@@ -94,8 +94,11 @@ object ErScale {
         val agg = lab.groupBy(col("component")).agg(count(lit(1)).as("m"))
           .agg(count(lit(1)).as("c"), max(col("m")).as("mx"),
             sum(col("m")).as("linked")).head()
+        // zero verified pairs ⇒ lab is empty and max/sum aggregate to
+        // NULL — every name is its own singleton entity
         val (linkedComponents, mx, linkedNames) =
-          (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+          if (agg.isNullAt(1)) (0L, 1L, 0L)
+          else (agg.getLong(0), agg.getLong(1), agg.getLong(2))
         (linkedComponents + (names - linkedNames), mx)
       }
 

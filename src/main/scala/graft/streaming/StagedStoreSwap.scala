@@ -46,6 +46,19 @@ private[streaming] object StagedStoreSwap {
     delete(spark, stagedPath(path))
   }
 
+  /** A stage that survives while `path` itself reads fine is an
+   * ORPHAN: the compaction crashed after writing the stage but BEFORE
+   * [[swapFromStaged]] touched the live path (live store intact, swap
+   * never ran). Left alone it outlives every recovery window, and if
+   * the store is later deleted ON PURPOSE (fresh pipeline, same
+   * paths) [[recover]] would resurrect the stale snapshot. Callers
+   * invoke this on every successful live-path read — the single-writer
+   * contract (compaction runs with the stream stopped or in its own
+   * foreachBatch slot) guarantees no in-flight compaction owns the
+   * stage at that moment. */
+  def clearOrphanedStage(spark: SparkSession, path: String): Unit =
+    if (exists(spark, stagedPath(path))) delete(spark, stagedPath(path))
+
   /** `path` failed to read as missing: if a staged snapshot survives
    * (a compaction crashed between its delete and rewrite of `path`),
    * restore it into `path`, drop the stage, and return the restored

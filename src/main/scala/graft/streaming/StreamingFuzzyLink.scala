@@ -107,8 +107,14 @@ object StreamingFuzzyLink {
   }
 
   private def readStore(spark: SparkSession, path: String): DataFrame =
-    try spark.read.parquet(path)
-    catch {
+    try {
+      val df = spark.read.parquet(path)
+      // live path read fine ⇒ any surviving stage is an orphan from a
+      // compaction that crashed BEFORE its swap — drop it now or a
+      // later intentional store reset would resurrect it via recover()
+      StagedStoreSwap.clearOrphanedStage(spark, path)
+      df
+    } catch {
       // ONLY the first-batch "store not created yet" case maps to an
       // empty standing store. Any OTHER read failure must propagate:
       // swallowing a transient FS error would serve an empty state,

@@ -104,6 +104,10 @@ object StreamingNearDedup {
     try {
       // mergeSchema: tolerate stores written before the batch_id stamp
       val df = spark.read.option("mergeSchema", "true").parquet(path)
+      // live path read fine ⇒ any surviving stage is an orphan from a
+      // compaction that crashed BEFORE its swap — drop it now or a
+      // later intentional store reset would resurrect it via recover()
+      StagedStoreSwap.clearOrphanedStage(spark, path)
       if (df.columns.contains("batch_id")) df
       else df.withColumn("batch_id", lit(PreHistoryBatchId))
     } catch {

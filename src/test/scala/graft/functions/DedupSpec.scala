@@ -381,6 +381,35 @@ class DedupSpec extends SparkTestBase {
     assert(auto == a)
   }
 
+  test("star CC local-contraction pre-pass: cross-partition chains, string ordering, type fallback") {
+    // a 500-node string-keyed path scattered over 7 partitions: each
+    // partition's segment contracts to a star in memory, the
+    // distributed rounds only stitch the ≤7 segment minima — labels
+    // must still be the one global min
+    val chain = (0 until 500).map(i => (f"v$i%04d", f"v${i + 1}%04d"))
+      .toDF("doc_a", "doc_b").repartition(7)
+    val got = Dedup.connectedComponentsStar(chain, "doc_a", "doc_b", maxIter = 12)
+      .as[(String, String)].collect().toSet
+    assert(got == (0 to 500).map(i => (f"v$i%04d", "v0000")).toSet)
+
+    // duplicate node across partitions + disjoint components: the
+    // mapping edges must bridge trees that share a node, not merge
+    // trees that don't
+    val two = (Seq((10L, 11L), (11L, 12L), (30L, 31L)) ++
+        Seq((12L, 13L), (31L, 32L))).toDF("doc_a", "doc_b").repartition(5)
+    val lab2 = Dedup.connectedComponentsStar(two, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(lab2 == Set((10L, 10L), (11L, 10L), (12L, 10L), (13L, 10L),
+      (30L, 30L), (31L, 30L), (32L, 30L)))
+
+    // unsupported id type (double) skips the pre-pass — same labels
+    // through the uncontracted path
+    val dbl = Seq((1.5, 2.5), (2.5, 3.5), (9.0, 8.0)).toDF("doc_a", "doc_b")
+    val lab3 = Dedup.connectedComponentsStar(dbl, "doc_a", "doc_b")
+      .as[(Double, Double)].collect().toSet
+    assert(lab3 == Set((1.5, 1.5), (2.5, 1.5), (3.5, 1.5), (8.0, 8.0), (9.0, 8.0)))
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
     val v2 = v1.map(x => x * 1.001f) // near-identical direction

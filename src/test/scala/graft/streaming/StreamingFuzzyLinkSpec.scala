@@ -143,6 +143,27 @@ class StreamingFuzzyLinkSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store-staged")))
   }
 
+  test("a stage orphaned BEFORE the swap is cleared by the next successful store read") {
+    val store = tmp()
+    run(store, Seq(batch1 -> 0L, batch2 -> 1L))
+    // simulate the OTHER crash window: compaction wrote its staged
+    // snapshot, then died before swapFromStaged ever touched the live
+    // path — store intact, stage orphaned
+    spark.read.parquet(store)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store-staged")
+    // the next batch reads the live store fine; that read must consume
+    // the orphan
+    run(store, Seq(batch3 -> 2L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store-staged")),
+      "an orphaned stage must not survive a successful live-path read")
+    // and an intentional reset (delete the live store to start fresh)
+    // now yields a genuinely FRESH store — not a resurrected snapshot
+    val p = new org.apache.hadoop.fs.Path(store)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val Seq(e) = run(store, Seq(Seq("abcf") -> 3L))
+    assert(e === Set.empty, "reset store must not remember pre-reset keys")
+  }
+
   test("failed append does not leak cached pair blocks (retry hygiene)") {
     val store = tmp()
     // make the store path unwritable-as-directory: a plain FILE at

@@ -244,7 +244,12 @@ for name in sorted(oracle):
         fails += 1
         continue
     n_spark = sum(pq.ParquetFile(f).metadata.num_rows for f in pdir.glob("*.parquet"))
-    spark_schema = pq.ParquetFile(next(pdir.glob("*.parquet"))).schema_arrow
+    first_part = next(pdir.glob("*.parquet"), None)
+    if first_part is None:
+        print(f"FAIL {name}: no parquet files in {pdir}")
+        fails += 1
+        continue
+    spark_schema = pq.ParquetFile(first_part).schema_arrow
     if not schema_types_ok(name, spark_schema, oracle[name]):
         fails += 1
         continue
