@@ -17,13 +17,20 @@ import org.apache.spark.sql.functions._
  *
  *  - pairs: FastSS deletion-neighborhood join + thresholded verify
  *    (the d19 candidate/verify core);
- *  - closure: nation-agreement gate + star connected components to
- *    entity labels (the d20 composition);
+ *  - closure, measured under BOTH agreement gates: the round-14
+ *    nation-only gate (whose max cluster grew linearly — ~2% of
+ *    names — on this serial-dense keyspace, the round's one honest
+ *    negative) and the round-15 2-attribute default (nation AND
+ *    mktsegment, the current d20 composition). The replicated copies
+ *    carry the BASE customer's segment, so the second attribute is
+ *    independent of the name digits — no correlation shortcut;
  *  - snm: 3-pass sorted-neighborhood union (the d22 cheap generator).
  *
  * Prints one JSON line per factor:
- * {"metric":"er_scale","factor":F,"names":N,"pairs":P,
- *  "pairs_sec":…,"cc_sec":…,"snm_sec":…,"entities":E,"max_cluster":M}
+ * {"metric":"er_scale","factor":F,"names":N,"pairs":P,"pairs_sec":…,
+ *  "cc1_sec":…,"entities_1attr":…,"max_cluster_1attr":…,
+ *  "cc2_sec":…,"entities_2attr":…,"max_cluster_2attr":…,
+ *  "snm_sec":…,"snm_pairs":…}
  *
  * Usage: runMain graft.ErScale <sfDir> [factors… default 1 10 100]
  */
@@ -43,7 +50,8 @@ object ErScale {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = sources.Tables.customer(spark, src)
-      .select(col("c_custkey").cast("long").as("k"), col("c_nationkey"))
+      .select(col("c_custkey").cast("long").as("k"), col("c_nationkey"),
+        col("c_mktsegment"))
     val n0 = base.count()
 
     def timed[A](body: => A): (A, Double) = {
@@ -57,11 +65,11 @@ object ErScale {
       // materialize so the timed stages read a real table, not an
       // in-memory union; the F-way replication is an explode over one
       // base scan, not an F-leaf union re-reading the source F times
-      base.select(col("k"), col("c_nationkey"),
+      base.select(col("k"), col("c_nationkey"), col("c_mktsegment"),
           explode(sequence(lit(0L), lit((f - 1).toLong))).as("_i"))
         .select(format_string("Customer#%09d", col("k") + col("_i") * n0)
             .as("c_name"),
-          col("c_nationkey"))
+          col("c_nationkey"), col("c_mktsegment"))
         .write.mode(SaveMode.Overwrite).parquet(path)
       val cust = spark.read.parquet(path)
       val names = n0 * f
@@ -78,17 +86,20 @@ object ErScale {
       }
 
       // stage 2 — agreement gate + star closure over the materialized
-      // pairs; entities use the d20 semantics (every name labeled,
-      // singletons are their own entity)
-      val ((entities, maxCluster), ccSec) = timed {
+      // pairs, run under BOTH gates; entities use the d20 semantics
+      // (every name labeled, singletons are their own entity)
+      def closure(twoAttr: Boolean): (Long, Long) = {
         val pairs = spark.read.parquet(pairsPath)
         val a = cust.select(col("c_name").as("left_str"),
-          col("c_nationkey").as("_na"))
+          col("c_nationkey").as("_na"), col("c_mktsegment").as("_ma"))
         val b = cust.select(col("c_name").as("right_str"),
-          col("c_nationkey").as("_nb"))
+          col("c_nationkey").as("_nb"), col("c_mktsegment").as("_mb"))
+        val gate =
+          if (twoAttr) col("_na") === col("_nb") && col("_ma") === col("_mb")
+          else col("_na") === col("_nb")
         val edges = pairs
           .join(a, Seq("left_str")).join(b, Seq("right_str"))
-          .filter(col("_na") === col("_nb"))
+          .filter(gate)
           .select(col("left_str"), col("right_str"))
         val lab = Dedup.connectedComponentsStar(edges, "left_str", "right_str")
         val agg = lab.groupBy(col("component")).agg(count(lit(1)).as("m"))
@@ -101,6 +112,8 @@ object ErScale {
           else (agg.getLong(0), agg.getLong(1), agg.getLong(2))
         (linkedComponents + (names - linkedNames), mx)
       }
+      val ((entities1, maxCluster1), cc1Sec) = timed(closure(twoAttr = false))
+      val ((entities2, maxCluster2), cc2Sec) = timed(closure(twoAttr = true))
 
       val (snmCount, snmSec) = timed {
         val c = FuzzyJoin.multiPassSnmPairs(cust.select(col("c_name")), "c_name")
@@ -113,8 +126,11 @@ object ErScale {
       println(
         s"""{"metric":"er_scale","factor":$f,"names":$names,""" +
         s""""pairs":$pairCount,"pairs_sec":${"%.2f".format(pairsSec)},""" +
-        s""""cc_sec":${"%.2f".format(ccSec)},"snm_sec":${"%.2f".format(snmSec)},""" +
-        s""""entities":$entities,"max_cluster":$maxCluster,"snm_pairs":$snmCount}""")
+        s""""cc1_sec":${"%.2f".format(cc1Sec)},"entities_1attr":$entities1,""" +
+        s""""max_cluster_1attr":$maxCluster1,""" +
+        s""""cc2_sec":${"%.2f".format(cc2Sec)},"entities_2attr":$entities2,""" +
+        s""""max_cluster_2attr":$maxCluster2,""" +
+        s""""snm_sec":${"%.2f".format(snmSec)},"snm_pairs":$snmCount}""")
     }
     spark.stop()
   }

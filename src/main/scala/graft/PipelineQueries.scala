@@ -532,30 +532,33 @@ object PipelineQueries {
     }),
 
     // D20: entity clusters — the full record-linkage composition:
-    // d19's fuzzy candidate pairs gated on attribute agreement (same
-    // nation — blocking + agreement, the classic ER edge predicate),
-    // transitively closed through connected components, every record
-    // labeled with its entity (singletons are their own entity). The
-    // agreement gate is what keeps components subcritical at LOW key
-    // density: ungated, one-digit-substitution chains weld the whole
-    // keyspace into one giant component; gated, mean degree sits near
-    // 1 here (measured: max cluster 17 at sf0.01). On DENSE serial
-    // keyspaces a single agreement attribute is not enough — ErScale
-    // measured max clusters growing linearly (~2% of names) at
-    // 10×/100× the name count, so at that density the levers are more
-    // agreement attributes, maxKeyFreq hub caps, and minLen
-    // (SCALE.md round 14); the closure machinery itself stays
-    // sublinear in wall-clock across both decades.
+    // d19's fuzzy candidate pairs gated on MULTI-attribute agreement
+    // (same nation AND same market segment — blocking + agreement,
+    // the classic ER edge predicate), transitively closed through
+    // connected components, every record labeled with its entity
+    // (singletons are their own entity). The agreement gate is what
+    // keeps components subcritical: a SINGLE attribute was measured
+    // insufficient on dense serial keyspaces — ErScale round 14 saw
+    // nation-only max clusters grow linearly (~2% of names at
+    // 10×/100× name count) because one-digit-substitution chains weld
+    // inside a nation. The second independent attribute divides edge
+    // survival by its cardinality (5 segments ⇒ ~5× fewer surviving
+    // edges), pushing the linkage graph subcritical — re-measured by
+    // ErScale round 15 (SCALE.md), where the 2-attribute gate's max
+    // cluster stays O(log n)-flat across two decades while the
+    // closure machinery itself was already sublinear. Remaining
+    // levers for still-denser keyspaces: more agreement attributes,
+    // FuzzyJoin maxKeyFreq hub caps, minLen.
     "d20_entity_clusters" -> ((s, d) => {
       val cust = Tables.customer(s, d)
-        .select(col("c_name"), col("c_nationkey"))
+        .select(col("c_name"), col("c_nationkey"), col("c_mktsegment"))
       val a = cust.select(col("c_name").as("left_str"),
-        col("c_nationkey").as("_na"))
+        col("c_nationkey").as("_na"), col("c_mktsegment").as("_ma"))
       val b = cust.select(col("c_name").as("right_str"),
-        col("c_nationkey").as("_nb"))
+        col("c_nationkey").as("_nb"), col("c_mktsegment").as("_mb"))
       val edges = ed1Pairs(s, d)
         .join(a, Seq("left_str")).join(b, Seq("right_str"))
-        .filter(col("_na") === col("_nb"))
+        .filter(col("_na") === col("_nb") && col("_ma") === col("_mb"))
         .select(col("left_str"), col("right_str"))
       // star variant, not min-label: serial-key linkage graphs form
       // long thin CHAINS (one-digit steps), so component diameter
@@ -2640,9 +2643,11 @@ object PipelineQueries {
         |JOIN customer x ON p.left_name = x.c_name
         |JOIN customer y ON p.right_name = y.c_name""".stripMargin,
 
-    // d20: d19's deletion-key chain with the nation-agreement edge
-    // gate, closed transitively by d7's recursive-reachability idiom
-    // (min reachable name = entity label), singletons restored by the
+    // d20: d19's deletion-key chain with the 2-attribute agreement
+    // edge gate (nation AND mktsegment — the ErScale-measured default
+    // that stays subcritical on dense serial keyspaces), closed
+    // transitively by d7's recursive-reachability idiom (min
+    // reachable name = entity label), singletons restored by the
     // left join, sizes by a second aggregate over the mapping
     "d20_entity_clusters" ->
       """WITH RECURSIVE v AS (
@@ -2662,7 +2667,8 @@ object PipelineQueries {
         |  JOIN customer x ON c.left_name = x.c_name
         |  JOIN customer y ON c.right_name = y.c_name
         |  WHERE levenshtein(c.left_name, c.right_name) <= 1
-        |    AND x.c_nationkey = y.c_nationkey),
+        |    AND x.c_nationkey = y.c_nationkey
+        |    AND x.c_mktsegment = y.c_mktsegment),
         |edges AS (
         |  SELECT left_name AS src, right_name AS dst FROM p
         |  UNION

@@ -75,7 +75,7 @@ class StreamingFuzzyLinkSpec extends SparkTestBase {
     val dir = "/root/testdata/sf0.001"
     val store = tmp()
     val cust = graft.sources.Tables.customer(spark, dir)
-      .select(col("c_name"), col("c_nationkey"))
+      .select(col("c_name"), col("c_nationkey"), col("c_mktsegment"))
     val names = cust.select(col("c_name")).as[String].collect().toSeq.sorted
     val chunks = names.grouped(names.size / 3 + 1).toSeq
     val pairLog = chunks.zipWithIndex.map { case (c, i) =>
@@ -87,12 +87,12 @@ class StreamingFuzzyLinkSpec extends SparkTestBase {
     }.reduce(_ ++ _)
 
     val a = cust.select(col("c_name").as("left_str"),
-      col("c_nationkey").as("_na"))
+      col("c_nationkey").as("_na"), col("c_mktsegment").as("_ma"))
     val b = cust.select(col("c_name").as("right_str"),
-      col("c_nationkey").as("_nb"))
+      col("c_nationkey").as("_nb"), col("c_mktsegment").as("_mb"))
     val edges = pairLog.toSeq.toDF("left_str", "right_str")
       .join(a, Seq("left_str")).join(b, Seq("right_str"))
-      .filter(col("_na") === col("_nb"))
+      .filter(col("_na") === col("_nb") && col("_ma") === col("_mb"))
       .select(col("left_str"), col("right_str"))
     val lab = graft.functions.Dedup
       .connectedComponentsStar(edges, "left_str", "right_str")
