@@ -213,6 +213,32 @@ object PipelineQueries {
     s.read.parquet(path)
   }
 
+  /** Memoized SNM window-sweep pair table: every verified pair from
+   * each of the three rotated-key passes at the WIDEST swept window
+   * (w = 10), with its pass name and rank distance (`off`) — one SNM
+   * join per (pass, JVM, sf dir), from which every smaller window's
+   * pair set is an `off ≤ w` filter. Deterministic (integer ranks,
+   * exact verify), so the memo is value-identical to a fresh run. */
+  private val snmSweepMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val SnmSweepMaxWindow = 10
+  private def snmSweepPairs(s: SparkSession, d: String): DataFrame = {
+    val path = snmSweepMemo.computeIfAbsent(d, _ => {
+      import graft.functions.FuzzyJoin
+      val p = s"${sys.props("java.io.tmpdir")}/graft-snmsweep-${dirDigest(d)}"
+      val cust = Tables.customer(s, d).select(col("c_name"))
+      FuzzyJoin.defaultSnmPasses.map { case (nm, pass) =>
+        FuzzyJoin.sortedNeighborhoodPairsWithOffsetBy(cust, "c_name", pass,
+            window = SnmSweepMaxWindow, minLen = 4)
+          .select(lit(nm).as("pass"), col("left_str"), col("right_str"),
+            col("off"))
+      }.reduce(_ unionByName _)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      graft.functions.GlobalRank.releaseStaged()
+      p
+    })
+    s.read.parquet(path)
+  }
+
   // ---- shared oracle SQL fragments ---------------------------------------
 
   /** Tokens CTE fragment: whitespace-split, blanks dropped (mirrors
@@ -622,6 +648,41 @@ object PipelineQueries {
               .otherwise(round(col("n_found").cast("double") /
                 col("n_true").cast("double"), 6)).as("recall"))
       }.reduce(_ unionByName _)
+    }),
+
+    // D23: the SNM cost/recall FRONTIER — d22's lesson with its
+    // missing lever: production SNM tunes (passes × window), and two
+    // points (one pass w=3 vs three passes w=3) can't show where the
+    // recall buys out. Every (strategy ∈ {identity, reverse, rotate,
+    // union}) × (window ∈ {3, 5, 10}) cell against the FastSS-exact
+    // truth, all twelve from ONE memoized w=10 sweep table: a pair
+    // found at rank distance o is found by exactly the windows w ≥ o,
+    // so smaller windows are `off ≤ w` filters, not re-runs. Cost of
+    // the whole frontier = cost of the widest window.
+    "d23_snm_frontier" -> ((s, d) => {
+      val truth = ed1Pairs(s, d)
+      val all = snmSweepPairs(s, d)
+      val rows = for {
+        w <- Seq(3, 5, 10)
+        st <- Seq("identity", "reverse", "rotate", "union")
+      } yield {
+        val found =
+          (if (st == "union")
+            all.filter(col("off") <= w)
+              .select(col("left_str"), col("right_str")).distinct()
+          else
+            all.filter(col("pass") === st && col("off") <= w)
+              .select(col("left_str"), col("right_str")))
+            .withColumn("_hit", lit(1))
+        truth.join(found, Seq("left_str", "right_str"), "left")
+          .agg(count(lit(1)).as("n_true"), count(col("_hit")).as("n_found"))
+          .select(lit(st).as("strategy"), lit(w).as("w"),
+            col("n_true"), col("n_found"),
+            when(col("n_true") === 0, lit(0.0))
+              .otherwise(round(col("n_found").cast("double") /
+                col("n_true").cast("double"), 6)).as("recall"))
+      }
+      rows.reduce(_ unionByName _)
     }),
 
     // O15: cross-source overlap matrix from KMV sketches — the DIRECT
@@ -2768,6 +2829,65 @@ object PipelineQueries {
          |${recallRow("rotate", "frot")}
          |UNION ALL
          |${recallRow("union", "funion")}""".stripMargin
+    },
+
+    // d23: d22's truth + rank chains widened to w = 10 WITH the rank
+    // distance kept, so each smaller window is an off-filter — the
+    // same one-sweep-serves-all-windows shape as the engine. Twelve
+    // labeled rows: 4 strategies × 3 windows.
+    "d23_snm_frontier" -> {
+      def passCte(rid: String, pid: String, key: String) =
+        s"""$rid AS (SELECT s, row_number() OVER (ORDER BY $key, s) AS rk FROM v),
+           |$pid AS (
+           |  SELECT least(a.s, b.s) AS left_str,
+           |         greatest(a.s, b.s) AS right_str,
+           |         b.rk - a.rk AS off
+           |  FROM $rid a JOIN $rid b ON b.rk > a.rk AND b.rk <= a.rk + 10
+           |  WHERE levenshtein(a.s, b.s) <= 1)""".stripMargin
+      def cell(strategy: String, w: Int) = {
+        val found =
+          if (strategy == "union")
+            s"""(SELECT DISTINCT left_str, right_str FROM (
+               |    SELECT left_str, right_str FROM pid WHERE off <= $w
+               |    UNION ALL SELECT left_str, right_str FROM prev WHERE off <= $w
+               |    UNION ALL SELECT left_str, right_str FROM prot WHERE off <= $w))""".stripMargin
+          else {
+            val pid = strategy match {
+              case "identity" => "pid"; case "reverse" => "prev"; case "rotate" => "prot"
+            }
+            s"(SELECT left_str, right_str FROM $pid WHERE off <= $w)"
+          }
+        s"""SELECT '$strategy' AS strategy, $w AS w, count(*) AS n_true,
+           |  count(f.left_str) AS n_found,
+           |  CASE WHEN count(*) = 0 THEN 0.0
+           |       ELSE round(CAST(count(f.left_str) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           |  END AS recall
+           |FROM truth t LEFT JOIN $found f
+           |  ON t.left_str = f.left_str AND t.right_str = f.right_str""".stripMargin
+      }
+      val cells = for {
+        w <- Seq(3, 5, 10)
+        st <- Seq("identity", "reverse", "rotate", "union")
+      } yield cell(st, w)
+      s"""WITH v AS (
+         |  SELECT DISTINCT c_name AS s FROM customer
+         |  WHERE c_name IS NOT NULL AND len(c_name) >= 4),
+         |keys AS (
+         |  SELECT s, unnest(list_distinct(list_append(
+         |    [substr(s, 1, i - 1) || substr(s, i + 1, len(s))
+         |     for i in range(1, len(s) + 1)], s))) AS k
+         |  FROM v),
+         |cand AS (
+         |  SELECT DISTINCT a.s AS left_str, b.s AS right_str
+         |  FROM keys a JOIN keys b ON a.k = b.k AND a.s < b.s),
+         |truth AS (
+         |  SELECT left_str, right_str FROM cand
+         |  WHERE levenshtein(left_str, right_str) <= 1),
+         |${passCte("rid", "pid", "s")},
+         |${passCte("rrev", "prev", "reverse(s)")},
+         |${passCte("rrot", "prot",
+             "substr(s, len(s) // 2 + 1) || substr(s, 1, len(s) // 2)")}
+         |${cells.mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
     },
 
     // d18: d2's capped-exact truth chain + d3's minhash band-candidate

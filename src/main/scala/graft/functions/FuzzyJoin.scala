@@ -171,6 +171,21 @@ object FuzzyJoin {
    * string in the sort.
    */
   def sortedNeighborhoodPairsBy(strs: DataFrame, strCol: String,
+      sortKey: Column => Column, window: Int = 3, minLen: Int = 4): DataFrame =
+    sortedNeighborhoodPairsWithOffsetBy(strs, strCol, sortKey, window, minLen)
+      .drop("off")
+
+  /**
+   * [[sortedNeighborhoodPairsBy]] keeping each verified pair's RANK
+   * DISTANCE under this pass's sort order (`off` ∈ [1, window]) — the
+   * window-sweep primitive: a pair found at rank distance o is found
+   * by exactly the windows w ≥ o, so ONE w = maxWindow pass serves
+   * every smaller window as an `off ≤ w` filter. That turns the
+   * (passes × windows) cost/recall frontier (`d23_snm_frontier`) into
+   * passes-many SNM joins instead of passes × windows — the sweep
+   * costs what the widest window costs.
+   */
+  def sortedNeighborhoodPairsWithOffsetBy(strs: DataFrame, strCol: String,
       sortKey: Column => Column, window: Int = 3, minLen: Int = 4): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
@@ -179,13 +194,14 @@ object FuzzyJoin {
       .distinct()
     val ranked = GlobalRank.withGlobalRank(
       v, Seq(sortKey(col("s")), col("s")), "_r").select(col("s"), col("_r"))
-    val probes = ranked.select(col("s").as("_sa"),
+    val probes = ranked.select(col("s").as("_sa"), col("_r").as("_ra"),
       explode(sequence(col("_r") + 1, col("_r") + window)).as("_rr"))
     probes.join(ranked.select(col("s").as("_sb"), col("_r").as("_rr")),
         Seq("_rr"))
       .filter(ed1(col("_sa"), col("_sb")))
       .select(least(col("_sa"), col("_sb")).as("left_str"),
-        greatest(col("_sa"), col("_sb")).as("right_str"))
+        greatest(col("_sa"), col("_sb")).as("right_str"),
+        (col("_rr") - col("_ra")).cast("int").as("off"))
   }
 
   /** The half-rotation sort key: second half of the string ahead of

@@ -133,6 +133,30 @@ class FuzzyJoinSpec extends SparkTestBase {
     }
   }
 
+  test("offset sweep: one w=10 pass filtered to off<=w equals a direct w pass, per key") {
+    val rnd = new scala.util.Random(11)
+    val pool = (0 until 150).map { _ =>
+      (0 until (4 + rnd.nextInt(3))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }.toDF("s")
+    for ((nm, key) <- FuzzyJoin.defaultSnmPasses) {
+      val sweep = FuzzyJoin.sortedNeighborhoodPairsWithOffsetBy(
+        pool, "s", key, window = 10)
+      for (w <- Seq(1, 3, 5, 10)) {
+        val viaFilter = sweep.filter(col("off") <= w)
+          .select(col("left_str"), col("right_str"))
+          .as[(String, String)].collect().toSet
+        val direct = FuzzyJoin.sortedNeighborhoodPairsBy(pool, "s", key, window = w)
+          .as[(String, String)].collect().toSet
+        assert(viaFilter === direct, s"pass=$nm w=$w")
+      }
+    }
+    // off is the rank distance: bounded by the window, strictly positive
+    val offs = FuzzyJoin.sortedNeighborhoodPairsWithOffsetBy(
+      pool, "s", identity, window = 10)
+      .select(col("off")).as[Int].collect()
+    assert(offs.nonEmpty && offs.forall(o => o >= 1 && o <= 10))
+  }
+
   test("SNM recall is a subset of the FastSS truth (found ⊆ truth)") {
     val names = (1 to 60).map(i => f"Cust#$i%04d")
     val truth = pairsOf(names)
