@@ -239,6 +239,24 @@ object PipelineQueries {
     s.read.parquet(path)
   }
 
+  /** The r9 composition (hybrid RRF with both arms on standing
+   * indexes) — factored out because r10 reranks exactly this fused
+   * top-k: lexical arm from the bucketed BM25 tables, dense arm from
+   * the persisted IVF index, ⌊10⁶/(60+rank)⌋ RRF fusion. */
+  private def r9Fused(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val name = bm25IndexTables(s, d)
+    val lex = Retrieval.bm25TopKFromTables(s, name,
+      Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
+      k = 10, maxDfFrac = 1.0)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = Similarity.ivfTopKIndexed(s, ivfIndexPath(s, d),
+      Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0),
+      k = 10, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+  }
+
   // ---- shared oracle SQL fragments ---------------------------------------
 
   /** Tokens CTE fragment: whitespace-split, blanks dropped (mirrors
@@ -1064,18 +1082,25 @@ object PipelineQueries {
     // is the query a production RAG stack runs. Oracle: r1's integer
     // BM25 chain + n3's centroid-literal probe CTEs over the r-family
     // query set, fused with r2's exact contrib arithmetic.
-    "r9_hybrid_rrf_indexed" -> ((s, d) => {
+    "r9_hybrid_rrf_indexed" -> ((s, d) => r9Fused(s, d)),
+
+    // R10: cross-encoder rerank — the second retrieval stage over
+    // r9's fully-indexed hybrid top-k: a JOINT (query, document)
+    // scorer behind the CrossEncoderLoader seam (per-partition model
+    // load, batched pairs, close-on-task-end — the EmbeddingModel
+    // lifecycle) re-scores each candidate and renumbers on
+    // (ce_micro DESC, doc_id). The shipped scorer is the
+    // deterministic seeded-overlap stand-in (weights md5-derived from
+    // (seed, term) — all-integer, so the oracle replays the identical
+    // weights FROM THE TERM STRING in SQL, no literal freeze needed).
+    // Candidates with zero model score are kept and ranked: rerank
+    // reorders the first stage's nominations, never drops one.
+    "r10_rerank" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val name = bm25IndexTables(s, d)
-      val lex = Retrieval.bm25TopKFromTables(s, name,
-        Retrieval.selfQueries(docs, "doc_id", "text"), "query_id", "terms",
-        k = 10, maxDfFrac = 1.0)
-        .select(col("query_id"), col("doc_id"), col("rank"))
-      val dense = Similarity.ivfTopKIndexed(s, ivfIndexPath(s, d),
-        Tables.embeddings(s, d).filter(col("vec_id") % 97 === 0),
-        k = 10, nProbe = 4)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-      Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+      Retrieval.crossEncoderRerank(r9Fused(s, d),
+        Retrieval.selfQueries(docs, "doc_id", "text"),
+        docs, "doc_id", "text",
+        graft.functions.HashOverlapCrossLoader(seed = 7), k = 10)
     }),
 
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
@@ -3507,12 +3532,73 @@ object PipelineQueries {
          |      ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank
          |  FROM fused)
          |WHERE rank <= 10""".stripMargin
+    // r10: r9's fused chain (renamed CTEs) + the cross-encoder
+    // stand-in replayed from the TERM STRING itself — weight =
+    // (first 8 md5 hex chars of 'ce:7:'||term) % 2^20 + 1, tf
+    // saturated at 3, summed as exact BIGINTs; zero-overlap
+    // candidates kept via the left join, renumbered on
+    // (ce_micro DESC, doc_id)
+    val ceWeightSql = {
+      val hex = (1 to 8).map { kk =>
+        s"(strpos('0123456789abcdef', substr(md5('ce:7:' || q.term), $kk, 1)) - 1) * ${math.pow(16, 8 - kk).toLong}"
+      }.mkString("(", " + ", ")")
+      s"($hex % ${graft.functions.HashOverlapCrossEncoder.WeightMod} + 1)"
+    }
+    val r10Sql =
+      s"""WITH ${bm25CtesSql(idfVals)},
+         |${ivfCtesSql(centroids, nProbe = 4,
+             querySource = "(SELECT * FROM embeddings WHERE vec_id % 97 = 0)")},
+         |dense AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT p.query_id, a.neighbor_id AS doc_id,
+         |      CAST(row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${cosSql("a.embedding", "p.qv")} DESC, a.neighbor_id) AS INTEGER) AS rank
+         |    FROM assigned a JOIN probes p ON a.cell = p.cell
+         |    WHERE p.query_id <> a.neighbor_id)
+         |  WHERE rank <= 10),
+         |contrib AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000.0 / CAST(rank + 60 AS DOUBLE)) AS BIGINT) AS m
+         |  FROM lexr WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000.0 / CAST(rank + 60 AS DOUBLE)) AS BIGINT) AS m
+         |  FROM dense),
+         |fusedw AS (
+         |  SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS rrf_micro
+         |  FROM contrib GROUP BY 1, 2),
+         |fused10 AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_micro DESC, doc_id) AS rank
+         |    FROM fusedw)
+         |  WHERE rank <= 10),
+         |ceagg AS (
+         |  SELECT f.query_id, f.doc_id,
+         |    CAST(sum($ceWeightSql *
+         |      least(tf.tf, ${graft.functions.HashOverlapCrossEncoder.TfCap})) AS BIGINT) AS s
+         |  FROM fused10 f
+         |  JOIN q ON q.query_id = f.query_id
+         |  JOIN tf ON tf.doc_id = f.doc_id AND tf.term = q.term
+         |  GROUP BY 1, 2),
+         |ce AS (
+         |  SELECT f.query_id, f.doc_id, coalesce(a.s, 0::BIGINT) AS ce_micro
+         |  FROM fused10 f LEFT JOIN ceagg a
+         |    ON a.query_id = f.query_id AND a.doc_id = f.doc_id)
+         |SELECT query_id, doc_id, ce_micro, rank FROM (
+         |  SELECT query_id, doc_id, ce_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ce_micro DESC, doc_id) AS INTEGER) AS rank
+         |  FROM ce)
+         |WHERE rank <= 10""".stripMargin
     Map(
       "r1_bm25_topk" -> r1Sql,
       "r6_bm25_served" -> r1Sql,
       "r7_bm25_prf" -> r7Sql,
       "r8_bm25_prf_served" -> r7Sql,
       "r9_hybrid_rrf_indexed" -> r9Sql,
+      "r10_rerank" -> r10Sql,
 
       // r3: shingle chain (shared with d2) + capped jaccard verdicts +
       // the bm25 body over the same toks CTE; anti-join on the

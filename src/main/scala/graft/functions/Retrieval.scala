@@ -608,4 +608,65 @@ object Retrieval {
       .select(col(keyCol).as("query_id"),
         array_distinct(slice(TextAnalysis.tokens(col(textCol)), 1, nTerms))
           .as("terms"))
+
+  /**
+   * Cross-encoder rerank — the second retrieval stage: a first-stage
+   * candidate list (`fused`: (query_id, doc_id, …) — [[rrfFuse]],
+   * [[bm25TopK]] or any top-k shape) is re-scored by a JOINT
+   * (query, document) model behind the [[CrossEncoderLoader]] seam
+   * and renumbered 1..k on (ce_micro DESC, doc_id). Candidates the
+   * model scores 0 (no overlap, empty query) are KEPT and ranked —
+   * rerank reorders the first stage's nominations, it never invents
+   * or silently drops one.
+   *
+   * Scale shape: candidates are queries × k rows — tiny — so the
+   * (candidates × queries) join stays driver-free and the join
+   * against the corpus BROADCASTS the candidate side (one corpus
+   * scan, zero corpus shuffle; only candidate rows carry text into
+   * the scorer). The model loads once per partition, scores
+   * `maxBatch`-pair slices, and closes at task completion — the
+   * [[EmbeddingPipeline.embedMedia]] lifecycle. The final top-k is a
+   * WindowGroupLimit heap over queries × k rows.
+   */
+  def crossEncoderRerank(fused: DataFrame, queries: DataFrame,
+      docs: DataFrame, keyCol: String, textCol: String,
+      loader: CrossEncoderLoader, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = fused.sparkSession
+    import spark.implicits._
+    val cand = broadcast(
+      fused.select(col("query_id"), col("doc_id"))
+        .join(queries.select(col("query_id"), col("terms")), Seq("query_id")))
+    val scored = cand
+      .join(docs.select(col(keyCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks")), Seq("doc_id"))
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        col("terms"), col("_toks"))
+      .as[(Long, Long, Seq[String], Seq[String])]
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val model = loader.load()
+          require(model.maxBatch > 0,
+            s"model ${model.name} declares maxBatch=${model.maxBatch}; must be positive")
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => model.close()))
+          rows.grouped(model.maxBatch).flatMap { batch =>
+            val scores = model.scoreBatch(
+              batch.map(r => (r._3.toArray, r._4.toArray)).toArray)
+            batch.iterator.zip(scores.iterator).map { case ((q, d, _, _), s) =>
+              (q, d, s)
+            }
+          }
+        }
+      }
+      .toDF("query_id", "doc_id", "ce_micro")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ce_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("ce_micro"),
+        col("rank").cast("int").as("rank"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 
 /**
@@ -527,6 +528,25 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     val p = plan("x19_top_outages")
     assert(p.contains("WindowGroupLimit"), p.take(1000))
     assert(!p.contains("SinglePartition"), p.take(800))
+  }
+
+  test("cross-encoder rerank broadcasts the candidate side against the corpus (R10)") {
+    // the doc-text join must BROADCAST the queries x k candidate list:
+    // corpus rows never shuffle on doc_id to meet candidates, and only
+    // candidate rows carry text into the scorer
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val fused = graft.functions.Retrieval.rrfFuse(Seq(
+      graft.functions.Retrieval.bm25TopK(docs, "doc_id", "text",
+        graft.functions.Retrieval.selfQueries(docs, "doc_id", "text"),
+        "query_id", "terms", k = 10, maxDfFrac = 1.0)
+        .select(col("query_id"), col("doc_id"), col("rank"))), k = 10)
+    val df = graft.functions.Retrieval.crossEncoderRerank(fused,
+      graft.functions.Retrieval.selfQueries(docs, "doc_id", "text"),
+      docs, "doc_id", "text",
+      graft.functions.HashOverlapCrossLoader(seed = 7), k = 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), "rerank must never go all-pairs")
   }
 
   test("z-order key stays inside whole-stage codegen (O9)") {
