@@ -703,6 +703,25 @@ object PipelineQueries {
       rows.reduce(_ unionByName _)
     }),
 
+    // D24: leakage-safe train/heldout split — the eval-integrity
+    // composition over d7's clusters: a naive per-doc hash split
+    // leaks a training doc's near-duplicates into heldout with
+    // probability 1−trainPct per pair (train/test contamination by
+    // construction); splitting on the CLUSTER label makes crossing
+    // impossible — every member of a connected near-dup component
+    // inherits the component's split. One md5 per cluster label
+    // (md5Hash32 mod 100, the idiom every oracle constant uses), the
+    // existing member-label join, no new shuffle. The spec MEASURES
+    // the difference: naive split crosses real pairs, safe split
+    // crosses zero.
+    "d24_leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.5, maxShingleFreq = Some(ShingleFreqCap))
+      Dedup.leakageSafeSplit(docs, "doc_id", pairs, "doc_a", "doc_b",
+        trainPct = 90, seed = 7)
+    }),
+
     // O15: cross-source overlap matrix from KMV sketches — the DIRECT
     // θ-intersection (restrict both sketches to θ = min(θa, θb), count
     // surviving common hashes, divide) — accurate where o14's
@@ -2552,6 +2571,34 @@ object PipelineQueries {
          |  UNION
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+
+    // d24: d7's reachability chain + the md5-pct split on the cluster
+    // label — the same strpos hex-sum idiom as every md5-derived
+    // oracle constant, evaluated on the label STRING so both engines
+    // hash identical bytes
+    "d24_leakage_split" -> {
+      val h = "md5('split:7:' || CAST(cluster_id AS VARCHAR))"
+      val v = (1 to 8).map { k =>
+        s"(strpos('0123456789abcdef', substr($h, $k, 1)) - 1) * ${math.pow(16, 8 - k).toLong}"
+      }.mkString("(", " + ", ")")
+      s"""WITH RECURSIVE $shingleCte,
+         |${jaccardCappedSql(0.5, ShingleFreqCap)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jac
+         |  UNION
+         |  SELECT doc_b, doc_a FROM jac),
+         |reach AS (
+         |  SELECT DISTINCT src AS a, src AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |lab AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |m AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN $v % 100 < 90 THEN 'train' ELSE 'heldout' END AS split
+         |FROM m""".stripMargin
+    },
 
     // every rule term mirrored with identical int/int arithmetic;
     // literal-replace counts and list_filter fractions are exact in

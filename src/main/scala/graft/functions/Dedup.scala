@@ -655,6 +655,47 @@ object Dedup {
   }
 
   /**
+   * Leakage-safe train/heldout split — split by near-dup CLUSTER,
+   * not by document. A naive per-doc hash split leaks: a training
+   * document's near-duplicate lands in the heldout set with
+   * probability (1 − trainPct/100) per pair, and every such pair
+   * inflates held-out metrics exactly the way train/test
+   * contamination does (the eval-integrity half of the Lee et al.
+   * 2022 deduplication lesson). Splitting on the CLUSTER LABEL makes
+   * crossing impossible by construction: every member of a connected
+   * near-dup component inherits the component's split, singletons
+   * split on their own id.
+   *
+   * The decision is ONE md5 per cluster label —
+   * `pct = md5Hash32("split:<seed>:" ++ cluster) mod 100`,
+   * `train` iff pct < trainPct — deterministic, engine-portable
+   * (the [[md5Hash32]] idiom every oracle constant uses), and
+   * proportional in expectation over clusters.
+   *
+   * Scale shape: clustering is the [[connectedComponentsAuto]] path
+   * (same plan as the d7 cluster query — at pipeline scale the label
+   * table is the memoized artifact it already produces); the split
+   * adds one codegen'd md5 on the label and the existing
+   * member-label join — no new shuffle. Output:
+   * (doc_id, cluster_id, split).
+   */
+  def leakageSafeSplit(docs: DataFrame, keyCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      trainPct: Int = 90, seed: Long = 7L): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"trainPct must be in [1, 99], got $trainPct")
+    val clusters = connectedComponentsAuto(pairs, aCol, bCol)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    docs.select(col(keyCol).as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(md5Hash32(concat(lit(s"split:$seed:"),
+            col("cluster_id").cast("string"))) % 100 < trainPct, lit("train"))
+          .otherwise(lit("heldout")))
+  }
+
+  /**
    * Per-document n-gram novelty — the scalar complement of the span
    * detectors (d10/d12 find WHERE duplicated text is; this scores HOW
    * MUCH of each document is corpus-novel): the fraction of a doc's

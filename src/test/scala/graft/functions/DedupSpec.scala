@@ -410,6 +410,44 @@ class DedupSpec extends SparkTestBase {
     assert(lab3 == Set((1.5, 1.5), (2.5, 1.5), (3.5, 1.5), (8.0, 8.0), (9.0, 8.0)))
   }
 
+  test("leakage-safe split: cluster-coherent, zero crossing pairs; naive per-doc split leaks") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.3)
+    pairs.persist()
+    assert(pairs.count() > 0, "need real near-dup pairs for the leakage measurement")
+    val split = Dedup.leakageSafeSplit(docs, "doc_id", pairs, "doc_a", "doc_b",
+      trainPct = 90, seed = 7)
+    split.persist()
+    // every doc appears exactly once
+    assert(split.count() === docs.count())
+    // cluster-coherent: one split value per cluster
+    assert(split.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count() === 0)
+    // both sides populated at 90/10 on this corpus
+    val bySplit = split.groupBy(col("split")).count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet === Set("train", "heldout") && bySplit.forall(_._2 > 0))
+    // THE measurement: near-dup pairs crossing the boundary — zero by
+    // construction for the safe split, strictly positive for a naive
+    // per-doc hash split with the same proportions on the same corpus
+    def crossings(assign: org.apache.spark.sql.DataFrame): Long =
+      pairs.join(assign.select(col("doc_id").as("doc_a"), col("split").as("_sa")), Seq("doc_a"))
+        .join(assign.select(col("doc_id").as("doc_b"), col("split").as("_sb")), Seq("doc_b"))
+        .filter(col("_sa") =!= col("_sb")).count()
+    assert(crossings(split) === 0L, "safe split must never separate near-duplicates")
+    val naive = docs.select(col("doc_id"),
+      when(Dedup.md5Hash32(concat(lit("split:7:"), col("doc_id").cast("string"))) % 100 < 90,
+        lit("train")).otherwise(lit("heldout")).as("split"))
+    assert(crossings(naive) > 0L,
+      "per-doc hashing must leak on this corpus, or the measurement is vacuous")
+    // deterministic across partitionings
+    val again = Dedup.leakageSafeSplit(docs.repartition(7), "doc_id",
+        pairs, "doc_a", "doc_b", trainPct = 90, seed = 7)
+      .as[(Long, Long, String)].collect().toSet
+    assert(again === split.as[(Long, Long, String)].collect().toSet)
+    pairs.unpersist(); split.unpersist()
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val v1 = Array.tabulate(8)(i => (i + 1).toFloat)
     val v2 = v1.map(x => x * 1.001f) // near-identical direction
