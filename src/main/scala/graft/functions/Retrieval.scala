@@ -615,7 +615,11 @@ object Retrieval {
    * [[bm25TopK]] or any top-k shape) is re-scored by a JOINT
    * (query, document) model behind the [[CrossEncoderLoader]] seam
    * and renumbered 1..k on (ce_micro DESC, doc_id). Candidates the
-   * model scores 0 (no overlap, empty query) are KEPT and ranked —
+   * model scores 0 (no overlap, empty query) are KEPT and ranked,
+   * and so are candidates whose doc_id is ABSENT from `docs` (a
+   * first-stage arm can nominate an id the document table no longer
+   * carries — e.g. a dense index built before a corpus re-cut):
+   * those score 0, the oracle's `LEFT JOIN + coalesce(0)` semantics —
    * rerank reorders the first stage's nominations, it never invents
    * or silently drops one.
    *
@@ -661,10 +665,26 @@ object Retrieval {
         }
       }
       .toDF("query_id", "doc_id", "ce_micro")
+      // persisted because TWO branches read it (the kept scores and the
+      // missing-candidate recovery below) — without it the union would
+      // re-run the corpus scan + scorer once per branch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidates the corpus join dropped (nominated doc_id absent from
+    // `docs`): kept with score 0 — a preserved-side broadcast outer
+    // join doesn't exist in BroadcastHashJoin, so the left join the
+    // oracle writes is realized as inner join + tiny×tiny anti-join
+    // recovery (both sides are queries × k rows; the corpus still
+    // scans once and never shuffles)
+    val missing = cand
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"))
+      .join(scored.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("ce_micro", lit(0L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("ce_micro").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.unionByName(missing).withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("ce_micro"),
         col("rank").cast("int").as("rank"))

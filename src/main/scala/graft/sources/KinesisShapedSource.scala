@@ -96,6 +96,11 @@ object KinesisShapedSource {
    * terms: positions [from, until). */
   private[sources] def slice(name: String, shard: Int, from: Long,
       until: Long): Seq[Rec] = {
+    // the in-memory registry indexes with Int — past 2^31 records per
+    // shard `toInt` would silently wrap and misread; fail loud instead
+    require(from >= 0 && until <= Int.MaxValue,
+      s"shard offset range [$from, $until) exceeds the registry's Int " +
+        s"index space for stream $name shard $shard")
     val s = stream(name)
     s.synchronized(s.shards(shard).slice(from.toInt, until.toInt).toVector)
   }
@@ -184,6 +189,13 @@ private[sources] class KinesisShapedMicroBatchStream(streamName: String,
     val e = end.asInstanceOf[ShardOffsets].counts
     e.indices.flatMap { shard =>
       val from = if (shard < s.length) s(shard) else 0L
+      // an end offset BEHIND the committed start means the registry was
+      // reset (createStream) under a live checkpointed query — a state
+      // structured streaming does not tolerate; silently planning an
+      // empty batch would mask the misuse, so fail loud
+      require(e(shard) >= from,
+        s"stream $streamName shard $shard: end offset ${e(shard)} is behind " +
+          s"committed start $from — was the stream reset under a live checkpoint?")
       if (e(shard) > from)
         Some(KinesisShapedPartition(streamName, shard, from, e(shard)): InputPartition)
       else None

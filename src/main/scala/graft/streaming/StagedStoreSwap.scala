@@ -51,13 +51,27 @@ private[streaming] object StagedStoreSwap {
    * [[swapFromStaged]] touched the live path (live store intact, swap
    * never ran). Left alone it outlives every recovery window, and if
    * the store is later deleted ON PURPOSE (fresh pipeline, same
-   * paths) [[recover]] would resurrect the stale snapshot. Callers
-   * invoke this on every successful live-path read — the single-writer
-   * contract (compaction runs with the stream stopped or in its own
-   * foreachBatch slot) guarantees no in-flight compaction owns the
-   * stage at that moment. */
+   * paths) [[recover]] would resurrect the stale snapshot.
+   *
+   * Callers invoke this ONCE at stream start (`attach`, before the
+   * query runs) — a point where no compaction can be in flight BY
+   * CONSTRUCTION, not by the prose single-writer contract alone. An
+   * earlier design swept on every successful store read, which raced
+   * a concurrently running compaction: the read would delete the
+   * stage the compaction had just written and [[swapFromStaged]] then
+   * failed reading the deleted path mid-swap.
+   *
+   * Only a SUCCESSFUL live read proves the stage is an orphan: a live
+   * path that is missing (crashed swap — [[recover]]'s case) or
+   * unreadable (partial rewrite) must keep its stage, which is the
+   * only complete image of the store at that point. */
   def clearOrphanedStage(spark: SparkSession, path: String): Unit =
-    if (exists(spark, stagedPath(path))) delete(spark, stagedPath(path))
+    if (exists(spark, stagedPath(path))) {
+      val liveReads =
+        try { spark.read.parquet(path); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (liveReads) delete(spark, stagedPath(path))
+    }
 
   /** `path` failed to read as missing: if a staged snapshot survives
    * (a compaction crashed between its delete and rewrite of `path`),

@@ -107,14 +107,8 @@ object StreamingFuzzyLink {
   }
 
   private def readStore(spark: SparkSession, path: String): DataFrame =
-    try {
-      val df = spark.read.parquet(path)
-      // live path read fine ⇒ any surviving stage is an orphan from a
-      // compaction that crashed BEFORE its swap — drop it now or a
-      // later intentional store reset would resurrect it via recover()
-      StagedStoreSwap.clearOrphanedStage(spark, path)
-      df
-    } catch {
+    try spark.read.parquet(path)
+    catch {
       // ONLY the first-batch "store not created yet" case maps to an
       // empty standing store. Any OTHER read failure must propagate:
       // swallowing a transient FS error would serve an empty state,
@@ -173,7 +167,11 @@ object StreamingFuzzyLink {
    * [[PreHistoryBatchId]], which no live batch id ever collides with. */
   def attach(stream: DataFrame, strCol: String, storePath: String,
       outPath: String, checkpoint: String, minLen: Int = 4)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // orphan sweep ONCE, before the query runs — no compaction can be
+    // in flight here by construction, unlike the per-batch read where
+    // the sweep raced a concurrent compactStore's just-written stage
+    StagedStoreSwap.clearOrphanedStage(stream.sparkSession, storePath)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -187,4 +185,5 @@ object StreamingFuzzyLink {
         ()
       }
       .start()
+  }
 }

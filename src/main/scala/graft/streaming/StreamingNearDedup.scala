@@ -104,10 +104,6 @@ object StreamingNearDedup {
     try {
       // mergeSchema: tolerate stores written before the batch_id stamp
       val df = spark.read.option("mergeSchema", "true").parquet(path)
-      // live path read fine ⇒ any surviving stage is an orphan from a
-      // compaction that crashed BEFORE its swap — drop it now or a
-      // later intentional store reset would resurrect it via recover()
-      StagedStoreSwap.clearOrphanedStage(spark, path)
       if (df.columns.contains("batch_id")) df
       else df.withColumn("batch_id", lit(PreHistoryBatchId))
     } catch {
@@ -147,7 +143,11 @@ object StreamingNearDedup {
   /** Attach to a streaming DataFrame: kept rows land in `outPath`. */
   def attach(stream: DataFrame, keyCol: String, textCol: String, tsCol: String,
       storePath: String, outPath: String, checkpoint: String,
-      horizonSec: Long): org.apache.spark.sql.streaming.StreamingQuery =
+      horizonSec: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    // orphan sweep ONCE at stream start, not per batch read — the
+    // per-read sweep raced a concurrently running compactStore (see
+    // StagedStoreSwap.clearOrphanedStage)
+    StagedStoreSwap.clearOrphanedStage(stream.sparkSession, storePath)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -156,4 +156,5 @@ object StreamingNearDedup {
           .write.mode(SaveMode.Append).parquet(outPath)
       }
       .start()
+  }
 }

@@ -74,28 +74,31 @@ class CrossEncoderSpec extends SparkTestBase {
     assert(z === 0L)
   }
 
-  test("rerank keeps zero-overlap candidates, ranks on (ce_micro DESC, doc_id)") {
+  test("rerank keeps zero-overlap AND corpus-missing candidates, ranks on (ce_micro DESC, doc_id)") {
     val d = docs(6)
     val queries = Seq((100L, Seq("word1", "alpha"))).toDF("query_id", "terms")
     // candidate 5 has word5/tail5 — no overlap with the query beyond
-    // alpha; candidate 999 doesn't exist in docs and must NOT appear
-    val fused = cands(Seq(100L), Seq(1L, 2L, 5L))
+    // alpha; candidate 999 doesn't exist in docs and must be KEPT with
+    // ce_micro = 0 (the oracle's fused10 LEFT JOIN ceagg + coalesce(0))
+    val fused = cands(Seq(100L), Seq(1L, 2L, 5L, 999L))
     val got = Retrieval.crossEncoderRerank(fused, queries, d, "doc_id", "text",
         HashOverlapCrossLoader(seed = 7L), k = 10)
       .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
-    assert(got.map(_._2).toSet === Set(1L, 2L, 5L),
-      "rerank must keep every nominated candidate")
+    assert(got.map(_._2).toSet === Set(1L, 2L, 5L, 999L),
+      "rerank must keep every nominated candidate, corpus-missing included")
     // every doc contains alpha once; doc 1 additionally matches word1
-    // 4x (saturated to 3)
+    // 4x (saturated to 3); 999 has no text so it scores exactly 0
     val wAlpha = HashOverlapCrossEncoder.weightOf(7L, "alpha")
     val wWord1 = HashOverlapCrossEncoder.weightOf(7L, "word1")
     val byDoc = got.map(r => r._2 -> r._3).toMap
     assert(byDoc(1L) === wAlpha + 3 * wWord1)
     assert(byDoc(2L) === wAlpha)
     assert(byDoc(5L) === wAlpha)
-    // ties (docs 2 and 5) break on doc_id
+    assert(byDoc(999L) === 0L)
+    // ties (docs 2 and 5) break on doc_id; the missing doc ranks last
     val ranks = got.map(r => r._2 -> r._4).toMap
-    assert(ranks(1L) === 1 && ranks(2L) === 2 && ranks(5L) === 3)
+    assert(ranks(1L) === 1 && ranks(2L) === 2 && ranks(5L) === 3 &&
+      ranks(999L) === 4)
   }
 
   test("scorer loads once per non-empty partition, batches respect maxBatch, closes every load") {

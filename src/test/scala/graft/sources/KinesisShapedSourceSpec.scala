@@ -144,6 +144,29 @@ class KinesisShapedSourceSpec extends SparkTestBase {
     }
   }
 
+  test("harness misuse fails loud: offset past Int index space, end behind committed start") {
+    val nm = freshName()
+    KinesisShapedSource.createStream(nm, 1)
+    KinesisShapedSource.putRecords(nm, Seq(("k", bytes("a"))), arrivalUs = 0L)
+    // slice guards the registry's Int index space instead of wrapping
+    intercept[IllegalArgumentException] {
+      KinesisShapedSource.slice(nm, 0, 0L, Int.MaxValue.toLong + 1)
+    }
+    intercept[IllegalArgumentException] {
+      KinesisShapedSource.slice(nm, 0, -1L, 1L)
+    }
+    // a createStream reset under a live checkpoint makes latestOffset
+    // fall BEHIND the committed start — planInputPartitions must refuse
+    // rather than silently plan an empty batch
+    val mbs = new KinesisShapedMicroBatchStream(nm, "TRIM_HORIZON")
+    intercept[IllegalArgumentException] {
+      mbs.planInputPartitions(ShardOffsets(Array(5L)), ShardOffsets(Array(1L)))
+    }
+    // equal offsets stay a legitimate empty batch
+    assert(mbs.planInputPartitions(
+      ShardOffsets(Array(1L)), ShardOffsets(Array(1L))).isEmpty)
+  }
+
   test("IngestPipeline end-to-end through the DSv2 source (S1 wiring, full parse + sinks)") {
     implicit val s = spark
     val nm = freshName()

@@ -143,7 +143,7 @@ class StreamingFuzzyLinkSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store-staged")))
   }
 
-  test("a stage orphaned BEFORE the swap is cleared by the next successful store read") {
+  test("a stage orphaned BEFORE the swap is cleared by the start-time sweep, not by batch reads") {
     val store = tmp()
     run(store, Seq(batch1 -> 0L, batch2 -> 1L))
     // simulate the OTHER crash window: compaction wrote its staged
@@ -151,17 +151,43 @@ class StreamingFuzzyLinkSpec extends SparkTestBase {
     // path — store intact, stage orphaned
     spark.read.parquet(store)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store-staged")
-    // the next batch reads the live store fine; that read must consume
-    // the orphan
+    // a batch read must NOT consume the stage: the per-read sweep is
+    // what raced a concurrently running compaction (it deleted the
+    // stage compactStore had just written, and the swap then failed
+    // reading the deleted path)
     run(store, Seq(batch3 -> 2L))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store-staged")),
+      "batch reads must leave the stage alone — a compaction may own it")
+    // the START-TIME sweep (what attach() runs before the query) is
+    // where no compaction can be in flight; it consumes the orphan
+    StagedStoreSwap.clearOrphanedStage(spark, store)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store-staged")),
-      "an orphaned stage must not survive a successful live-path read")
+      "an orphaned stage must not survive the stream-start sweep")
     // and an intentional reset (delete the live store to start fresh)
     // now yields a genuinely FRESH store — not a resurrected snapshot
     val p = new org.apache.hadoop.fs.Path(store)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     val Seq(e) = run(store, Seq(Seq("abcf") -> 3L))
     assert(e === Set.empty, "reset store must not remember pre-reset keys")
+  }
+
+  test("start-time sweep keeps the stage when the live path is missing (recover's window)") {
+    val store = tmp()
+    run(store, Seq(batch1 -> 0L, batch2 -> 1L))
+    spark.read.parquet(store)
+      .select(col("k"), col("s")).distinct()
+      .withColumn("batch_id", lit(StreamingFuzzyLink.PreHistoryBatchId))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$store-staged")
+    val p = new org.apache.hadoop.fs.Path(store)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // live path missing + stage present = crashed swap, the stage is
+    // the ONLY complete image — the sweep must not touch it
+    StagedStoreSwap.clearOrphanedStage(spark, store)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$store-staged")),
+      "sweep must keep the stage when the live path cannot be read")
+    // ...so the next batch still recovers the standing keys through it
+    val Seq(e) = run(store, Seq(Seq("abcf") -> 2L))
+    assert(e === Set(("abcd", "abcf"), ("abce", "abcf")))
   }
 
   test("failed append does not leak cached pair blocks (retry hygiene)") {
