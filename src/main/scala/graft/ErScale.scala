@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
  *    negative) and the round-15 2-attribute default (nation AND
  *    mktsegment, the current d20 composition). The replicated copies
  *    carry the BASE customer's segment, so the second attribute is
- *    independent of the name digits — no correlation shortcut;
+ *    independent of the name digits — no correlation shortcut.
+ *    Since round 16 the gate attributes are CARRIED IN the pair memo
+ *    (editDistancePairsWithPayload), so the closure stage is gate
+ *    filter + CC only — the former pairs×names×2 attribute join,
+ *    which round 15 measured dominating the 100× closure, is paid
+ *    once at memo build inside pairs_sec;
  *  - snm: 3-pass sorted-neighborhood union (the d22 cheap generator).
  *
  * Prints one JSON line per factor:
@@ -77,29 +82,30 @@ object ErScale {
       // stage 1 — FastSS candidate join + verify, timed alone; the
       // verified pairs are WRITTEN so stage 2 times the gate+closure
       // only (not a second pair build — the stages must be disjoint
-      // for the published table to add up)
+      // for the published table to add up). The memo CARRIES both
+      // sides' gate attributes (the d20/ed1Pairs composition): they
+      // ride the deletion-key shuffle here, one-time, so the closure
+      // stage gates by FILTER instead of re-joining the pair table
+      // against the name table twice per run — the join that dominated
+      // the 100× closure in the round-15 measurement (SCALE.md).
       val pairsPath = s"$path-pairs"
       val (pairCount, pairsSec) = timed {
-        FuzzyJoin.editDistance1Pairs(cust.select(col("c_name")), "c_name")
+        FuzzyJoin.editDistancePairsWithPayload(cust, "c_name",
+            Seq("c_nationkey", "c_mktsegment"), maxDist = 1)
           .write.mode(SaveMode.Overwrite).parquet(pairsPath)
         spark.read.parquet(pairsPath).count()
       }
 
-      // stage 2 — agreement gate + star closure over the materialized
-      // pairs, run under BOTH gates; entities use the d20 semantics
-      // (every name labeled, singletons are their own entity)
+      // stage 2 — agreement gate (a filter on the memoized attributes)
+      // + star closure, run under BOTH gates; entities use the d20
+      // semantics (every name labeled, singletons their own entity)
       def closure(twoAttr: Boolean): (Long, Long) = {
         val pairs = spark.read.parquet(pairsPath)
-        val a = cust.select(col("c_name").as("left_str"),
-          col("c_nationkey").as("_na"), col("c_mktsegment").as("_ma"))
-        val b = cust.select(col("c_name").as("right_str"),
-          col("c_nationkey").as("_nb"), col("c_mktsegment").as("_mb"))
         val gate =
-          if (twoAttr) col("_na") === col("_nb") && col("_ma") === col("_mb")
-          else col("_na") === col("_nb")
-        val edges = pairs
-          .join(a, Seq("left_str")).join(b, Seq("right_str"))
-          .filter(gate)
+          if (twoAttr) col("l_c_nationkey") === col("r_c_nationkey") &&
+            col("l_c_mktsegment") === col("r_c_mktsegment")
+          else col("l_c_nationkey") === col("r_c_nationkey")
+        val edges = pairs.filter(gate)
           .select(col("left_str"), col("right_str"))
         val lab = Dedup.connectedComponentsStar(edges, "left_str", "right_str")
         val agg = lab.groupBy(col("component")).agg(count(lit(1)).as("m"))

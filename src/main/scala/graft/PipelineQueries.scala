@@ -186,14 +186,22 @@ object PipelineQueries {
     })
 
   /** Build-once memo for the verified edit-distance-1 customer-name
-   * pair set shared by d19/d20/d21 — all three build the IDENTICAL
-   * FastSS deletion-neighborhood join + thresholded-levenshtein
-   * verify over `c_name` (the r13 verdict's constant-factor note:
-   * the bench paid the candidate join three times per pass). One
-   * candidate join per (JVM, sf dir); later evaluations read the
-   * saved pair table. Deterministic (set-valued, no floats), so the
-   * memoized table is value-identical to a fresh computation and the
-   * oracles are unaffected. */
+   * pair set shared by d19/d20/d21/d22/d23 — all of them build the
+   * IDENTICAL FastSS deletion-neighborhood join + thresholded-
+   * levenshtein verify over `c_name` (the r13 verdict's
+   * constant-factor note: the bench paid the candidate join three
+   * times per pass). One candidate join per (JVM, sf dir); later
+   * evaluations read the saved pair table.
+   *
+   * The memo CARRIES both sides' agreement attributes
+   * (l_/r_c_nationkey, l_/r_c_mktsegment) — they ride the deletion-key
+   * shuffle at build time, so d19's same-nation signal and d20's
+   * 2-attribute gate are FILTERS on the memo instead of two pair×names
+   * joins re-paid per run (the stage ErScale measured dominating the
+   * 100× closure). `c_name` is unique per customer, satisfying the
+   * payload functional-dependency precondition. Deterministic
+   * (set-valued, no floats), so the memoized table is value-identical
+   * to a fresh computation and the oracles are unaffected. */
   private val ed1PairsMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ed1Pairs(s: SparkSession, d: String): DataFrame = {
     // plain parquet path, not saveAsTable: the pair set needs no
@@ -205,8 +213,10 @@ object PipelineQueries {
     val path = ed1PairsMemo.computeIfAbsent(d, _ => {
       import graft.functions.FuzzyJoin
       val p = s"${sys.props("java.io.tmpdir")}/graft-ed1pairs-${dirDigest(d)}"
-      FuzzyJoin.editDistance1Pairs(
-          Tables.customer(s, d).select(col("c_name")), "c_name", minLen = 4)
+      FuzzyJoin.editDistancePairsWithPayload(
+          Tables.customer(s, d)
+            .select(col("c_name"), col("c_nationkey"), col("c_mktsegment")),
+          "c_name", Seq("c_nationkey", "c_mktsegment"), maxDist = 1, minLen = 4)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
       p
     })
@@ -560,19 +570,14 @@ object PipelineQueries {
     // scores next). Integer/string ops only — nothing
     // environment-sensitive.
     "d19_fuzzy_join" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-        .select(col("c_name"), col("c_nationkey"))
-      val pairs = ed1Pairs(s, d)
-        .withColumnRenamed("left_str", "left_name")
-        .withColumnRenamed("right_str", "right_name")
-      val a = cust.select(col("c_name").as("left_name"),
-        col("c_nationkey").as("_na"))
-      val b = cust.select(col("c_name").as("right_name"),
-        col("c_nationkey").as("_nb"))
-      pairs.join(a, Seq("left_name")).join(b, Seq("right_name"))
-        .select(col("left_name"), col("right_name"),
-          when(col("_na") === col("_nb"), lit(1)).otherwise(lit(0))
-            .cast("int").as("same_nation"))
+      // the agreement attribute comes straight off the memoized pair
+      // table (carried through the FastSS join at build time) — no
+      // pair×names join at query time
+      ed1Pairs(s, d)
+        .select(col("left_str").as("left_name"),
+          col("right_str").as("right_name"),
+          when(col("l_c_nationkey") === col("r_c_nationkey"), lit(1))
+            .otherwise(lit(0)).cast("int").as("same_nation"))
     }),
 
     // D20: entity clusters — the full record-linkage composition:
@@ -594,15 +599,14 @@ object PipelineQueries {
     // levers for still-denser keyspaces: more agreement attributes,
     // FuzzyJoin maxKeyFreq hub caps, minLen.
     "d20_entity_clusters" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-        .select(col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-      val a = cust.select(col("c_name").as("left_str"),
-        col("c_nationkey").as("_na"), col("c_mktsegment").as("_ma"))
-      val b = cust.select(col("c_name").as("right_str"),
-        col("c_nationkey").as("_nb"), col("c_mktsegment").as("_mb"))
+      val cust = Tables.customer(s, d).select(col("c_name"))
+      // the 2-attribute gate is a FILTER on the memoized pair table
+      // (attributes carried through the FastSS join at memo build) —
+      // the former pairs×names×2 gate join was the measured dominator
+      // of the 100× ErScale closure
       val edges = ed1Pairs(s, d)
-        .join(a, Seq("left_str")).join(b, Seq("right_str"))
-        .filter(col("_na") === col("_nb") && col("_ma") === col("_mb"))
+        .filter(col("l_c_nationkey") === col("r_c_nationkey") &&
+          col("l_c_mktsegment") === col("r_c_mktsegment"))
         .select(col("left_str"), col("right_str"))
       // star variant, not min-label: serial-key linkage graphs form
       // long thin CHAINS (one-digit steps), so component diameter
@@ -628,7 +632,7 @@ object PipelineQueries {
     "d21_snm_recall" -> ((s, d) => {
       import graft.functions.FuzzyJoin
       val cust = Tables.customer(s, d).select(col("c_name"))
-      val truth = ed1Pairs(s, d)
+      val truth = ed1Pairs(s, d).select(col("left_str"), col("right_str"))
       val found = FuzzyJoin.sortedNeighborhoodPairs(cust, "c_name",
           window = 3, minLen = 4)
         .withColumn("_hit", lit(1))
@@ -651,7 +655,7 @@ object PipelineQueries {
     "d22_snm_multipass" -> ((s, d) => {
       import graft.functions.FuzzyJoin
       val cust = Tables.customer(s, d).select(col("c_name"))
-      val truth = ed1Pairs(s, d)
+      val truth = ed1Pairs(s, d).select(col("left_str"), col("right_str"))
       val perPass = FuzzyJoin.defaultSnmPasses.map { case (nm, p) =>
         nm -> FuzzyJoin.sortedNeighborhoodPairsBy(cust, "c_name", p,
           window = 3, minLen = 4)
@@ -678,7 +682,7 @@ object PipelineQueries {
     // so smaller windows are `off ≤ w` filters, not re-runs. Cost of
     // the whole frontier = cost of the widest window.
     "d23_snm_frontier" -> ((s, d) => {
-      val truth = ed1Pairs(s, d)
+      val truth = ed1Pairs(s, d).select(col("left_str"), col("right_str"))
       val all = snmSweepPairs(s, d)
       val rows = for {
         w <- Seq(3, 5, 10)

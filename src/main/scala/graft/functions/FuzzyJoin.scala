@@ -99,16 +99,40 @@ object FuzzyJoin {
    * noise) and consider `maxKeyFreq` on hub-prone keyspaces.
    */
   def editDistancePairs(strs: DataFrame, strCol: String, maxDist: Int,
+      minLen: Int = 4, maxKeyFreq: Option[Long] = None): DataFrame =
+    editDistancePairsWithPayload(strs, strCol, Nil, maxDist, minLen, maxKeyFreq)
+
+  /**
+   * [[editDistancePairs]] carrying per-string PAYLOAD columns through
+   * the candidate join: output rows are
+   * (left_str, right_str, l_&lt;p&gt;…, r_&lt;p&gt;…) with both sides'
+   * payload attached. This is the memo-building form for
+   * entity-resolution agreement gates — the attributes the gate needs
+   * ride the SAME deletion-key shuffle the candidates already pay
+   * (one narrow map-side widening), so downstream gating is a FILTER
+   * on the pair table instead of re-joining the (potentially 10⁷-row)
+   * pair memo against the full record table once per side per run —
+   * the re-join was measured to dominate the 100× ER closure
+   * (SCALE.md round 15: two 39.75M-pair × 1.5M-name joins per run).
+   *
+   * Precondition: payload columns are FUNCTIONALLY DETERMINED by the
+   * string value (true for key-like strings — one record per key). A
+   * string occurring with two payload tuples would survive the input
+   * dedup twice and emit duplicate pairs differing only in payload.
+   */
+  def editDistancePairsWithPayload(strs: DataFrame, strCol: String,
+      payload: Seq[String], maxDist: Int,
       minLen: Int = 4, maxKeyFreq: Option[Long] = None): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     require(minLen >= 1, s"minLen must be >= 1, got $minLen")
     maxKeyFreq.foreach(m => require(m >= 2, s"maxKeyFreq must be >= 2, got $m"))
     val keyFn: Column => Column =
       if (maxDist == 1) deletionKeys else deletionKeys2
-    val v = strs.select(col(strCol).cast("string").as("s"))
+    val v = strs.select(col(strCol).cast("string").as("s") +: payload.map(col): _*)
       .filter(col("s").isNotNull && length(col("s")) >= minLen)
       .distinct()
-    val keysAll = v.select(col("s"), explode(keyFn(col("s"))).as("k"))
+    val keysAll = v.select(
+      (col("s") +: payload.map(col)) :+ explode(keyFn(col("s"))).as("k"): _*)
     // hub-key cap (optional): drop keys shared by more than maxKeyFreq
     // strings BEFORE the self-join — same window-count shape as
     // Dedup's shingle-frequency cap, same documented recall tradeoff
@@ -117,9 +141,13 @@ object FuzzyJoin {
       keysAll.withColumn("_kf", count(lit(1)).over(w))
         .filter(col("_kf") <= m).drop("_kf")
     }
+    val outCols =
+      Seq(col("a.s").as("left_str"), col("b.s").as("right_str")) ++
+        payload.map(p => col(s"a.$p").as(s"l_$p")) ++
+        payload.map(p => col(s"b.$p").as(s"r_$p"))
     val cand = keys.as("a").join(keys.as("b"),
         col("a.k") === col("b.k") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("left_str"), col("b.s").as("right_str"))
+      .select(outCols: _*)
       .distinct()
     cand.filter(levenshtein(col("left_str"), col("right_str"), maxDist) >= 0)
   }

@@ -85,6 +85,35 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(got === bruteEdK(Seq("a", "b", "ab", "ba", "xyz"), k = 2, minLen = 1))
   }
 
+  test("payload variant: pair set identical to the plain form, both sides' attributes carried") {
+    val rows = Seq(
+      ("abcd", 1, "AUTO"), ("abce", 2, "BIKE"), ("abcf", 1, "AUTO"),
+      ("wxyz", 3, "SHIP"), ("abcd", 1, "AUTO")) // duplicate row collapses
+    val df = rows.toDF("s", "nat", "seg")
+    val got = FuzzyJoin.editDistancePairsWithPayload(
+        df, "s", Seq("nat", "seg"), maxDist = 1)
+      .as[(String, String, Int, String, Int, String)].collect().toSet
+    // (left, right) set matches the payload-less operator exactly
+    assert(got.map(r => (r._1, r._2)) === pairsOf(rows.map(_._1)))
+    // each side carries ITS OWN record's attributes
+    assert(got === Set(
+      ("abcd", "abce", 1, "AUTO", 2, "BIKE"),
+      ("abcd", "abcf", 1, "AUTO", 1, "AUTO"),
+      ("abce", "abcf", 2, "BIKE", 1, "AUTO")))
+    // column naming contract: l_<p>.. then r_<p>..
+    assert(FuzzyJoin.editDistancePairsWithPayload(df, "s", Seq("nat", "seg"),
+        maxDist = 1).columns.toSeq ===
+      Seq("left_str", "right_str", "l_nat", "l_seg", "r_nat", "r_seg"))
+    // gating on the carried attributes == gating through a names join
+    // (the d20 equivalence the memo redesign relies on)
+    val viaFilter = FuzzyJoin.editDistancePairsWithPayload(
+        df, "s", Seq("nat", "seg"), maxDist = 1)
+      .filter(col("l_nat") === col("r_nat") && col("l_seg") === col("r_seg"))
+      .select(col("left_str"), col("right_str"))
+      .as[(String, String)].collect().toSet
+    assert(viaFilter === Set(("abcd", "abcf")))
+  }
+
   test("duplicate input rows collapse; result invariant to partitioning") {
     val strs = Seq("abcd", "abcd", "abcd", "abce", "abce")
     for (parts <- Seq(1, 7)) {
