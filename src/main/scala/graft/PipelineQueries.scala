@@ -2670,9 +2670,11 @@ object PipelineQueries {
          |FROM k JOIN dg ON k.source = dg.source AND md5(k.text) = dg.d
          |GROUP BY 1""".stripMargin,
 
-    // d7's recursive-CTE clusters + singleton restore, then the salted
-    // md5 bucket of the CLUSTER id — identical hash arithmetic to
-    // Dedup.md5Hash32 so both engines agree exactly
+    // d7's recursive-CTE clusters + singleton restore, then the
+    // seed-salted md5 bucket of the CLUSTER id ('split:7:' — the ONE
+    // hash input both split faces share since the round-16
+    // consolidation) — identical hash arithmetic to Dedup.md5Hash32
+    // so both engines agree exactly
     "t20_leakage_safe_splits" ->
       s"""WITH RECURSIVE $shingleCte,
          |${jaccardCappedSql(0.5, ShingleFreqCap)},
@@ -2690,7 +2692,7 @@ object PipelineQueries {
          |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
          |bk AS (
          |  SELECT doc_id, cluster_id,
-         |    ${md5Hash32Sql("'split:' || CAST(cluster_id AS VARCHAR)")} % 100 AS b
+         |    ${md5Hash32Sql("'split:7:' || CAST(cluster_id AS VARCHAR)")} % 100 AS b
          |  FROM alldocs)
          |SELECT doc_id, cluster_id,
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validation'

@@ -678,21 +678,44 @@ object Dedup {
    * adds one codegen'd md5 on the label and the existing
    * member-label join — no new shuffle. Output:
    * (doc_id, cluster_id, split).
+   *
+   * The 2-way and the train/validation/test forms are the SAME
+   * assignment ([[clusterCoherentSplit]] — one hash input, one CC
+   * entry point) under different bucket boundaries: round 15 shipped
+   * two near-identical implementations with subtly different salts
+   * and CC variants, exactly the drift trap the consolidation closes.
    */
   def leakageSafeSplit(docs: DataFrame, keyCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       trainPct: Int = 90, seed: Long = 7L): DataFrame = {
     require(trainPct >= 1 && trainPct <= 99,
       s"trainPct must be in [1, 99], got $trainPct")
+    clusterCoherentSplit(docs, keyCol, "doc_id", pairs, aCol, bCol,
+      Seq("train" -> trainPct, "heldout" -> 100), seed)
+  }
+
+  /** The one split assignment both public faces share: CC labels from
+   * [[connectedComponentsAuto]], singletons restored as their own
+   * cluster, bucket = md5Hash32("split:&lt;seed&gt;:" ++ label) mod
+   * 100, buckets read as cumulative upper bounds ((name, bound)…,
+   * last bound = 100). */
+  private def clusterCoherentSplit(docs: DataFrame, keyCol: String,
+      outIdCol: String, pairs: DataFrame, aCol: String, bCol: String,
+      buckets: Seq[(String, Int)], seed: Long): DataFrame = {
+    require(buckets.nonEmpty && buckets.last._2 == 100 &&
+      buckets.map(_._2) == buckets.map(_._2).sorted,
+      s"buckets must be cumulative bounds ending at 100, got $buckets")
     val clusters = connectedComponentsAuto(pairs, aCol, bCol)
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-    docs.select(col(keyCol).as("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("split",
-        when(md5Hash32(concat(lit(s"split:$seed:"),
-            col("cluster_id").cast("string"))) % 100 < trainPct, lit("train"))
-          .otherwise(lit("heldout")))
+      .select(col("id").as(outIdCol), col("component").as("cluster_id"))
+    val bucket = md5Hash32(concat(lit(s"split:$seed:"),
+      col("cluster_id").cast("string"))) % 100
+    val split = buckets.init.foldRight(lit(buckets.last._1)) {
+      case ((name, bound), rest) => when(bucket < bound, lit(name)).otherwise(rest)
+    }
+    docs.select(col(keyCol).as(outIdCol))
+      .join(clusters, Seq(outIdCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(outIdCol)))
+      .withColumn("split", split)
   }
 
   /**
@@ -1198,10 +1221,16 @@ object Dedup {
    * per-document splits cannot prevent. Clusters come from
    * [[connectedComponents]] over the given near-dup `pairs`; documents
    * in no pair are their own singleton cluster. The split is a
-   * deterministic md5 bucket of the CLUSTER id (salted so it is
+   * deterministic md5 bucket of the CLUSTER id (seed-salted so it is
    * independent of the per-document sampling hashes used elsewhere):
    * bucket < trainPct → train, < trainPct+valPct → validation, else
    * test.
+   *
+   * This is [[leakageSafeSplit]]'s train/validation/test
+   * parameterization — ONE hash input (`split:&lt;seed&gt;:`), one CC
+   * entry point ([[connectedComponentsAuto]]; labels are identical to
+   * the min-label variant by construction, so the dispatch is
+   * unobservable), via the shared [[clusterCoherentSplit]] core.
    *
    * Scale shape: the only non-map stages are the near-dup pair space
    * (inverted-index bounded, inherited from the caller) and the CC
@@ -1213,18 +1242,12 @@ object Dedup {
    * Output: (docId, cluster_id, split).
    */
   def leakageSafeSplits(docs: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String, bCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+      aCol: String, bCol: String, trainPct: Int = 80, valPct: Int = 10,
+      seed: Long = 7L): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
-    val clusters = connectedComponents(pairs, aCol, bCol)
-      .select(col("id").as(idCol), col("component").as("cluster_id"))
-    val bucket = md5Hash32(concat(lit("split:"), col("cluster_id").cast("string"))) % 100
-    docs.select(col(idCol))
-      .join(clusters, Seq(idCol), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
-      .withColumn("split",
-        when(bucket < trainPct, "train")
-          .when(bucket < trainPct + valPct, "validation")
-          .otherwise("test"))
+    clusterCoherentSplit(docs, idCol, idCol, pairs, aCol, bCol,
+      Seq("train" -> trainPct, "validation" -> (trainPct + valPct),
+        "test" -> 100), seed)
   }
 }

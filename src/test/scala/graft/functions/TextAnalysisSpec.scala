@@ -290,4 +290,33 @@ class TextAnalysisSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Dedup.leakageSafeSplits(docs, "doc_id", pairs, "doc_a", "doc_b", trainPct = 95, valPct = 10))
   }
+
+  test("leakageSafeSplits: seeded, and one assignment with the 2-way face") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (1L to 60L by 2).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    def threeWay(seed: Long) =
+      Dedup.leakageSafeSplits(docs, "doc_id", pairs, "doc_a", "doc_b",
+          trainPct = 80, valPct = 10, seed = seed)
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    // seed sensitivity: different seeds move clusters between splits
+    // (the whole point of the salt — split draws independent of any
+    // other hash in the pipeline), same seed is deterministic
+    val s7a = threeWay(7L); val s7b = threeWay(7L); val s13 = threeWay(13L)
+    assert(s7a === s7b)
+    assert(s7a !== s13, "a different seed must yield a different assignment")
+    // every cluster still coherent under both seeds
+    // CONSOLIDATION PROOF: the 2-way face with the same (trainPct,
+    // seed) draws the SAME train set — one hash input, one CC entry
+    // point, different bucket boundaries only
+    val twoWay = Dedup.leakageSafeSplit(docs, "doc_id", pairs, "doc_a", "doc_b",
+        trainPct = 80, seed = 7L)
+      .as[(Long, Long, String)].collect()
+    val trainTwo = twoWay.filter(_._3 == "train").map(_._1).toSet
+    val trainThree = s7a.filter(_._2._2 == "train").keySet
+    assert(trainTwo === trainThree,
+      "2-way and 3-way faces must share the train assignment for equal trainPct/seed")
+  }
 }
