@@ -35,6 +35,18 @@ object Bench {
     try graft.sources.Tables.telemetry(spark, sfDir).filter(
       org.apache.spark.sql.functions.col("status") =!= "").count()
     catch { case _: Throwable => () }
+    // Fit-warm: materialize the fit-once shared artifacts (IVF/PQ
+    // indexes, BM25 tables, pair memos, …) BEFORE any query is timed.
+    // A standing cluster serves from standing indexes; without this
+    // the one-time fits land in whichever family query runs first and
+    // manufacture phantom per-query regressions (r14's m3, r15's e12).
+    // Deterministic artifacts — results are unaffected, only wall
+    // attribution. Failure must not abort the bench: the affected
+    // family queries will either rebuild or fail individually below.
+    try PipelineQueries.warmSharedArtifacts(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH WARMUP (non-fatal): ${e.getClass.getName}: ${e.getMessage}")
+    }
 
     // Noise sentinel: a fixed-cost, data-independent, CPU-bound probe
     // timed at window start and end. On this shared host, throughput

@@ -15,6 +15,29 @@ import org.apache.spark.sql.functions._
  */
 object PipelineQueries {
 
+  /** Materialize every fit-once shared artifact for `d` — the IVF /
+   * SQ8 / PQ / residual-PQ indexes and codebooks, centroids, BM25 idf
+   * + bucketed index tables, tf-idf idf literals, the FastSS pair
+   * memo, the SNM sweep memo, the reference BPE fit, and the
+   * bigram-LM term table. Bench calls this ONCE before its timed
+   * loop: a standing cluster serves from standing indexes, but a
+   * single-shot bench otherwise charges each one-time fit to
+   * whichever family query happens to run it first — the phantom
+   * ±1.9 s per-query movers rounds 14/15 spent verdict space
+   * disproving (e12 4.68 s driver vs 3.14 s sampled, m3 before it).
+   * Everything here is deterministic, so warming changes no result —
+   * only which wall-clock bucket the fit lands in. */
+  def warmSharedArtifacts(s: SparkSession, d: String): Unit = {
+    ivfCentroids(s, d)
+    ivfIndexPath(s, d); ivfSq8Path(s, d)
+    pqCodebooks(s, d); ivfPqPath(s, d)
+    rpqCodebooks(s, d); ivfRpqPath(s, d)
+    bm25IdfTable(s, d); tfidfIdfTable(s, d); bm25IndexTables(s, d)
+    ed1Pairs(s, d).count(); snmSweepPairs(s, d).count()
+    bpeReference(s, d); lmTermNanos(s, d)
+    ()
+  }
+
   /** Full md5 hex of an sf-dir path — the collision-proof key for
    * fit-once artifact paths and table names (a 32-bit String.hashCode
    * collision between two dirs in one JVM would silently serve
@@ -1124,6 +1147,39 @@ object PipelineQueries {
         Retrieval.selfQueries(docs, "doc_id", "text"),
         docs, "doc_id", "text",
         graft.functions.HashOverlapCrossLoader(seed = 7), k = 10)
+    }),
+
+    // R11: graded-relevance eval (nDCG@10) of the r9 indexed hybrid —
+    // r4's MRR scores only the one true doc; production retrieval
+    // tuning reads nDCG over graded judgments. Labels are DERIVED
+    // deterministically from the corpus: the self doc is relevance 3,
+    // a near-duplicate of the query doc (the d2 capped-jaccard chain)
+    // is 2, a same-source doc is 1, anything else 0. DCG/IDCG are
+    // exact integer sums over the frozen ⌊10⁶/log₂(r+1)⌋ per-rank
+    // discounts (Retrieval.NdcgDiscountMicro — the t19 ln discipline:
+    // no log evaluates at query time in either engine); the nDCG
+    // ratio is one IEEE division + round(6), the d21-recall idiom.
+    "r11_ndcg" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fused = r9Fused(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.5, maxShingleFreq = Some(ShingleFreqCap))
+      // membership probe in both orientations (pairs are a<b-normalized)
+      val nd = pairs.select(col("doc_a").as("query_id"), col("doc_b").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("query_id"), col("doc_a").as("doc_id")))
+        .withColumn("_nd", lit(1))
+      val labeled = fused
+        .join(nd, Seq("query_id", "doc_id"), "left")
+        .join(docs.select(col("doc_id").as("query_id"),
+          col("source").as("_qsrc")), Seq("query_id"))
+        .join(docs.select(col("doc_id"), col("source").as("_dsrc")),
+          Seq("doc_id"), "left")
+        .withColumn("rel",
+          when(col("doc_id") === col("query_id"), lit(3))
+            .when(col("_nd").isNotNull, lit(2))
+            .when(col("_qsrc") === col("_dsrc"), lit(1))
+            .otherwise(lit(0)))
+      Retrieval.ndcgAtK(labeled, k = 10)
     }),
 
     // PII scrub: count + redact emails/phones/IPv4s. The corpus is
@@ -3645,6 +3701,76 @@ object PipelineQueries {
          |      ORDER BY ce_micro DESC, doc_id) AS INTEGER) AS rank
          |  FROM ce)
          |WHERE rank <= 10""".stripMargin
+    // r11: the r9 fused chain (rank kept) + graded labels — self doc
+    // gain 7 (= 2³−1), near-dup (the shared d2 capped-jaccard `jac`
+    // CTE) gain 3, same source gain 1 — then exact-integer DCG/IDCG
+    // over the FROZEN ⌊10⁶/log₂(r+1)⌋ discount literals (shipped from
+    // Retrieval.NdcgDiscountMicro so no log evaluates in either
+    // engine) and one IEEE division + round(6) for the ratio
+    val discSql = (e: String) =>
+      s"(CASE $e ${Retrieval.NdcgDiscountMicro.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")} ELSE 0 END)"
+    val r11Sql =
+      s"""WITH $shingleCte,
+         |${jaccardCappedSql(0.5, ShingleFreqCap)},
+         |${bm25BodySql(idfVals, "")},
+         |${ivfCtesSql(centroids, nProbe = 4,
+             querySource = "(SELECT * FROM embeddings WHERE vec_id % 97 = 0)")},
+         |dense AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT p.query_id, a.neighbor_id AS doc_id,
+         |      CAST(row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY ${cosSql("a.embedding", "p.qv")} DESC, a.neighbor_id) AS INTEGER) AS rank
+         |    FROM assigned a JOIN probes p ON a.cell = p.cell
+         |    WHERE p.query_id <> a.neighbor_id)
+         |  WHERE rank <= 10),
+         |contrib AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000.0 / CAST(rank + 60 AS DOUBLE)) AS BIGINT) AS m
+         |  FROM lexr WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |    CAST(floor(1000000.0 / CAST(rank + 60 AS DOUBLE)) AS BIGINT) AS m
+         |  FROM dense),
+         |fusedw AS (
+         |  SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS rrf_micro
+         |  FROM contrib GROUP BY 1, 2),
+         |fused10 AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank
+         |    FROM fusedw)
+         |  WHERE rank <= 10),
+         |nd AS (
+         |  SELECT doc_a AS query_id, doc_b AS doc_id FROM jac
+         |  UNION
+         |  SELECT doc_b, doc_a FROM jac),
+         |lab AS (
+         |  SELECT f.query_id, f.doc_id, f.rank,
+         |    CASE WHEN f.doc_id = f.query_id THEN 7
+         |         WHEN nd.query_id IS NOT NULL THEN 3
+         |         WHEN qs.source = ds.source THEN 1
+         |         ELSE 0 END AS gain
+         |  FROM fused10 f
+         |  LEFT JOIN nd ON nd.query_id = f.query_id AND nd.doc_id = f.doc_id
+         |  JOIN documents qs ON qs.doc_id = f.query_id
+         |  LEFT JOIN documents ds ON ds.doc_id = f.doc_id),
+         |ip AS (
+         |  SELECT query_id, doc_id, rank, gain,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY gain DESC, doc_id) AS INTEGER) AS ipos
+         |  FROM lab),
+         |agg AS (
+         |  SELECT query_id,
+         |    CAST(sum(CAST(gain AS BIGINT) * ${discSql("rank")}) AS BIGINT) AS dcg_micro,
+         |    CAST(sum(CAST(gain AS BIGINT) * ${discSql("ipos")}) AS BIGINT) AS idcg_micro
+         |  FROM ip GROUP BY 1)
+         |SELECT query_id, dcg_micro, idcg_micro,
+         |  CASE WHEN idcg_micro = 0 THEN 0.0
+         |       ELSE round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6)
+         |  END AS ndcg
+         |FROM agg""".stripMargin
     Map(
       "r1_bm25_topk" -> r1Sql,
       "r6_bm25_served" -> r1Sql,
@@ -3652,6 +3778,7 @@ object PipelineQueries {
       "r8_bm25_prf_served" -> r7Sql,
       "r9_hybrid_rrf_indexed" -> r9Sql,
       "r10_rerank" -> r10Sql,
+      "r11_ndcg" -> r11Sql,
 
       // r3: shingle chain (shared with d2) + capped jaccard verdicts +
       // the bm25 body over the same toks CTE; anti-join on the

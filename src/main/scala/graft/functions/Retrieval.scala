@@ -609,6 +609,60 @@ object Retrieval {
         array_distinct(slice(TextAnalysis.tokens(col(textCol)), 1, nTerms))
           .as("terms"))
 
+  /** Per-rank nDCG discounts ⌊10⁶ / log₂(rank+1)⌋ FROZEN as integer
+   * literals (ranks 1..10) — the t19/lmTermNanos discipline: log₂ is
+   * the one environment-sensitive operation in the metric, so it is
+   * evaluated once here and never at query time, making every
+   * DCG term an exact integer product any engine reproduces. */
+  val NdcgDiscountMicro: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /**
+   * Graded-relevance retrieval eval — nDCG@k over a labeled ranking:
+   * input rows (query_id, doc_id, rank ∈ [1, k], rel ≥ 0), one output
+   * row per query with
+   *   dcg_micro  = Σ gain(rel) · D(rank),
+   *   idcg_micro = Σ gain(rel) · D(ideal position)   (gains re-sorted
+   *                descending within the query, ties on doc_id),
+   *   ndcg       = round(dcg/idcg, 6)  (0 when idcg = 0),
+   * with gain(rel) = 2^rel − 1 and D the frozen
+   * [[NdcgDiscountMicro]] literals — DCG/IDCG are exact integers, the
+   * single double division + round is the d21-recall idiom. The ideal
+   * ordering is over the RETRIEVED set (a ranking-quality metric for
+   * the k nominations; corpus-wide ideal would need the full label
+   * space). MRR (r4) scores the one true doc; this is what production
+   * retrieval tuning reads over graded judgments.
+   *
+   * Scale shape: input is queries × k rows — the eval never touches
+   * the corpus; one window + one aggregation, both keyed on query_id.
+   */
+  def ndcgAtK(labeled: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgDiscountMicro.length,
+      s"k must be in [1, ${NdcgDiscountMicro.length}], got $k")
+    val disc = typedLit(NdcgDiscountMicro)
+    // the Column API's shiftleft only takes a literal shift — the SQL
+    // form accepts a column one
+    val gain = expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT)) - 1 AS BIGINT)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_gain").desc, col("doc_id"))
+    val g = labeled
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("rank").cast("int").as("rank"), gain.as("_gain"))
+      .withColumn("_ipos", row_number().over(w))
+    val agg = g.groupBy(col("query_id")).agg(
+      sum(col("_gain") * element_at(disc, col("rank"))).cast("long")
+        .as("dcg_micro"),
+      sum(col("_gain") * element_at(disc, col("_ipos"))).cast("long")
+        .as("idcg_micro"))
+    agg.select(col("query_id"), col("dcg_micro"), col("idcg_micro"),
+      when(col("idcg_micro") === 0, lit(0.0))
+        .otherwise(round(col("dcg_micro").cast("double") /
+          col("idcg_micro").cast("double"), 6)).as("ndcg"))
+  }
+
   /**
    * Cross-encoder rerank — the second retrieval stage: a first-stage
    * candidate list (`fused`: (query_id, doc_id, …) — [[rrfFuse]],

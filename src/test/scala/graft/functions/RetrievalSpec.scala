@@ -407,4 +407,34 @@ class RetrievalSpec extends SparkTestBase {
     assert(out == Map(1L -> want1.toLong, 2L -> want2.toLong))
     spark.catalog.clearCache()
   }
+
+  test("ndcgAtK: hand-computed DCG/IDCG, perfect ordering, all-zero labels, rank>k dropped") {
+    val D = Retrieval.NdcgDiscountMicro
+    // q1: gains out of ideal order — (rank, rel): (1,0), (2,3), (3,1)
+    // q2: already ideal — ndcg must be exactly 1.0
+    // q3: nothing relevant — idcg 0 → ndcg 0.0 by definition
+    // q4: has a rank-11 row that k=10 must drop
+    val labeled = Seq(
+      (1L, 101L, 1, 0), (1L, 102L, 2, 3), (1L, 103L, 3, 1),
+      (2L, 201L, 1, 2), (2L, 202L, 2, 1),
+      (3L, 301L, 1, 0), (3L, 302L, 2, 0),
+      (4L, 401L, 1, 1), (4L, 402L, 11, 3))
+      .toDF("query_id", "doc_id", "rank", "rel")
+    val got = Retrieval.ndcgAtK(labeled, k = 10)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // gains: rel 3 → 7, 1 → 1; D is 1-indexed in rank
+    val dcg1 = 0L * D(0) + 7L * D(1) + 1L * D(2)
+    val idcg1 = 7L * D(0) + 1L * D(1) + 0L * D(2)
+    assert(got(1L) === ((dcg1, idcg1,
+      BigDecimal(dcg1.toDouble / idcg1.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(2L)._1 === got(2L)._2 && got(2L)._3 === 1.0,
+      "ideal ordering must score exactly 1.0")
+    assert(got(3L) === ((0L, 0L, 0.0)), "no relevant docs → ndcg defined 0")
+    assert(got(4L) === ((1L * D(0), 1L * D(0), 1.0)),
+      "ranks past k must not contribute")
+    // k out of the frozen-literal range fails loud
+    intercept[IllegalArgumentException](Retrieval.ndcgAtK(labeled, k = 11))
+  }
 }
