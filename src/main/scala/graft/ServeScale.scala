@@ -117,10 +117,19 @@ object ServeScale {
       val (_, fitIvf) = timed(
         Similarity.buildIvfIndex(emb, ivfPath))
 
-      // serves: the fixed batch against the grown standing indexes
+      // serves: the fixed batch against the grown standing indexes.
+      // r6 is measured BOTH unguarded (maxDfFrac = 1.0 — the r-family
+      // oracle contract, worst case: a fully-duplicated corpus makes
+      // every common term's posting list grow F×) and with the
+      // production stop guard (maxDfFrac = 0.5 — terms in > half the
+      // corpus are dropped, the lever that bounds matched postings at
+      // scale)
       val (r6Rows, r6Sec) = serveMin(
         Retrieval.bm25TopKFromTables(spark, ixName, queries, "query_id",
           "terms", k = 10, maxDfFrac = 1.0).count())
+      val (r6gRows, r6gSec) = serveMin(
+        Retrieval.bm25TopKFromTables(spark, ixName, queries, "query_id",
+          "terms", k = 10, maxDfFrac = 0.5).count())
       val (n3Rows, n3Sec) = serveMin(
         Similarity.ivfTopKIndexed(spark, ivfPath, qEmb, k = 10, nProbe = 4)
           .count())
@@ -140,9 +149,11 @@ object ServeScale {
         s""""fit_bm25_sec":${"%.2f".format(fitBm25)},""" +
         s""""fit_ivf_sec":${"%.2f".format(fitIvf)},""" +
         s""""serve_r6_sec":${"%.2f".format(r6Sec)},""" +
+        s""""serve_r6g_sec":${"%.2f".format(r6gSec)},""" +
         s""""serve_n3_sec":${"%.2f".format(n3Sec)},""" +
         s""""serve_r9_sec":${"%.2f".format(r9Sec)},""" +
-        s""""r6_rows":$r6Rows,"n3_rows":$n3Rows,"r9_rows":$r9Rows}""")
+        s""""r6_rows":$r6Rows,"r6g_rows":$r6gRows,""" +
+        s""""n3_rows":$n3Rows,"r9_rows":$r9Rows}""")
 
       // drop the per-factor index tables so the next factor (and later
       // JVMs over this warehouse) start clean
