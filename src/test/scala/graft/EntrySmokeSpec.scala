@@ -33,7 +33,7 @@ class EntrySmokeSpec extends SparkTestBase {
       "r1_bm25_topk", "r2_hybrid_rrf", "r3_hard_negatives",
       "r4_self_retrieval_rr", "r5_bm25_filtered", "r6_bm25_served",
       "r7_bm25_prf", "r8_bm25_prf_served", "r9_hybrid_rrf_indexed",
-      "r10_rerank", "d17_semantic_decon"),
+      "r10_rerank", "r11_ndcg", "d17_semantic_decon"),
       s"unexpected rows-only queries: $rowsOnly")
     // and the dynamic set must cover exactly those — no query without
     // SOME oracle
