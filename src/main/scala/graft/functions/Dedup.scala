@@ -1032,6 +1032,16 @@ object Dedup {
     }
     lt.map { less =>
       val spark = pairs.sparkSession
+      // deliberate drop to the RDD API: per-partition union-find has
+      // no Catalyst form, and `.rdd` here pays one row
+      // deserialization over the edge set. A typed
+      // `Dataset[(K, K)].mapPartitions` would keep the exchange
+      // unsafe-row-backed, but needs an Encoder per supported key
+      // type where this one generic path handles them all via the
+      // `lt` dispatch above — revisit only if the deserialization
+      // ever shows up next to the union-find itself in profiles
+      // (measured: the pass still wins its round-dominated regime
+      // by 21-46%, SCALE.md round 15).
       val rdd = pairs.select(col(aCol), col(bCol)).rdd.mapPartitions { it =>
         val parent = new java.util.HashMap[Any, Any]()
         def find(x: Any): Any = {
