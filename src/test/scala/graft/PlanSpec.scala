@@ -549,6 +549,14 @@ class PlanSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(!p.contains("CartesianProduct"), "rerank must never go all-pairs")
   }
 
+  test("nDCG eval aggregates queries x k rows only — no cartesian, no single-partition window (R11)") {
+    val df = SparkEntry.queries("r11_ndcg")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "label joins must stay equi-joins")
+    assert(!p.contains("SinglePartition"),
+      "the ideal-position window partitions by query_id, never globally")
+  }
+
   test("z-order key stays inside whole-stage codegen (O9)") {
     val p = plan("o9_zorder_key")
     // the key computation must sit under a WholeStageCodegen span (the
