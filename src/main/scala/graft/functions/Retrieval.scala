@@ -738,9 +738,14 @@ object Retrieval {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("ce_micro").desc, col("doc_id"))
-    scored.unionByName(missing).withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("ce_micro"),
-        col("rank").cast("int").as("rank"))
+    // the family's stage-ownership discipline: the returned top-k is
+    // persisted+materialized and the intermediate scored stage is
+    // released before returning — repeated actions on the result
+    // never re-run the corpus scan or the scorer
+    ownStages(scored)(
+      scored.unionByName(missing).withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("doc_id"), col("ce_micro"),
+          col("rank").cast("int").as("rank")))
   }
 }
