@@ -38,6 +38,32 @@ object PipelineQueries {
     ()
   }
 
+  /** Persist + MATERIALIZE a query-local stage that several downstream
+   * subtrees reference. AQE materializes independent exchange subtrees
+   * concurrently; a persisted-but-uncomputed cache block has no
+   * cross-task compute lock, so every referencing subtree recomputes
+   * the stage's full lineage (profiled: 8 corpus scan+shingle passes
+   * inside one d7 action). Eager materialization makes every later
+   * reference a cache read. Released by the per-query clearCache
+   * (Bench/Verify), the same lifecycle as m3's persisted stages. */
+  private def eager(df: DataFrame): DataFrame = {
+    val s = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    s.count()
+    s
+  }
+
+  /** Fan a computation-heavy map chain out to the session's cores when
+   * the source scan produced FEWER partitions (the local single-file
+   * regime: one parquet file = one input split = one task for the
+   * whole chain, so a 32-core session runs it serially). At warehouse
+   * scale the input splits provide this parallelism for free and the
+   * condition is false — no shuffle is added. The m3 fan-out pattern,
+   * gated so it costs nothing where it isn't needed. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Full md5 hex of an sf-dir path — the collision-proof key for
    * fit-once artifact paths and table names (a 32-bit String.hashCode
    * collision between two dirs in one JVM would silently serve
@@ -1261,6 +1287,10 @@ object PipelineQueries {
     "e10_probe_sweep" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 20)
+      // the exact truth feeds four probe branches, but the four bf
+      // subtrees are canonically identical — AQE's stage cache runs
+      // the brute-force pass once and shares it (materializing it
+      // measured strictly slower)
       val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
         .select(col("query_id"), col("neighbor_id"))
       Seq(1, 2, 4, 8).map { p =>
@@ -1556,7 +1586,10 @@ object PipelineQueries {
     // quality gate → exact dedup. Docs are rebuilt as boilerplate-laden
     // pages with a CONSTANT pii suffix so clone docs still cluster.
     "t12_clean_corpus" -> ((s, d) => {
-      val aug = Tables.documents(s, d).select(col("doc_id"),
+      // fanOut: the nfc→line-dedup→PII chain is map-only, so on a
+      // single-split local scan it ran in ONE task (profiled: 4 tasks
+      // total, wall == serial chain time); no-op at scale
+      val aug = fanOut(Tables.documents(s, d)).select(col("doc_id"),
         concat(lit("NAV\n"), col("text"),
           lit(" contact admin@example.com or 555-000-1234\nNAV\n"),
           col("text")).as("_page"))
@@ -1776,11 +1809,16 @@ object PipelineQueries {
       val assigned = Similarity.boundCells(
         Similarity.assignCells(Tables.embeddings(s, d), ivfCentroids(s, d)),
         MaxCellPairSide)
-      val l = assigned.select(col("subcell"), col("vec_id").as("_ida"), col("embedding").as("_va"))
-      val r = assigned.select(col("subcell"), col("vec_id").as("_idb"), col("embedding").as("_vb"))
+      // norms staged per ROW before the pair join (cosineWithNorms —
+      // bit-identical, 1 FloatVecDot per pair instead of 3)
+      val l = assigned.select(col("subcell"), col("vec_id").as("_ida"),
+        col("embedding").as("_va"), Similarity.norm(col("embedding")).as("_na"))
+      val r = assigned.select(col("subcell"), col("vec_id").as("_idb"),
+        col("embedding").as("_vb"), Similarity.norm(col("embedding")).as("_nb"))
       val dropped = l.join(r, Seq("subcell"))
         .filter(col("_ida") < col("_idb") &&
-          round(Similarity.cosine(col("_va"), col("_vb")), 6) >= 0.35)
+          round(Similarity.cosineWithNorms(
+            col("_va"), col("_vb"), col("_na"), col("_nb")), 6) >= 0.35)
         .select(col("_idb").as("vec_id")).distinct()
       assigned.join(dropped.withColumn("_hit", lit(1)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"), col("_hit").isNotNull.as("dropped"))
@@ -1841,14 +1879,21 @@ object PipelineQueries {
           TextAnalysis.linearQualityScore(docs, "doc_id", "text"), "logit")
         .filter(col("canonical")).select(col("doc_id").as("vec_id"))
       val kept = Tables.embeddings(s, d).join(canon, Seq("vec_id"), "left_semi")
+      // both pair-join sides are canonically identical subtrees — AQE's
+      // stage cache shares one exchange; materializing only adds cost
       val assigned = Similarity.boundCells(
         Similarity.assignCells(kept, ivfCentroids(s, d)), MaxCellPairSide)
-      val l = assigned.select(col("subcell"), col("vec_id").as("src"), col("embedding").as("_va"))
-      val r = assigned.select(col("subcell"), col("vec_id").as("dst"), col("embedding").as("_vb"))
+      // norms staged per ROW before the pair join (cosineWithNorms —
+      // bit-identical, 1 FloatVecDot per pair instead of 3)
+      val l = assigned.select(col("subcell"), col("vec_id").as("src"),
+        col("embedding").as("_va"), Similarity.norm(col("embedding")).as("_na"))
+      val r = assigned.select(col("subcell"), col("vec_id").as("dst"),
+        col("embedding").as("_vb"), Similarity.norm(col("embedding")).as("_nb"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
       l.join(r, Seq("subcell")).filter(col("src") =!= col("dst"))
-        .withColumn("cosine", round(Similarity.cosine(col("_va"), col("_vb")), 6))
+        .withColumn("cosine", round(Similarity.cosineWithNorms(
+          col("_va"), col("_vb"), col("_na"), col("_nb")), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("src"), col("dst"), col("cosine"), col("rank").cast("int").as("rank"))
@@ -1884,11 +1929,16 @@ object PipelineQueries {
     "e5_semdedup_xcell" -> ((s, d) => {
       val exp = Similarity.boundCells(Similarity.assignCellsWithMargin(
         Tables.embeddings(s, d), ivfCentroids(s, d), XcellMargin), MaxCellPairSide)
-      val l = exp.select(col("subcell"), col("vec_id").as("_ida"), col("embedding").as("_va"))
-      val r = exp.select(col("subcell"), col("vec_id").as("_idb"), col("embedding").as("_vb"))
+      // norms staged per ROW before the pair join (cosineWithNorms —
+      // bit-identical, 1 FloatVecDot per pair instead of 3)
+      val l = exp.select(col("subcell"), col("vec_id").as("_ida"),
+        col("embedding").as("_va"), Similarity.norm(col("embedding")).as("_na"))
+      val r = exp.select(col("subcell"), col("vec_id").as("_idb"),
+        col("embedding").as("_vb"), Similarity.norm(col("embedding")).as("_nb"))
       val dropped = l.join(r, Seq("subcell"))
         .filter(col("_ida") < col("_idb") &&
-          round(Similarity.cosine(col("_va"), col("_vb")), 6) >= 0.35)
+          round(Similarity.cosineWithNorms(
+            col("_va"), col("_vb"), col("_na"), col("_nb")), 6) >= 0.35)
         .select(col("_idb").as("vec_id")).distinct()
       exp.filter(col("cell") === col("home_cell"))
         .join(dropped.withColumn("_hit", lit(1)), Seq("vec_id"), "left")

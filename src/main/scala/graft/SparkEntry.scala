@@ -707,6 +707,10 @@ object SparkEntry {
       // STORE here instead of recomputing at all)
       val sk = Kmv.sketch(ev, Seq("event_type"), col("uid"), k = 64)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager: AQE materializes the per-type and union branches
+      // concurrently; an uncomputed cache block would be rebuilt by
+      // both (see PipelineQueries.eager) — force the build once
+      sk.count()
       val perType = Kmv.estimate(sk, Seq("event_type"), k = 64)
         .groupBy()
         .agg(
@@ -723,7 +727,10 @@ object SparkEntry {
     // S2+P1+P2+F1-F4: full parse path — envelope JSON → base64 → strict
     // config-driven parse → alias split → epoch
     "p1_parse_roundtrip" -> ((s, d) => {
-      val t = Tables.telemetry(s, d)
+      // fanOut: the synth→base64→JSON-parse chain is map-only, so on a
+      // single-split local scan it ran in ONE task (profiled: 3 tasks
+      // total, 1.6 s serial); no-op at scale (PipelineQueries.fanOut)
+      val t = PipelineQueries.fanOut(Tables.telemetry(s, d))
       val envelope = t.select(col("event_id"),
         base64(to_json(struct(array(struct(
           concat(col("machineId"), lit("/status")).as("name"),

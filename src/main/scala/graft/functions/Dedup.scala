@@ -54,13 +54,17 @@ object Dedup {
           sequence(lit(1), length(t) - (n - 1)),
           i => t.substr(i, lit(n)))))
 
-  /** (doc_id, char-shingle set), staged + persisted like [[shingleSets]].
+  /** (doc_id, char-shingle set), staged + persisted like [[shingleSets]]
+   * (same EAGER materialization — see that method's AQE note).
    * CALLER-owned cache: unpersist it when done (see [[ownStages]]). */
-  def charShingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(keyCol).as("doc_id"),
+  def charShingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame = {
+    val s = df.select(col(keyCol).as("doc_id"),
       regexp_replace(col(textCol), "\\s+", " ").as("_t"))
       .select(col("doc_id"), charShinglesFromNormalized(col("_t"), n).as("sh_set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    s.count()
+    s
+  }
 
   /**
    * Cache-ownership discipline for the composed operators (the batch
@@ -73,6 +77,20 @@ object Dedup {
    * nothing. On failure both the stages and the partial result are
    * released before the error propagates.
    */
+  /** Persist + MATERIALIZE a stage that several downstream subtrees
+   * reference under DIFFERENT projections (identical subtrees need no
+   * cache — AQE's stage cache shares their exchange). AQE materializes
+   * independent exchange subtrees concurrently, and a
+   * persisted-but-uncomputed cache block has no cross-task compute
+   * lock: every referencing subtree recomputes the stage's lineage
+   * (profiled at 8 corpus passes in one d7 action, r16 opt round).
+   * Caller still owns the release (pass it to [[ownStages]]). */
+  private def eagerStage(df: DataFrame): DataFrame = {
+    val s = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    s.count()
+    s
+  }
+
   private def ownStages(stages: DataFrame*)(result: DataFrame): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try out.count()
@@ -105,10 +123,21 @@ object Dedup {
    * manager unifies the plan across jaccard/minhash so shingling runs a
    * single time per corpus). At warehouse scale this is the stage you'd
    * checkpoint to storage instead. CALLER-owned cache: unpersist it
-   * when done (the composed operators do this via [[ownStages]]). */
-  def shingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
-    shingleSetsPlan(df, keyCol, textCol, n)
+   * when done (the composed operators do this via [[ownStages]]).
+   *
+   * The persist is EAGER (count before returning): AQE materializes
+   * independent exchange subtrees concurrently, and every subtree that
+   * references a persisted-but-not-yet-computed block recomputes the
+   * whole scan→tokenize→shingle lineage itself (no cross-task compute
+   * lock) — profiled at 8 full corpus passes inside one d7 action.
+   * Materializing first makes every consumer stage a cache read: one
+   * corpus pass per query, the §1.2-ideal this stage exists for. */
+  def shingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame = {
+    val s = shingleSetsPlan(df, keyCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    s.count()
+    s
+  }
 
   /** Exploded inverted index: one row per (key, shingle). Uncached —
    * an index is consumed by exactly one join, so caching it would only
@@ -165,10 +194,24 @@ object Dedup {
         val freq = fullIdx.groupBy(col("shingle")).agg(count(lit(1)).as("_f"))
         val rare = fullIdx.join(freq.filter(col("_f") > cap).select(col("shingle")),
           Seq("shingle"), "left_anti")
-        val cands = rare.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(rare.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
+        // Candidates by per-shingle pair EXPLOSION, not an index
+        // self-join: the anti-join output is already partitioned by
+        // shingle, so the collect_list agg needs NO new exchange, and
+        // the (a < b) pairs spill straight out of each posting list —
+        // the old l⋈r self-join sorted the full index twice and paid
+        // the SMJ machinery for the identical pair set (guide §2.4:
+        // two operations keyed the same way share one exchange).
+        // Transient bound: a shingle at the cap holds cap ids, so the
+        // per-row pair array is ≤ cap²/2 structs — the same volume the
+        // self-join would EMIT for that key, just materialized in one
+        // row; cap=1000 keeps it ~8 MB worst-case, average is 1-2 ids.
+        val cands = rare.groupBy(col("shingle"))
+          .agg(collect_list(col("doc_id")).as("_ds"))
+          .select(explode(flatten(transform(col("_ds"), x =>
+            transform(filter(col("_ds"), y => y > x),
+              y => struct(x.as("doc_a"), y.as("doc_b")))))).as("_p"))
+          .select(col("_p.doc_a").as("doc_a"), col("_p.doc_b").as("doc_b"))
+          .distinct()
         cands
           .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("_sa")), "doc_a")
           .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("_sb")), "doc_b")
@@ -339,9 +382,14 @@ object Dedup {
     val c = (if (margin > 0 && centroids.size >= 2)
         Similarity.assignCellsWithMargin(corpusVecs, centroids, margin)
       else Similarity.assignCells(corpusVecs, centroids))
-      .select(col("cell"), col("vec_id"), col("embedding").as("_vc"))
-    c.join(benchAssigned, Seq("cell"))
-      .withColumn("cosine", round(Similarity.cosine(col("_vc"), col("_vb")), 6))
+      .select(col("cell"), col("vec_id"), col("embedding").as("_vc"),
+        Similarity.norm(col("embedding")).as("_nc"))
+    // norms staged per ROW before the cell join (Similarity
+    // .cosineWithNorms): a corpus row was paying 2·|bench cell| extra
+    // FloatVecDots otherwise
+    c.join(benchAssigned.withColumn("_nb", Similarity.norm(col("_vb"))), Seq("cell"))
+      .withColumn("cosine", round(Similarity.cosineWithNorms(
+        col("_vc"), col("_vb"), col("_nc"), col("_nb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("vec_id").as(corpusKey), col("bench_id"), col("cosine"))
   }
@@ -459,10 +507,13 @@ object Dedup {
     // eager + cached (minhashDedupPairs materialized it); released by
     // ownStages below once the expanded result is materialized
     val repPairs = minhashDedupPairs(reps.drop("_digest"), keyCol, textCol, n, k, bands, threshold)
-    // expand: rep pair → all member pairs across the two groups
-    val members = groups.join(
+    // expand: rep pair → all member pairs across the two groups.
+    // members is eager ([[eagerStage]]): three consumers under three
+    // different projections (both expand joins + the exact-pair self
+    // join) would otherwise each re-run the corpus digest shuffle
+    val members = eagerStage(groups.join(
       reps.select(col("_digest"), col(keyCol).as("_rep")), "_digest")
-      .select(col("_rep"), col("_k"))
+      .select(col("_rep"), col("_k")))
     val expanded = repPairs
       .join(members.select(col("_rep").as("doc_a"), col("_k").as("_ka")), "doc_a")
       .join(members.select(col("_rep").as("doc_b"), col("_k").as("_kb")), "doc_b")
@@ -473,7 +524,7 @@ object Dedup {
       members.select(col("_rep"), col("_k").as("_k2")), "_rep")
       .filter(col("_k") < col("_k2"))
       .select(col("_k").as("doc_a"), col("_k2").as("doc_b"), lit(1.0).as("jaccard"))
-    ownStages(repPairs)(expanded.unionByName(exactPairs).distinct())
+    ownStages(repPairs, members)(expanded.unionByName(exactPairs).distinct())
   }
 
   /** Clone mass of a corpus in [0,1]: 1 − distinct-digest/total, from
@@ -549,6 +600,9 @@ object Dedup {
     val toks = df.select(col(keyCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("_t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count() // eager: occ + the region-slicing join both reference
+                 // it — tokenize once, not per subtree (AQE note at
+                 // [[shingleSets]])
     val occ = toks.select(col("doc_id"), explode(
       when(size(col("_t")) < n, array().cast("array<struct<pos:int,span:string>>"))
         .otherwise(transform(sequence(lit(1), size(col("_t")) - (n - 1)),
@@ -865,6 +919,9 @@ object Dedup {
       .select(col("doc_id"), col("term"),
         (col("tf").cast("decimal(19,0)") * idf).cast("decimal(19,0)").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    weighted.count() // eager: norms + both dot-join sides reference it
+                     // — tokenize/tf/idf once, not 3× (AQE note at
+                     // [[shingleSets]])
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("norm2"))
     val dots = weighted.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))

@@ -200,15 +200,25 @@ object EmbeddingPipeline {
     // from a materialized parquet table rather than a live lineage.
     val cells = Similarity.assignCells(asCorpus(embedMedia(media, loader)), centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager (both levels): AQE materializes the referencing subtrees
+    // concurrently, and an uncomputed cache block is recomputed by
+    // each — which would run the decode + model forward pass once per
+    // branch, exactly what these persists exist to prevent (see
+    // Dedup.shingleSets' AQE note)
+    cells.count()
     val assigned = Similarity.boundCells(cells, maxCellSide)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    // norms staged per ROW before the pair join (cosineWithNorms —
+    // bit-identical, 1 FloatVecDot per pair instead of 3)
     val l = assigned.select(col("subcell"), col("vec_id").as("_ida"),
-      col("embedding").as("_va"))
+      col("embedding").as("_va"), Similarity.norm(col("embedding")).as("_na"))
     val r = assigned.select(col("subcell"), col("vec_id").as("_idb"),
-      col("embedding").as("_vb"))
+      col("embedding").as("_vb"), Similarity.norm(col("embedding")).as("_nb"))
     val dropped = l.join(r, Seq("subcell"))
       .filter(col("_ida") < col("_idb") &&
-        round(Similarity.cosine(col("_va"), col("_vb")), 6) >= threshold)
+        round(Similarity.cosineWithNorms(
+          col("_va"), col("_vb"), col("_na"), col("_nb")), 6) >= threshold)
       .select(col("_idb").as("vec_id")).distinct()
     assigned.join(dropped.withColumn("_hit", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("_hit").isNotNull.as("dropped"))

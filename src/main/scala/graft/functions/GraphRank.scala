@@ -54,16 +54,21 @@ object GraphRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    // disambiguated column names throughout: deg and the edge list
-    // share lineage, and the rank vector self-joins every round
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("_dnode"), col("deg"))
-    val eOut = e.select(col("src").as("_esrc"), col("dst").as("_edst"))
+    // out-degree is LOOP-INVARIANT: join it onto the edge list ONCE
+    // before the rounds (it used to ride inside every round as a
+    // second rank⋈deg join — iterations× redundant joins of a
+    // node-sized table, guide §1.2 "don't compute things twice").
+    // The checkpointed (src, dst, deg) list is what each round's
+    // single rank⋈edges join streams against; `r div deg` per edge is
+    // unchanged arithmetic, so ranks are bit-identical.
+    val eDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .join(e, Seq("src"))
+      .select(col("src").as("_esrc"), col("dst").as("_edst"), col("deg"))
+      .localCheckpoint(true)
     var r = nodes.withColumn("r", lit(NodeMassMicro))
     var i = 0
     while (i < iterations) {
-      val contrib = r.join(deg, col("node") === col("_dnode"))
-        .join(eOut, col("node") === col("_esrc"))
+      val contrib = r.join(eDeg, col("node") === col("_esrc"))
         .select(col("_edst"), idiv(col("r"), col("deg")).as("_c"))
         .groupBy(col("_edst")).agg(sum(col("_c")).as("_s"))
       r = nodes

@@ -220,6 +220,10 @@ object Retrieval {
 
     val tf = tfIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // eager: the idf agg and the posting join both reference
+               // it, and AQE materializes those subtrees concurrently —
+               // an uncomputed cache block is rebuilt by each (see
+               // Dedup.shingleSets); one corpus tokenization, not two
     val dfreq = idfOf(tf, n, maxDfFrac)
 
     val qterms = queries.select(col(qKeyCol).as("query_id"),
@@ -327,11 +331,13 @@ object Retrieval {
         (nn, ss)
       } catch { case t: Throwable => dl.unpersist(false); throw t }
     val tf = tfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // eager — see bm25Impl's AQE note
     val dfreq = idfOf(tf, n, maxDfFrac)
     // consumed three times (pass-1 join, expansion anti-join, union)
     val qterms = queries.select(col(qKeyCol).as("query_id"),
         explode(array_distinct(col(qTermsCol))).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qterms.count() // eager — three concurrent consumers
     ownStages(tf, dl, qterms)(
       prfRanked(tf, dfreq, dl, n, s, qterms, k, fbDocs, expTerms))
   }
@@ -395,6 +401,7 @@ object Retrieval {
     val qterms = queries.select(col(qKeyCol).as("query_id"),
         explode(array_distinct(col(qTermsCol))).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    qterms.count() // eager — three concurrent consumers (AQE note)
     ownStages(qterms)(
       prfRanked(spark.table(s"${name}_postings"), dfreq,
         spark.table(s"${name}_doclen"), n, s, qterms, k, fbDocs, expTerms))
@@ -723,6 +730,11 @@ object Retrieval {
       // missing-candidate recovery below) — without it the union would
       // re-run the corpus scan + scorer once per branch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager: AQE materializes the two branches concurrently, and an
+    // uncomputed cache block is rebuilt by each — that re-runs the
+    // MODEL FORWARD PASS twice (profiled: r10's dominant CPU). One
+    // count forces the scorer to run exactly once.
+    scored.count()
     // candidates the corpus join dropped (nominated doc_id absent from
     // `docs`): kept with score 0 — a preserved-side broadcast outer
     // join doesn't exist in BroadcastHashJoin, so the left join the

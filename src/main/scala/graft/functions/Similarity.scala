@@ -42,6 +42,19 @@ object Similarity {
     when(nn === 0, lit(0.0)).otherwise(d / nn)
   }
 
+  /** [[cosine]] with the two norms PRECOMPUTED per row (staged in the
+   * projections feeding a pair join). Value-identical — `na * nb`
+   * multiplies the same IEEE doubles `sqrt(dot(a,a)) * sqrt(dot(b,b))`
+   * would produce, and the zero-guard/division tree is unchanged — but
+   * the O(pairs) stage evaluates ONE FloatVecDot instead of three:
+   * each side's ‖·‖ is computed once per ROW before the join instead
+   * of once per PAIR inside it (a cell-bounded join evaluates each
+   * row's norm |cell| times otherwise). */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val nn = na * nb
+    when(nn === 0, lit(0.0)).otherwise(dot(a, b) / nn)
+  }
+
   /**
    * Int8 scalar quantization of an embedding column — the 4×
    * compression an embedding warehouse applies before anything else
@@ -88,15 +101,21 @@ object Similarity {
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       rerankFactor: Int = 3): DataFrame = {
     def asFloats(qvec: Column) = transform(qvec, _.cast("float"))
+    // stage-1 norms precomputed per ROW (cosineWithNorms): the scan
+    // evaluates |corpus|×|queries| cosines — one FloatVecDot per pair,
+    // not three
     val qCorpus = quantizeInt8(corpus, "embedding")
       .select(col("vec_id").as("neighbor_id"), asFloats(col("qvec")).as("_cq"))
+      .withColumn("_cqn", norm(col("_cq")))
     val qQueries = quantizeInt8(queries, "embedding")
       .select(col("vec_id").as("query_id"), asFloats(col("qvec")).as("_qq"))
+      .withColumn("_qqn", norm(col("_qq")))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("qcos").desc, col("neighbor_id"))
     val cands = qCorpus.crossJoin(broadcast(qQueries))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("qcos", round(cosine(col("_cq"), col("_qq")), 6))
+      .withColumn("qcos", round(cosineWithNorms(
+        col("_cq"), col("_qq"), col("_cqn"), col("_qqn")), 6))
       .withColumn("_ar", row_number().over(wA))
       .filter(col("_ar") <= k * rerankFactor)
       .select(col("query_id"), col("neighbor_id"))
@@ -152,15 +171,20 @@ object Similarity {
    */
   def projectedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       dimIn: Int = 64, dimOut: Int = 16, rerankFactor: Int = 3): DataFrame = {
+    // stage-1 norms precomputed per ROW (cosineWithNorms) — one
+    // FloatVecDot per candidate pair instead of three
     val pCorpus = corpus.select(col("vec_id").as("neighbor_id"),
       randomProject(col("embedding"), dimIn, dimOut).as("_cp"))
+      .withColumn("_cpn", norm(col("_cp")))
     val pQueries = queries.select(col("vec_id").as("query_id"),
       randomProject(col("embedding"), dimIn, dimOut).as("_qp"))
+      .withColumn("_qpn", norm(col("_qp")))
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("neighbor_id"))
     val cands = pCorpus.crossJoin(broadcast(pQueries))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("pcos", round(cosine(col("_cp"), col("_qp")), 6))
+      .withColumn("pcos", round(cosineWithNorms(
+        col("_cp"), col("_qp"), col("_cpn"), col("_qpn")), 6))
       .withColumn("_ar", row_number().over(wA))
       .filter(col("_ar") <= k * rerankFactor)
       .select(col("query_id"), col("neighbor_id"))
@@ -194,10 +218,16 @@ object Similarity {
    * Output: (query_id, neighbor_id, cosine, rank).
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"))
-      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("_qv"))))
+    // norms staged per ROW before the |corpus|×|queries| cross join
+    // (see [[cosineWithNorms]]) — each corpus norm was recomputed once
+    // per query otherwise
+    val joined = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"),
+        norm(col("embedding")).as("_cn"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("_qv"), norm(col("embedding")).as("_qn"))))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("cosine", round(cosineWithNorms(
+        col("_cv"), col("_qv"), col("_cn"), col("_qn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     joined
@@ -519,11 +549,24 @@ object Similarity {
    * nothing to collapse — the collapse/expand joins would be pure
    * overhead).
    */
+  /** Persist + MATERIALIZE a stage referenced by several downstream
+   * subtrees. AQE materializes independent exchange subtrees
+   * concurrently, and a persisted-but-uncomputed cache block gives no
+   * cross-task compute lock — every referencing subtree recomputes the
+   * stage's full lineage (profiled: 8 corpus passes in one d7 action,
+   * and the canon window shuffle here ran once per reference). Eager
+   * materialization makes every later reference a cache read.
+   * CALLER-owned: released by the per-query clearCache (Bench/Verify)
+   * or an explicit unpersist. */
+  private def eager(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   def knnGraphAuto(corpus: DataFrame, centroids: Seq[(Int, Seq[Float])],
       k: Int, maxCellSize: Int, margin: Option[Double] = None,
       cloneRatioFrom: Double = 0.10): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val canon = withCanonIds(corpus)
+    // eager: the embedding-keyed window shuffle behind canon_id is
+    // referenced 2× (direct) to 5× (collapsed) — one pass, not five
+    val canon = eager(withCanonIds(corpus))
     if (embeddingCloneRatio(corpus) >= cloneRatioFrom)
       knnGraphCollapsed(canon, centroids, k, maxCellSize, margin)
     else
@@ -540,6 +583,9 @@ object Similarity {
       case None => assignCells(base, centroids)
       case Some(m) => assignCellsWithMargin(base, centroids, m).drop("home_cell")
     }
+    // NOT materialized: both pair-join sides are canonically identical
+    // subtrees, so AQE's stage cache reuses one exchange for both —
+    // materializing here only adds a job (measured, r16 opt round)
     boundCellsByCanon(
       assigned.join(canon.select(col("vec_id"), col("canon_id")), Seq("vec_id")),
       maxCellSize)
@@ -549,21 +595,29 @@ object Similarity {
       centroids: Seq[(Int, Seq[Float])], k: Int, maxCellSize: Int,
       margin: Option[Double]): DataFrame = {
     val bounded = canonBounded(canon, centroids, maxCellSize, margin)
-    val l = bounded.select(col("subcell"), col("vec_id").as("src"), col("embedding").as("_va"))
-    val r = bounded.select(col("subcell"), col("vec_id").as("dst"), col("embedding").as("_vb"))
+    // norms staged per ROW before the pair join (see [[cosineWithNorms]])
+    val l = bounded.select(col("subcell"), col("vec_id").as("src"),
+      col("embedding").as("_va"), norm(col("embedding")).as("_na"))
+    val r = bounded.select(col("subcell"), col("vec_id").as("dst"),
+      col("embedding").as("_vb"), norm(col("embedding")).as("_nb"))
     val pairs0 = l.join(r, Seq("subcell")).filter(col("src") =!= col("dst"))
     // the margin expansion can surface one pair from both probed
     // cells — dedup pairs, then re-join embeddings for the score
     val pairs = margin match {
-      case None => pairs0.select(col("src"), col("dst"), col("_va"), col("_vb"))
+      case None => pairs0.select(col("src"), col("dst"),
+        col("_va"), col("_vb"), col("_na"), col("_nb"))
       case Some(_) =>
-        val emb = canon.select(col("vec_id"), col("embedding"))
+        val emb = canon.select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("_n"))
         pairs0.select(col("src"), col("dst")).distinct()
-          .join(emb.select(col("vec_id").as("src"), col("embedding").as("_va")), Seq("src"))
-          .join(emb.select(col("vec_id").as("dst"), col("embedding").as("_vb")), Seq("dst"))
+          .join(emb.select(col("vec_id").as("src"), col("embedding").as("_va"),
+            col("_n").as("_na")), Seq("src"))
+          .join(emb.select(col("vec_id").as("dst"), col("embedding").as("_vb"),
+            col("_n").as("_nb")), Seq("dst"))
     }
     val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-    pairs.withColumn("cosine", round(cosine(col("_va"), col("_vb")), 6))
+    pairs.withColumn("cosine", round(cosineWithNorms(
+        col("_va"), col("_vb"), col("_na"), col("_nb")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src"), col("dst"), col("cosine"), col("rank").cast("int").as("rank"))
@@ -572,23 +626,33 @@ object Similarity {
   private[graft] def knnGraphCollapsed(canon: DataFrame,
       centroids: Seq[(Int, Seq[Float])], k: Int, maxCellSize: Int,
       margin: Option[Double]): DataFrame = {
+    // two consumers, but the agg subtrees are canonically identical —
+    // AQE's stage cache shares the one shuffle
     val gsz = canon.groupBy(col("canon_id")).agg(count(lit(1)).as("_gn"))
     val reps = canon.filter(col("vec_id") === col("canon_id"))
       .select(col("vec_id"), col("embedding"), col("canon_id"))
     val bounded = canonBounded(reps, centroids, maxCellSize, margin)
-    val l = bounded.select(col("subcell"), col("canon_id").as("_sc"), col("embedding").as("_va"))
-    val r = bounded.select(col("subcell"), col("canon_id").as("_dc"), col("embedding").as("_vb"))
+    // norms staged per ROW before the pair join (see [[cosineWithNorms]])
+    val l = bounded.select(col("subcell"), col("canon_id").as("_sc"),
+      col("embedding").as("_va"), norm(col("embedding")).as("_na"))
+    val r = bounded.select(col("subcell"), col("canon_id").as("_dc"),
+      col("embedding").as("_vb"), norm(col("embedding")).as("_nb"))
     val cpairs0 = l.join(r, Seq("subcell")).filter(col("_sc") =!= col("_dc"))
     val cpairs = margin match {
-      case None => cpairs0.select(col("_sc"), col("_dc"), col("_va"), col("_vb"))
+      case None => cpairs0.select(col("_sc"), col("_dc"),
+        col("_va"), col("_vb"), col("_na"), col("_nb"))
       case Some(_) =>
-        val re = reps.select(col("canon_id"), col("embedding"))
+        val re = reps.select(col("canon_id"), col("embedding"),
+          norm(col("embedding")).as("_n"))
         cpairs0.select(col("_sc"), col("_dc")).distinct()
-          .join(re.select(col("canon_id").as("_sc"), col("embedding").as("_va")), Seq("_sc"))
-          .join(re.select(col("canon_id").as("_dc"), col("embedding").as("_vb")), Seq("_dc"))
+          .join(re.select(col("canon_id").as("_sc"), col("embedding").as("_va"),
+            col("_n").as("_na")), Seq("_sc"))
+          .join(re.select(col("canon_id").as("_dc"), col("embedding").as("_vb"),
+            col("_n").as("_nb")), Seq("_dc"))
     }
     val cedges = cpairs
-      .withColumn("cosine", round(cosine(col("_va"), col("_vb")), 6))
+      .withColumn("cosine", round(cosineWithNorms(
+        col("_va"), col("_vb"), col("_na"), col("_nb")), 6))
       .join(gsz.select(col("canon_id").as("_dc"), col("_gn").as("_members")), Seq("_dc"))
       .select(col("_sc"), col("_dc"), col("cosine"), col("_members"))
     // clone mates as a self-edge: every member of a ≥2 group sees the
@@ -644,10 +708,15 @@ object Similarity {
   private[graft] def rankProbed(assigned: DataFrame, qcells: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"), col("cell"))
-      .join(broadcast(qcells), Seq("cell"))
+    // corpus/query norms staged per ROW before the candidate join —
+    // a corpus row probed by q queries paid 2q extra FloatVecDots
+    // otherwise (see [[cosineWithNorms]])
+    assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("_cv"),
+        norm(col("embedding")).as("_cn"), col("cell"))
+      .join(broadcast(qcells.withColumn("_qn", norm(col("_qv")))), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("cosine", round(cosineWithNorms(
+        col("_cv"), col("_qv"), col("_cn"), col("_qn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -781,9 +850,13 @@ object Similarity {
     val cands = spark.read.parquet(s"$path/qcorpus")
       .filter(col("cell").isin(probedCells: _*))
       .select(col("vec_id").as("neighbor_id"), asFloats(col("qvec")).as("_cq"), col("cell"))
-      .join(broadcast(probes), Seq("cell"))
+      // stage-1 norms per ROW (cosineWithNorms): a probed corpus row
+      // paid 2 extra FloatVecDots per probing query otherwise
+      .withColumn("_cqn", norm(col("_cq")))
+      .join(broadcast(probes.withColumn("_qqn", norm(col("_qq")))), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("qcos", round(cosine(col("_cq"), col("_qq")), 6))
+      .withColumn("qcos", round(cosineWithNorms(
+        col("_cq"), col("_qq"), col("_cqn"), col("_qqn")), 6))
       .withColumn("_ar", row_number().over(wQ))
       .filter(col("_ar") <= k * rerankFactor)
       .select(col("query_id"), col("neighbor_id"))
@@ -1152,12 +1225,15 @@ object Similarity {
       else array(sig(col("embedding")) +:
         (0 until planes).map(p => sig(col("embedding")).bitwiseXOR(lit(1L << p))): _*)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("_qv"), explode(probeSigs).as("_sig")))
+      col("embedding").as("_qv"), explode(probeSigs).as("_sig"))
+      .withColumn("_qn", norm(col("_qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    bucketed.join(q, Seq("_sig"))
+    // norms per ROW before the bucket join (cosineWithNorms)
+    bucketed.withColumn("_cn", norm(col("_cv"))).join(q, Seq("_sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("cosine", round(cosineWithNorms(
+        col("_cv"), col("_qv"), col("_cn"), col("_qn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
