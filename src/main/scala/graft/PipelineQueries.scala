@@ -38,31 +38,18 @@ object PipelineQueries {
     ()
   }
 
-  /** Persist + MATERIALIZE a query-local stage that several downstream
-   * subtrees reference. AQE materializes independent exchange subtrees
-   * concurrently; a persisted-but-uncomputed cache block has no
-   * cross-task compute lock, so every referencing subtree recomputes
-   * the stage's full lineage (profiled: 8 corpus scan+shingle passes
-   * inside one d7 action). Eager materialization makes every later
-   * reference a cache read. Released by the per-query clearCache
-   * (Bench/Verify), the same lifecycle as m3's persisted stages. */
-  private def eager(df: DataFrame): DataFrame = {
-    val s = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    s.count()
-    s
-  }
+  /** Materialize a query-local stage that several downstream subtrees
+   * reference — [[graft.functions.Stage.eager]] row blocks (one pass,
+   * the AQE-recompute guard, none of the columnar encode/decode or
+   * serialized-count cost of the r16 persist+count form). */
+  private def eager(df: DataFrame): DataFrame = graft.functions.Stage.eager(df)
 
   /** Fan a computation-heavy map chain out to the session's cores when
-   * the source scan produced FEWER partitions (the local single-file
-   * regime: one parquet file = one input split = one task for the
-   * whole chain, so a 32-core session runs it serially). At warehouse
-   * scale the input splits provide this parallelism for free and the
-   * condition is false — no shuffle is added. The m3 fan-out pattern,
-   * gated so it costs nothing where it isn't needed. */
-  private[graft] def fanOut(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+   * the source scan produced FEWER partitions — see
+   * [[graft.functions.Stage.fanOut]] (no-op at warehouse split
+   * counts). */
+  private[graft] def fanOut(df: DataFrame): DataFrame =
+    graft.functions.Stage.fanOut(df)
 
   /** Full md5 hex of an sf-dir path — the collision-proof key for
    * fit-once artifact paths and table names (a 32-bit String.hashCode

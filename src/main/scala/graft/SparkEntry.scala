@@ -701,16 +701,14 @@ object SparkEntry {
         .filter(col("user_id").isNotNull &&
           col("event_type").isin("click", "purchase"))
         .select(col("event_type"), col("user_id").cast("string").as("uid"))
-      // persist: the sketch feeds BOTH the per-type estimates and the
-      // union merge — at warehouse scale the sketch build dominates
-      // and must run once (a real deployment reads the StreamingKmv
-      // STORE here instead of recomputing at all)
-      val sk = Kmv.sketch(ev, Seq("event_type"), col("uid"), k = 64)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // eager: AQE materializes the per-type and union branches
-      // concurrently; an uncomputed cache block would be rebuilt by
-      // both (see PipelineQueries.eager) — force the build once
-      sk.count()
+      // eager row blocks: the sketch feeds BOTH the per-type estimates
+      // and the union merge — at warehouse scale the sketch build
+      // dominates and must run once (a real deployment reads the
+      // StreamingKmv STORE here instead of recomputing at all); AQE
+      // materializes the two branches concurrently, so a lazy cache
+      // block would be rebuilt by both (see Stage.eager)
+      val sk = graft.functions.Stage.eager(
+        Kmv.sketch(ev, Seq("event_type"), col("uid"), k = 64))
       val perType = Kmv.estimate(sk, Seq("event_type"), k = 64)
         .groupBy()
         .agg(

@@ -42,9 +42,11 @@ object Bpe {
   private def charSymbols(word: Column): Column =
     concat(split(word, ""), array(lit(EndOfWord)))
 
-  /** Word-frequency vocab with initial character segmentation. */
+  /** Word-frequency vocab with initial character segmentation.
+   * fanOut: the corpus tokenize+explode map stage is single-split
+   * serial at local scale; no-op at warehouse split counts. */
   def wordVocab(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+    Stage.fanOut(df).select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .withColumn("syms", charSymbols(col("word")))
 
@@ -95,9 +97,19 @@ object Bpe {
     // the corpus-sized shuffle width. ~100k words per partition keeps
     // executors busy at real scale and collapses to 1 task at test SF.
     val raw = wordVocab(df, textCol)
+    // ONE corpus pass decides the regime AND feeds the in-memory fit:
+    // collect up to threshold+1 (word, wc) rows — if everything came
+    // back the collected rows ARE the full vocab (limit past the total
+    // row count returns every row), so the small regime no longer pays
+    // a separate count pass over the corpus (it paid 2 tokenize passes
+    // before: count, then collect)
+    val upTo = raw.select(col("word"), col("wc"))
+      .limit((inMemoryVocabThreshold + 1).min(Int.MaxValue.toLong).toInt)
+      .collect()
+    if (upTo.length <= inMemoryVocabThreshold)
+      return fitInMemory(df.sparkSession,
+        upTo.map(r => (r.getString(0), r.getLong(1))), nMerges)
     val nWords = raw.count()
-    if (nWords <= inMemoryVocabThreshold)
-      return fitInMemory(df.sparkSession, raw, nMerges)
     val parts = math.max(1, math.min(
       df.sparkSession.sparkContext.defaultParallelism, (nWords / 100000L).toInt + 1))
     var vocab = raw.repartition(parts).localCheckpoint(true)
@@ -127,10 +139,9 @@ object Bpe {
    * identical algorithm as the distributed fold, on the collected
    * (word, wc) vocab. The collect is vocab-sized (≤ the dispatch
    * threshold by construction), never corpus-sized. */
-  private def fitInMemory(spark: org.apache.spark.sql.SparkSession, raw: DataFrame,
-      nMerges: Int): (Seq[Merge], DataFrame) = {
+  private def fitInMemory(spark: org.apache.spark.sql.SparkSession,
+      wc: Array[(String, Long)], nMerges: Int): (Seq[Merge], DataFrame) = {
     import spark.implicits._
-    val wc = raw.select(col("word"), col("wc")).as[(String, Long)].collect()
     var vocab: Array[(String, Long, Vector[String])] =
       wc.map { case (w, c) => (w, c, w.map(_.toString).toVector :+ EndOfWord) }
     val merges = Seq.newBuilder[Merge]
@@ -175,7 +186,9 @@ object Bpe {
    */
   def tokenize(df: DataFrame, idCol: String, textCol: String,
       fittedVocab: DataFrame): DataFrame = {
-    val words = df.select(col(idCol),
+    // fanOut: corpus tokenize+posexplode map stage — single-split
+    // serial at local scale, no-op at warehouse split counts
+    val words = Stage.fanOut(df).select(col(idCol),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("wpos", "word")))
     words
       .join(broadcast(fittedVocab.select(col("word"), col("syms"))), Seq("word"), "left")

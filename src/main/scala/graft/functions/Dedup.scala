@@ -54,17 +54,14 @@ object Dedup {
           sequence(lit(1), length(t) - (n - 1)),
           i => t.substr(i, lit(n)))))
 
-  /** (doc_id, char-shingle set), staged + persisted like [[shingleSets]]
-   * (same EAGER materialization — see that method's AQE note).
-   * CALLER-owned cache: unpersist it when done (see [[ownStages]]). */
-  def charShingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame = {
-    val s = df.select(col(keyCol).as("doc_id"),
-      regexp_replace(col(textCol), "\\s+", " ").as("_t"))
-      .select(col("doc_id"), charShinglesFromNormalized(col("_t"), n).as("sh_set"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    s.count()
-    s
-  }
+  /** (doc_id, char-shingle set), staged + materialized like
+   * [[shingleSets]] (same EAGER row-block materialization — see that
+   * method's AQE note and [[Stage.eager]]). */
+  def charShingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
+    Stage.eager(Stage.fanOut(df)
+      .select(col(keyCol).as("doc_id"),
+        regexp_replace(col(textCol), "\\s+", " ").as("_t"))
+      .select(col("doc_id"), charShinglesFromNormalized(col("_t"), n).as("sh_set")))
 
   /**
    * Cache-ownership discipline for the composed operators (the batch
@@ -77,19 +74,13 @@ object Dedup {
    * nothing. On failure both the stages and the partial result are
    * released before the error propagates.
    */
-  /** Persist + MATERIALIZE a stage that several downstream subtrees
-   * reference under DIFFERENT projections (identical subtrees need no
-   * cache — AQE's stage cache shares their exchange). AQE materializes
-   * independent exchange subtrees concurrently, and a
-   * persisted-but-uncomputed cache block has no cross-task compute
-   * lock: every referencing subtree recomputes the stage's lineage
-   * (profiled at 8 corpus passes in one d7 action, r16 opt round).
-   * Caller still owns the release (pass it to [[ownStages]]). */
-  private def eagerStage(df: DataFrame): DataFrame = {
-    val s = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    s.count()
-    s
-  }
+  /** Materialize a stage that several downstream subtrees reference
+   * under DIFFERENT projections (identical subtrees need no cache —
+   * AQE's stage cache shares their exchange): [[Stage.eager]] row
+   * blocks — one pass (the AQE-recompute guard), none of the columnar
+   * encode/decode or serialized-count cost the round-16
+   * `persist(); count()` form paid (r17 profiling). */
+  private def eagerStage(df: DataFrame): DataFrame = Stage.eager(df)
 
   private def ownStages(stages: DataFrame*)(result: DataFrame): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -97,10 +88,10 @@ object Dedup {
     catch {
       case t: Throwable =>
         out.unpersist(false)
-        stages.foreach(_.unpersist(false))
+        stages.foreach(Stage.release)
         throw t
     }
-    stages.foreach(_.unpersist(false))
+    stages.foreach(Stage.release)
     out
   }
 
@@ -113,26 +104,39 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(keyCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** The (doc_id, sh_set) projection WITHOUT a cache — for single-use
-   * consumers (an index that is streamed through one join). */
+  /** The (doc_id, sh_set) projection WITHOUT materialization — for
+   * single-use consumers (an index that is streamed through one join).
+   * fanOut: the scan→tokenize→shingle chain is map-only, so on a
+   * single-split local scan it ran in ONE task (profiled 430-700 ms
+   * serial jobs); no-op at warehouse split counts. */
   private def shingleSetsPlan(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(keyCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
+    Stage.fanOut(df)
+      .select(col(keyCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("_t"))
       .select(col("doc_id"), shinglesFromTokens(col("_t"), n).as("sh_set"))
 
-  /** (doc_id, shingle set) — MATERIALIZED once (persist; the cache
-   * manager unifies the plan across jaccard/minhash so shingling runs a
-   * single time per corpus). At warehouse scale this is the stage you'd
-   * checkpoint to storage instead. CALLER-owned cache: unpersist it
-   * when done (the composed operators do this via [[ownStages]]).
+  /** (doc_id, shingle set) — MATERIALIZED once as row blocks
+   * ([[Stage.eager]]) so shingling runs a single time per corpus. At
+   * warehouse scale this is the stage you'd checkpoint to storage
+   * instead.
    *
-   * The persist is EAGER (count before returning): AQE materializes
-   * independent exchange subtrees concurrently, and every subtree that
-   * references a persisted-but-not-yet-computed block recomputes the
+   * The materialization is EAGER: AQE materializes independent
+   * exchange subtrees concurrently, and every subtree that references
+   * a lazily-persisted-but-not-yet-computed block recomputes the
    * whole scan→tokenize→shingle lineage itself (no cross-task compute
-   * lock) — profiled at 8 full corpus passes inside one d7 action.
-   * Materializing first makes every consumer stage a cache read: one
-   * corpus pass per query, the §1.2-ideal this stage exists for. */
-  def shingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame = {
+   * lock) — profiled at 8 full corpus passes inside one d7 action
+   * (r16). Row blocks instead of a columnar persist: the array-typed
+   * sh_set pays the 10-30× InMemoryRelation encode/decode penalty the
+   * r16 e4 experiment measured on array rows. */
+  def shingleSets(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame =
+    Stage.eager(shingleSetsPlan(df, keyCol, textCol, n))
+
+  /** [[shingleSets]] as a plain persisted+materialized cache — for
+   * streaming micro-batch callers whose RESULT is consumed lazily
+   * AFTER the stage is released in their finally: `unpersist` leaves
+   * the lineage recomputable, which [[shingleSets]]' truncated
+   * checkpoint cannot. Batch operators prefer the row-block form
+   * (no columnar array encode/decode). */
+  def shingleSetsPersisted(df: DataFrame, keyCol: String, textCol: String, n: Int): DataFrame = {
     val s = shingleSetsPlan(df, keyCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     s.count()
@@ -500,8 +504,11 @@ object Dedup {
    */
   def dedupPipeline(df: DataFrame, keyCol: String, textCol: String,
       n: Int = 5, k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val groups = df.select(md5(col(textCol)).as("_digest"), col(keyCol).as("_k"))
-    val reps = df.groupBy(md5(col(textCol)).as("_digest"))
+    // fanOut: the corpus md5 map stages below are single-split serial
+    // at local scale; no-op at warehouse split counts
+    val base = Stage.fanOut(df)
+    val groups = base.select(md5(col(textCol)).as("_digest"), col(keyCol).as("_k"))
+    val reps = base.groupBy(md5(col(textCol)).as("_digest"))
       .agg(min(col(keyCol)).as(keyCol), first(col(textCol)).as(textCol))
     // near-dup pairs among representatives (distinct texts only) —
     // eager + cached (minhashDedupPairs materialized it); released by
@@ -597,12 +604,11 @@ object Dedup {
   def duplicatedSpanRegions(df: DataFrame, keyCol: String, textCol: String,
       n: Int = 8, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(keyCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("_t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    toks.count() // eager: occ + the region-slicing join both reference
-                 // it — tokenize once, not per subtree (AQE note at
-                 // [[shingleSets]])
+    // eager row blocks: occ + the region-slicing join both reference
+    // it — tokenize once, not per subtree (AQE note at
+    // [[shingleSets]]); fanOut parallelizes the single-split tokenize
+    val toks = Stage.eager(Stage.fanOut(df).select(col(keyCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("_t")))
     val occ = toks.select(col("doc_id"), explode(
       when(size(col("_t")) < n, array().cast("array<struct<pos:int,span:string>>"))
         .otherwise(transform(sequence(lit(1), size(col("_t")) - (n - 1)),
@@ -907,21 +913,21 @@ object Dedup {
   def tfidfPairs(df: DataFrame, keyCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val n = df.count() // corpus size for idf — one count job, fit-time metadata
-    val tf = df.select(col(keyCol).as("doc_id"),
+    // fanOut: the scan→tokenize→explode map stage is single-split
+    // serial at local scale; no-op at warehouse split counts
+    val tf = Stage.fanOut(df).select(col(keyCol).as("doc_id"),
         explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = floor(lit(10000.0) * log(lit(n.toDouble) / col("df")))
       .cast("decimal(19,0)")
-    val weighted = tf.join(dfreq, Seq("term"))
+    // eager row blocks: norms + both dot-join sides reference it —
+    // tokenize/tf/idf once, not 3× (AQE note at [[shingleSets]])
+    val weighted = Stage.eager(tf.join(dfreq, Seq("term"))
       .filter(col("df") * 2 <= n) // stop-term guard (exact integer compare)
       .select(col("doc_id"), col("term"),
-        (col("tf").cast("decimal(19,0)") * idf).cast("decimal(19,0)").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    weighted.count() // eager: norms + both dot-join sides reference it
-                     // — tokenize/tf/idf once, not 3× (AQE note at
-                     // [[shingleSets]])
+        (col("tf").cast("decimal(19,0)") * idf).cast("decimal(19,0)").as("w")))
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("norm2"))
     val dots = weighted.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))

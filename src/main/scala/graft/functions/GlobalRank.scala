@@ -62,6 +62,15 @@ object GlobalRank {
   /** Number of staged lineages currently registered (spec census). */
   def stagedCount: Int = staged.size()
 
+  /** Weak-register an RDD-level cache for [[releaseStaged]] — the
+   * registration hook [[Stage.eager]]'s checkpoint row blocks share
+   * with the staged sorts (same per-query release discipline; entries
+   * never extend a lifetime). */
+  private[functions] def register(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    staged.add(new java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]](rdd))
+    ()
+  }
+
   /** Append a 1-based global rank column ordered by `sortCols`.
    * The sorted lineage is persisted across zipWithIndex's two passes
    * (its eager partition-count job, then the result map) — same

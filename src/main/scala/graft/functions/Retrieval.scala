@@ -68,10 +68,10 @@ object Retrieval {
     catch {
       case t: Throwable =>
         out.unpersist(false)
-        stages.foreach(_.unpersist(false))
+        stages.foreach(Stage.release)
         throw t
     }
-    stages.foreach(_.unpersist(false))
+    stages.foreach(Stage.release)
     out
   }
 
@@ -92,21 +92,47 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, keyCol: String, textCol: String,
       queries: DataFrame, qKeyCol: String, qTermsCol: String,
       k: Int, maxDfFrac: Double = 0.5): DataFrame = {
-    val (tf, dl) = postingsOf(docs, keyCol, textCol)
+    val (tf, dl) = postingsMaterialized(docs, keyCol, textCol)
     bm25TopKFromIndex(tf, dl, queries, qKeyCol, qTermsCol, k, maxDfFrac)
   }
 
   /** The derived (doc_id, term, tf) / (doc_id, dl) projections of a
    * corpus — the persistable inverted index [[bm25TopKFromIndex]]
    * serves from. Materialize these once (bucketed by term) for a
-   * standing query workload instead of re-deriving per call. */
+   * standing query workload instead of re-deriving per call. Lazy:
+   * one-shot consumers (index writes) evaluate each projection once;
+   * the per-call fit paths use [[postingsMaterialized]] instead.
+   * fanOut parallelizes the single-split local tokenize (no-op at
+   * warehouse split counts). */
   def postingsOf(docs: DataFrame, keyCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
-    val toks = docs.select(col(keyCol).as("doc_id"),
+    val toks = Stage.fanOut(docs).select(col(keyCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("_t"))
     (toks.select(col("doc_id"), explode(col("_t")).as("term"))
        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")),
      toks.select(col("doc_id"), size(col("_t")).cast("long").as("dl")))
+  }
+
+  /** [[postingsOf]] with both projections MATERIALIZED as row blocks
+   * from ONE tokenize pass — the per-call fit shape: the token
+   * projection is checkpointed once ([[Stage.eager]], fanned out past
+   * the single-split local scan), tf and dl are materialized from its
+   * blocks, and the token blocks are released before returning. A
+   * lazy lineage tokenized the corpus up to 4× per bm25 call
+   * (r16/r17 profiling: one serial tokenize per divergent consumer —
+   * tf's idf agg + posting join, dl's stats agg + posting join).
+   * The returned stages are the CALLER's to release
+   * ([[Stage.release]]; bm25Impl's ownStages does it). */
+  private def postingsMaterialized(docs: DataFrame, keyCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val toks = Stage.eager(Stage.fanOut(docs).select(col(keyCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("_t")))
+    val tf = Stage.eager(toks.select(col("doc_id"), explode(col("_t")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    val dl = Stage.eager(
+      toks.select(col("doc_id"), size(col("_t")).cast("long").as("dl")))
+    Stage.release(toks)
+    (tf, dl)
   }
 
   /**
@@ -137,7 +163,7 @@ object Retrieval {
       allowed: DataFrame, allowedKeyCol: String,
       queries: DataFrame, qKeyCol: String, qTermsCol: String,
       k: Int, maxDfFrac: Double = 0.5): DataFrame = {
-    val (tf, dl) = postingsOf(docs, keyCol, textCol)
+    val (tf, dl) = postingsMaterialized(docs, keyCol, textCol)
     bm25Impl(tf, dl, Some(allowed.select(col(allowedKeyCol).as("doc_id"))),
       queries, qKeyCol, qTermsCol, k, maxDfFrac)
   }
@@ -204,32 +230,30 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDfFrac > 0 && maxDfFrac <= 1.0,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
-    // dl's lineage is a full corpus tokenization when it arrives from
-    // postingsOf — persist it across its three consumers (N count, S
-    // sum, posting join) or tokenize runs 3× per call
-    val dl = dlIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // fit-time scalars: corpus size and total token mass (exact longs)
-    val (n, s) =
-      try {
-        val nn = dl.count()
-        val ss = dl.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
-        require(nn > 0 && ss > 0, "bm25 needs a non-empty, non-blank corpus")
-        (nn, ss)
-      } catch { case t: Throwable => dl.unpersist(false); throw t }
+    // fit-time scalars: corpus size and total token mass (exact
+    // longs), ONE fused agg job. dl needs no persist of its own: from
+    // postingsOf it is a cheap map over the materialized token blocks
+    // (one corpus tokenize total — see postingsOf), from a table it is
+    // a scan.
+    val (n, s) = {
+      val r = dlIn.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val (nn, ss) = (r.getLong(0), r.getLong(1))
+      require(nn > 0 && ss > 0, "bm25 needs a non-empty, non-blank corpus")
+      (nn, ss)
+    }
 
-    val tf = tfIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tf.count() // eager: the idf agg and the posting join both reference
-               // it, and AQE materializes those subtrees concurrently —
-               // an uncomputed cache block is rebuilt by each (see
-               // Dedup.shingleSets); one corpus tokenization, not two
-    val dfreq = idfOf(tf, n, maxDfFrac)
+    val dfreq = idfOf(tfIn, n, maxDfFrac)
 
     val qterms = queries.select(col(qKeyCol).as("query_id"),
       explode(array_distinct(col(qTermsCol))).as("term"))
 
-    ownStages(tf, dl)(rankedScores(tf, dfreq, dl, n, s, allowed, qterms, k))
+    // tf/dl arrive MATERIALIZED from the docs-based entries
+    // (postingsMaterialized row blocks — the AQE-recompute guard) and
+    // are released here once the result is; table/store-backed callers
+    // pass plain scans, for which the release is a no-op and each
+    // consumer is a bucketed-scan re-read (the serve contract).
+    ownStages(tfIn, dlIn)(
+      rankedScores(tfIn, dfreq, dlIn, n, s, allowed, qterms, k))
   }
 
   /** The scoring half of [[bm25Impl]] — inverted-index join + exact
@@ -305,7 +329,7 @@ object Retrieval {
       queries: DataFrame, qKeyCol: String, qTermsCol: String,
       k: Int, fbDocs: Int = 5, expTerms: Int = 3,
       maxDfFrac: Double = 0.5): DataFrame = {
-    val (tfIn, dlIn) = postingsOf(docs, keyCol, textCol)
+    val (tfIn, dlIn) = postingsMaterialized(docs, keyCol, textCol)
     bm25PrfTopKFromIndex(tfIn, dlIn, queries, qKeyCol, qTermsCol,
       k, fbDocs, expTerms, maxDfFrac)
   }
@@ -322,24 +346,22 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
     require(expTerms >= 0, s"expTerms must be >= 0, got $expTerms")
-    val dl = dlIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (n, s) =
-      try {
-        val nn = dl.count()
-        val ss = dl.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
-        require(nn > 0 && ss > 0, "bm25 needs a non-empty, non-blank corpus")
-        (nn, ss)
-      } catch { case t: Throwable => dl.unpersist(false); throw t }
-    val tf = tfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tf.count() // eager — see bm25Impl's AQE note
-    val dfreq = idfOf(tf, n, maxDfFrac)
-    // consumed three times (pass-1 join, expansion anti-join, union)
-    val qterms = queries.select(col(qKeyCol).as("query_id"),
-        explode(array_distinct(col(qTermsCol))).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    qterms.count() // eager — three concurrent consumers
-    ownStages(tf, dl, qterms)(
-      prfRanked(tf, dfreq, dl, n, s, qterms, k, fbDocs, expTerms))
+    // fused (N, S) stats job — see bm25Impl's note; dl itself stays a
+    // cheap map over the materialized token blocks / a table scan
+    val (n, s) = {
+      val r = dlIn.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      val (nn, ss) = (r.getLong(0), r.getLong(1))
+      require(nn > 0 && ss > 0, "bm25 needs a non-empty, non-blank corpus")
+      (nn, ss)
+    }
+    val dfreq = idfOf(tfIn, n, maxDfFrac)
+    // consumed three times (pass-1 join, expansion anti-join, union) —
+    // eager row blocks (AQE note at bm25Impl)
+    val qterms = Stage.eager(queries.select(col(qKeyCol).as("query_id"),
+        explode(array_distinct(col(qTermsCol))).as("term")))
+    // tf/dl release semantics as in bm25Impl (no-op for table scans)
+    ownStages(tfIn, dlIn, qterms)(
+      prfRanked(tfIn, dfreq, dlIn, n, s, qterms, k, fbDocs, expTerms))
   }
 
   /** The two-pass PRF body over resolved stats — shared between the
@@ -398,10 +420,9 @@ object Retrieval {
     require(expTerms >= 0, s"expTerms must be >= 0, got $expTerms")
     val (n, s) = readStats(spark, name)
     val dfreq = idfFromDf(spark.table(s"${name}_df"), n, maxDfFrac)
-    val qterms = queries.select(col(qKeyCol).as("query_id"),
-        explode(array_distinct(col(qTermsCol))).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    qterms.count() // eager — three concurrent consumers (AQE note)
+    // eager row blocks — three concurrent consumers (AQE note)
+    val qterms = Stage.eager(queries.select(col(qKeyCol).as("query_id"),
+        explode(array_distinct(col(qTermsCol))).as("term")))
     ownStages(qterms)(
       prfRanked(spark.table(s"${name}_postings"), dfreq,
         spark.table(s"${name}_doclen"), n, s, qterms, k, fbDocs, expTerms))
@@ -702,7 +723,7 @@ object Retrieval {
     val cand = broadcast(
       fused.select(col("query_id"), col("doc_id"))
         .join(queries.select(col("query_id"), col("terms")), Seq("query_id")))
-    val scored = cand
+    val scoredRaw = cand
       .join(docs.select(col(keyCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("_toks")), Seq("doc_id"))
       .select(col("query_id").cast("long"), col("doc_id").cast("long"),
@@ -726,15 +747,14 @@ object Retrieval {
         }
       }
       .toDF("query_id", "doc_id", "ce_micro")
-      // persisted because TWO branches read it (the kept scores and the
-      // missing-candidate recovery below) — without it the union would
-      // re-run the corpus scan + scorer once per branch
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager: AQE materializes the two branches concurrently, and an
-    // uncomputed cache block is rebuilt by each — that re-runs the
-    // MODEL FORWARD PASS twice (profiled: r10's dominant CPU). One
-    // count forces the scorer to run exactly once.
-    scored.count()
+    // materialized (eager row blocks) because TWO branches read it
+    // (the kept scores and the missing-candidate recovery below) and
+    // AQE materializes them concurrently — a lazy cache block would be
+    // rebuilt by each, re-running the MODEL FORWARD PASS twice
+    // (profiled: r10's dominant CPU). Stage.eager runs the scorer
+    // exactly once, without the columnar encode/decode or the separate
+    // blocking count the r16 persist+count form paid.
+    val scored = Stage.eager(scoredRaw)
     // candidates the corpus join dropped (nominated doc_id absent from
     // `docs`): kept with score 0 — a preserved-side broadcast outer
     // join doesn't exist in BroadcastHashJoin, so the left join the
@@ -751,9 +771,9 @@ object Retrieval {
       .partitionBy(col("query_id"))
       .orderBy(col("ce_micro").desc, col("doc_id"))
     // the family's stage-ownership discipline: the returned top-k is
-    // persisted+materialized and the intermediate scored stage is
-    // released before returning — repeated actions on the result
-    // never re-run the corpus scan or the scorer
+    // persisted+materialized while the scored row blocks are live,
+    // then the blocks are released — repeated actions on the result
+    // read its own cache and never re-run the corpus scan or scorer
     ownStages(scored)(
       scored.unionByName(missing).withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)

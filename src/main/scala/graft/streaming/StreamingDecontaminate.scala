@@ -56,7 +56,7 @@ object StreamingDecontaminate {
 
   /** One batch through the guard: returns the KEPT (clean) rows. */
   def processBatch(batch: DataFrame, guard: Guard): DataFrame = {
-    val sets = Dedup.shingleSets(batch, guard.keyCol, guard.textCol, guard.n)
+    val sets = Dedup.shingleSetsPersisted(batch, guard.keyCol, guard.textCol, guard.n)
       .select(col("doc_id").as("_gid"),
         exists(col("sh_set"), s => Dedup.bloomMightContain(guard.bloom, s)).as("_hit"))
     val flagged = batch.join(sets, batch(guard.keyCol) === col("_gid"), "left")

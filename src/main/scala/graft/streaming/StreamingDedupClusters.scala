@@ -108,7 +108,7 @@ object StreamingDedupClusters {
       owned += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df
     }
-    val sets = Dedup.shingleSets(
+    val sets = Dedup.shingleSetsPersisted(
       batch.select(col(keyCol), col(textCol)), keyCol, textCol, n)
     owned += sets
     val banded = own(

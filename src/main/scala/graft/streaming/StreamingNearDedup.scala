@@ -58,7 +58,7 @@ object StreamingNearDedup {
     // own the shingle-set stage explicitly so its cache is released in
     // the finally below (a long-running stream must not accumulate
     // cached blocks across micro-batches)
-    val sets = Dedup.shingleSets(persisted, keyCol, textCol, n)
+    val sets = Dedup.shingleSetsPersisted(persisted, keyCol, textCol, n)
     val banded = Dedup.bandKeys(Dedup.minhashSignaturesFromSets(sets, k), k, bands)
       .join(persisted.select(col(keyCol).as("doc_id"), col(tsCol).as("_ts")), "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
