@@ -47,6 +47,22 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"BENCH WARMUP (non-fatal): ${e.getClass.getName}: ${e.getMessage}")
     }
+    // Post-warm hygiene (r16 verdict item 4): the warm pass fills the
+    // JVM (old-gen, code cache, catalog/cache state) and the FIRST
+    // timed query — a1, alphabetically — paid for it (driver a1
+    // 0.4 s → 1.55 s while the 8-core run said ~0.22 s). Reset to the
+    // same state every timed query runs in (the per-query hygiene
+    // below), then run one untimed first-query-shaped probe so the
+    // first timed sample starts from a warm-but-clean JVM like every
+    // other query does.
+    spark.catalog.clearCache()
+    graft.functions.GlobalRank.releaseStaged()
+    SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
+    graft.functions.GlobalRank.releaseStaged()
 
     // Noise sentinel: a fixed-cost, data-independent, CPU-bound probe
     // timed at window start and end. On this shared host, throughput

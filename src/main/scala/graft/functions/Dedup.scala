@@ -1220,14 +1220,18 @@ object Dedup {
         .select(col("v").as("hi"), col("_m").as("lo"))
         .filter(col("hi") =!= col("lo")).distinct()
       // SMALL-STAR on the large-star output (edges already oriented
-      // hi > lo = "toward the larger endpoint")
+      // hi > lo = "toward the larger endpoint"). Both re-attachment
+      // families — (smaller neighbor → m) and (u → m) — come out of
+      // ONE ls ⋈ m2 join via a 2-way explode instead of two joins
+      // unioned (r17: the join ran twice per round; the final
+      // distinct already dedups, so the pair set is identical).
       val m2 = ls.groupBy(col("hi")).agg(min(col("lo")).as("_m"))
       val ss = ls.join(m2, "hi")
-        .select(col("lo").as("hi2"), col("_m").as("lo2"))
-        .unionByName(ls.join(m2, "hi")
-          .select(col("hi").as("hi2"), col("_m").as("lo2")).distinct())
-        .filter(col("hi2") =!= col("lo2"))
-        .select(col("hi2").as("hi"), col("lo2").as("lo")).distinct()
+        .select(explode(array(
+          struct(col("lo").as("a"), col("_m").as("b")),
+          struct(col("hi").as("a"), col("_m").as("b")))).as("_e"))
+        .select(col("_e.a").as("hi"), col("_e.b").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
       val next = materialize(ss)
       val nextCount = next.count()
       // set equality: |E ∪ E'| == |E| == |E'|
